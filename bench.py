@@ -1,0 +1,56 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count + a write-free materialization
+via ``collect`` of a limited projection is avoided — we use .count() which
+forces the full plan) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from clinical_bi_spark.queries import load_all
+from clinical_bi_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    registry = load_all()
+    bench_specs = {n: s for n, s in registry.items() if s.bench}
+    spark = get_spark("clinical-bi-spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    # Warm the JVM/codegen path once so timings measure the plans, not startup.
+    registry["agg_pricing_summary"].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(bench_specs.items()):
+        start = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        df.count()  # forces full execution of the plan
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline query wall-clock, local[{}]".format(
+            os.environ.get("SPARK_GRAFT_CPUS", "32")
+        ),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

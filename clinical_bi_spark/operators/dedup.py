@@ -1,0 +1,232 @@
+"""Deduplication operator family for document corpora.
+
+Exact dedup is a hash-groupBy on a 16-byte fingerprint (queries/textops.py
+``dedup_exact``). This module holds the near-duplicate detectors:
+
+* MinHash + LSH banding — approximates word-set Jaccard; the scale path
+  for the oracle-checked ``dedup_ngram_jaccard`` query. Pure DataFrame ops:
+  shingle → per-permutation min-hash → band → bucket join. Cost is
+  O(n·perms) narrow work + one shuffle on (band, bucket-signature);
+  candidate verification touches only bucket-collision pairs.
+* SimHash — Hamming-proximity fingerprint (64-bit) built with Spark's
+  xxhash64 and bit arithmetic, no Python UDFs.
+
+Both are Spark-hash-specific, so they have no SQL oracle; tests verify them
+against the exact Jaccard query (recall/precision thresholds) in
+tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 for the universal-hash family h_i(x) = (a_i·x + b_i) mod p.
+# Kept at 31 bits so a·x + b stays well inside int64 — Spark 4 runs in ANSI
+# mode by default, where int64 overflow raises instead of wrapping.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from a simple LCG on the seed —
+    no RNG state, reproducible everywhere."""
+    params = []
+    state = seed * 2654435761 % _MERSENNE_P
+    for _ in range(num_perm):
+        state = (state * 1103515245 + 12345) % _MERSENNE_P
+        a = state | 1  # odd, non-zero
+        state = (state * 1103515245 + 12345) % _MERSENNE_P
+        b = state
+        params.append((a, b))
+    return params
+
+
+def word_shingles(text_col: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    tokens = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
+    if n == 1:
+        return F.array_distinct(tokens)
+    # slide an n-window over the token array with transform on indices
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(
+    shingles: F.Column, num_perm: int = 32, seed: int = 42
+) -> F.Column:
+    """num_perm-wide MinHash signature as array<bigint>.
+
+    Each shingle is hashed once (xxhash64), then pushed through num_perm
+    universal-hash permutations; min per permutation. All Catalyst
+    higher-order functions — the JVM evaluates the whole signature inside
+    codegen, no Python.
+    """
+    # Map each shingle hash into [0, p) first so a·h + b < 2^62 (ANSI-safe).
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    params = _hash_params(num_perm, seed)
+
+    # Single-pass fold: one traversal of the shingle array computes all
+    # num_perm minima. (The naive form — num_perm separate transforms over
+    # `base` — gets inlined by Catalyst's CollapseProject, re-evaluating
+    # the whole shingle pipeline per permutation: ~30× slower measured.)
+    def _permute_all(h: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+                for a, b in params
+            ]
+        )
+
+    init = F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_perm)
+    return F.aggregate(
+        F.transform(base, _permute_all),
+        init,
+        lambda acc, xs: F.zip_with(acc, xs, lambda m, v: F.least(m, v)),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding.
+
+    rows_per_band = num_perm / bands; two docs collide if any band of their
+    signatures matches exactly. Returns (id_a, id_b, est_jaccard) where
+    est_jaccard is the signature agreement fraction — an unbiased Jaccard
+    estimate. The only shuffle is the groupBy on (band_id, band_signature):
+    at 100 TB the band signatures are ~32 bytes, so the shuffle is tiny
+    relative to the corpus.
+    """
+    rows = num_perm // bands
+    assert rows * bands == num_perm, "bands must divide num_perm"
+
+    # persist: the signature feeds 8 band slices and both self-join sides;
+    # without a materialization barrier CollapseProject would inline (and
+    # re-evaluate) the signature expression into every consumer. At real
+    # scale, write signatures to parquet instead and reuse across runs.
+    with_sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_perm, seed).alias("sig"),
+    ).persist()
+    # explode into (band_id, band_slice) keys
+    banded = with_sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band_id"),
+                    F.slice(F.col("sig"), band * rows + 1, rows).alias("band_sig"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "sig", F.col("band.band_id").alias("band_id"),
+             F.concat_ws(",", F.transform(F.col("band.band_sig"), lambda x: x.cast("string"))).alias("band_key"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(agree.cast("double") / F.lit(num_perm), 6).alias("est_jaccard"),
+    )
+
+
+def simhash64(text_col: F.Column) -> F.Column:
+    """64-bit SimHash of the word set, entirely in Catalyst expressions.
+
+    For each of the 64 bit positions, sum +1/-1 votes from every token's
+    xxhash64 bit; the sign of the sum is the output bit. Near-identical
+    texts differ in few bits (Hamming distance), enabling radius search via
+    bit_count(a XOR b).
+    """
+    tokens = F.array_distinct(
+        F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
+    )
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def _vote(i: int) -> F.Column:
+        # closure keeps the aggregate lambda two-arg (acc, h)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    bits = []
+    for i in range(64):
+        vote = _vote(i)
+        bits.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for bit in bits[1:]:
+        out = out.bitwiseOR(bit)
+    return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    With ``block_col`` the pair space is bounded by the block (e.g.
+    source); unblocked all-pairs is for small corpora/tests only. The
+    production-scale variant blocks on SimHash prefix bytes instead —
+    see tests for the pattern.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        simhash64(F.col(text_col)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

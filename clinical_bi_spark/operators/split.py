@@ -1,0 +1,74 @@
+"""Dataset split operators (SURVEY.md M1).
+
+The reference splits with a seeded numpy permutation sliced by exact
+fractions (ct_data.py:43-53): every run yields *exactly*
+floor(0.7·n)/floor(0.005·n)/rest rows. Spark's randomSplit is per-row
+Bernoulli — right scale behavior, different semantics. Both are provided:
+
+* :func:`exact_size_seeded_split` — parity: exact sizes, seeded. Needs a
+  global rank (one extra shuffle); fine up to ~10⁹ rows, documented
+  trade-off beyond that.
+* :func:`keyed_hash_split` — scale path: deterministic per-key hash,
+  no shuffle, reproducible across engines and runs (used by the
+  m1_keyed_split oracle query).
+* randomSplit — Spark built-in, recommended when exact sizes don't matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_size_seeded_split(
+    df: DataFrame,
+    train_frac: float,
+    validate_frac: float,
+    seed: int = 42,
+    order_key: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Exact-size 3-way split: rank rows by rand(seed) and cut at
+    floor(train_frac·n) and floor((train_frac+validate_frac)·n) —
+    the reference's permutation-slice semantics (ct_data.py:43-53).
+
+    ``order_key`` (any unique column) makes the shuffle deterministic under
+    ties. The global row_number serializes through a single partition at
+    rank time — acceptable for ML feature tables (already heavily reduced),
+    not for raw 100 TB facts; use keyed_hash_split or randomSplit there.
+    """
+    n = df.count()
+    n_train = int(train_frac * n)
+    n_validate = int(validate_frac * n)
+    order_cols = [F.rand(seed)] + ([F.col(order_key)] if order_key else [])
+    ranked = df.withColumn(
+        "__rank", F.row_number().over(Window.orderBy(*order_cols))
+    )
+    train = ranked.filter(F.col("__rank") <= n_train).drop("__rank")
+    validate = ranked.filter(
+        (F.col("__rank") > n_train) & (F.col("__rank") <= n_train + n_validate)
+    ).drop("__rank")
+    test = ranked.filter(F.col("__rank") > n_train + n_validate).drop("__rank")
+    return train, validate, test
+
+
+def keyed_hash_split(
+    df: DataFrame,
+    key: str,
+    train_frac: float = 0.7,
+    validate_frac: float = 0.005,
+    modulus: int = 10_000,
+) -> DataFrame:
+    """Deterministic keyed split: label each row train/validate/test from an
+    arithmetic hash of its key. Engine-independent (same SQL runs in
+    DuckDB), shuffle-free, and stable under repartitioning — the property
+    the reference's global permutation cannot give at scale."""
+    bucket = (F.col(key) * 9973 + 12345) % modulus
+    t_cut = int(train_frac * modulus)
+    v_cut = t_cut + int(validate_frac * modulus)
+    return df.withColumn(
+        "split",
+        F.when(bucket < t_cut, "train")
+        .when(bucket < v_cut, "validate")
+        .otherwise("test"),
+    )

@@ -1,0 +1,190 @@
+"""Event-table queries — batch forms of the streaming operators (the
+streaming forms live in clinical_bi_spark/streaming/ and
+queries/streamingops.py).
+
+The reference is batch-only (SURVEY.md §2.8); these extend the surface with
+the windowed/sessionized shapes a 100 TB event pipeline needs. Each batch
+form is oracle-checked; the streaming forms reuse the same expressions so
+correctness transfers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clinical_bi_spark.queries import query
+from clinical_bi_spark.session import tune
+from clinical_bi_spark.sources import load_tables
+
+_TUMBLING_ORACLE = """
+SELECT
+  time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+  event_type                            AS event_type,
+  COUNT(*)                              AS n_events,
+  ROUND(SUM(value), 4)                  AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("evt_tumbling_window", oracle=_TUMBLING_ORACLE, bench=True)
+def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window aggregate — partial agg map-side, one
+    shuffle on (window, type); identical expression drives the
+    watermarked streaming variant (streamingops.stream_tumbling_counts)."""
+    t = load_tables(tune(spark), sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT ws AS window_start, event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS ws,
+         event_type, value
+  FROM events
+) hops
+GROUP BY 1, 2
+"""
+
+
+@query("evt_sliding_window", oracle=_SLIDING_ORACLE)
+def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10-minute length, 5-minute hop): every event lands in
+    exactly two windows. The oracle expands the hop as a UNION ALL of two
+    shifted tumbling buckets — same semantics, different plan."""
+    t = load_tables(tune(spark), sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800.0
+                 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*)                   AS n_events,
+       MIN(ts)                    AS session_start,
+       MAX(ts)                    AS session_end,
+       ROUND(SUM(value), 4)       AS total_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@query("evt_sessionization", oracle=_SESSION_ORACLE, bench=True)
+def evt_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-minute inactivity gap): lag + cumulative-sum
+    session ids — one shuffle on user_id, then partition-local windows.
+    Streaming twin: session_window(ts, gap) in streamingops."""
+    t = load_tables(tune(spark), sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_sec = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    is_new = (
+        F.when(gap_sec.isNull() | (gap_sec > 1800.0), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        t.events.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+_JSON_ORACLE = """
+SELECT json_extract_string(props, '$.k') AS k_val,
+       event_type                        AS event_type,
+       COUNT(*)                          AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("evt_json_extract", oracle=_JSON_ORACLE)
+def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path over a string props column
+    (extension — the reference has no JSON; a training-data pipeline's
+    metadata columns are routinely JSON)."""
+    t = load_tables(tune(spark), sf_dir)
+    return (
+        t.events.select(
+            F.get_json_object(F.col("props"), "$.k").alias("k_val"), "event_type"
+        )
+        .groupBy("k_val", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+_DEDUP_EVENTS_ORACLE = """
+SELECT user_id, event_type, ts, event_id
+FROM (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                            time_bucket(INTERVAL '1 minute', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) t
+WHERE rn = 1
+"""
+
+
+@query("evt_dedup_window", oracle=_DEDUP_EVENTS_ORACLE)
+def evt_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup within a time bucket (keep-first): the batch twin of
+    streaming dropDuplicates-with-watermark."""
+    t = load_tables(tune(spark), sf_dir)
+    bucket = F.window("ts", "1 minute")
+    w = Window.partitionBy("user_id", "event_type", bucket).orderBy("ts", "event_id")
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "event_id")
+    )

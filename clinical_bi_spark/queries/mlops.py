@@ -1,0 +1,177 @@
+"""ML-pipeline queries (SURVEY.md §2.7 M1–M11).
+
+The reference's pandas→TensorFlow pipeline (ct_data.py / ct_estimator.py)
+maps to Spark ML: Bucketizer (M5), OneHotEncoder (M6), VectorAssembler
+(M7), MultilayerPerceptronClassifier (M9–M11). Feature engineering stays
+in DataFrame expressions; only the final reduced table feeds the model.
+
+Bucketize and split-sizes are SQL-expressible → oracle-checked. Training /
+evaluation / KDA are not (iterative algorithms) → rows-only driver checks,
+with metric-threshold assertions in tests/test_ml.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.queries import query
+from clinical_bi_spark.session import tune
+from clinical_bi_spark.sources import load_tables
+
+#: Bucketizer boundaries for o_totalprice (M5 analogue of the start_epoch
+#: buckets at ct_estimator.py:49-54). Spark Bucketizer is [lower, upper).
+_SPLITS = [float("-inf"), 50_000.0, 150_000.0, 300_000.0, float("inf")]
+
+_BUCKETIZE_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(CASE WHEN o_totalprice < 50000 THEN 0
+            WHEN o_totalprice < 150000 THEN 1
+            WHEN o_totalprice < 300000 THEN 2
+            ELSE 3 END AS INT) AS price_bucket
+FROM orders
+"""
+
+
+@query("m5_bucketize", oracle=_BUCKETIZE_ORACLE)
+def m5_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: pyspark.ml.feature.Bucketizer with explicit boundaries — the
+    bucketized_column(start_epoch, boundaries=[2009..2020]) parity
+    (ct_estimator.py:49-54). Bucketizer's [lower, upper) semantics are
+    pinned by the CASE oracle."""
+    from pyspark.ml.feature import Bucketizer
+
+    t = load_tables(tune(spark), sf_dir)
+    bucketizer = Bucketizer(
+        splits=_SPLITS, inputCol="o_totalprice", outputCol="bucket_raw"
+    )
+    return bucketizer.transform(t.orders).select(
+        "o_orderkey", F.col("bucket_raw").cast("int").alias("price_bucket")
+    )
+
+
+_SPLIT_SIZES_ORACLE = """
+SELECT 'train' AS split, CAST(floor(0.7 * COUNT(*)) AS BIGINT) AS n FROM orders
+UNION ALL
+SELECT 'validate', CAST(floor(0.005 * COUNT(*)) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'test',
+       COUNT(*) - CAST(floor(0.7 * COUNT(*)) AS BIGINT)
+                - CAST(floor(0.005 * COUNT(*)) AS BIGINT)
+FROM orders
+"""
+
+
+@query("m1_exact_split_sizes", oracle=_SPLIT_SIZES_ORACLE)
+def m1_exact_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: the exact-size property of the reference's permutation split
+    (ct_data.py:43-53, fractions 0.7/0.005/~0.295 from :152). The oracle
+    pins the *sizes* (the reference's contract); membership is seeded-
+    random by design and is pytest-checked for determinism instead."""
+    from clinical_bi_spark.operators.split import exact_size_seeded_split
+
+    t = load_tables(tune(spark), sf_dir)
+    train, validate, test = exact_size_seeded_split(
+        t.orders, 0.7, 0.005, seed=42, order_key="o_orderkey"
+    )
+    rows = [("train", train), ("validate", validate), ("test", test)]
+    out = None
+    for name, df in rows:
+        part = df.groupBy().agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("split"), "n"
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+def _feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship-style feature table reduced for ML (M2 encoders applied):
+    predict order status F vs O from price/priority/customer features —
+    shape-parity with the reference's Completed/Terminated target
+    (ct_data.py:28-29,119-120)."""
+    t = load_tables(tune(spark), sf_dir)
+    base = (
+        t.orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .join(F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+    )
+    return base.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.col("o_totalprice").alias("price"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 4)
+        .when(F.col("o_orderpriority") == "2-HIGH", 3)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 2)
+        .when(F.col("o_orderpriority") == "5-LOW", 1)
+        .otherwise(0)
+        .cast("double")
+        .alias("priority_code"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1.0).otherwise(0.0).alias("seg_building"),
+    )
+
+
+@query("m9_mlp_train_eval", oracle=None)
+def m9_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/M7/M9/M10/M11: OneHot-free numeric assembly → MLP classifier
+    (layers mirroring the reference's 5×8 DNN, ct_estimator.py:117-120) →
+    accuracy on the held-out split. Iterative training has no SQL oracle —
+    rows-only check here; tests assert accuracy ≥ majority-class baseline."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    from clinical_bi_spark.operators.split import keyed_hash_split
+
+    feats = _feature_table(spark, sf_dir)
+    split = keyed_hash_split(feats, "o_orderkey", 0.7, 0.0)
+    assembler = VectorAssembler(
+        inputCols=["price", "order_year", "priority_code", "acctbal", "seg_building"],
+        outputCol="features",
+    )
+    train = assembler.transform(split.filter(F.col("split") == "train"))
+    test = assembler.transform(split.filter(F.col("split") == "test"))
+
+    mlp = MultilayerPerceptronClassifier(
+        layers=[5, 8, 8, 8, 8, 8, 2],  # 5 hidden × 8 units (ct_estimator.py:117-120)
+        blockSize=100,  # batch_size=100 (ct_estimator.py:33)
+        maxIter=20,
+        seed=42,
+        labelCol="label",
+        featuresCol="features",
+    )
+    model = mlp.fit(train)
+    predictions = model.transform(test)
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    )
+    accuracy = evaluator.evaluate(predictions)
+    # M11 manual tally parity (ct_estimator.py:144-160)
+    tally = predictions.agg(
+        F.sum((F.col("prediction") == F.col("label")).cast("int")).alias("correct"),
+        F.count("*").alias("total"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(float(accuracy), int(tally["correct"]), int(tally["total"]))],
+        "accuracy double, correct bigint, total bigint",
+    )
+
+
+@query("m3_feature_importance", oracle=None)
+def m3_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: key-driver analysis parity — Spark computes the (tiny)
+    correlation matrix distributed; the driver-side step ranks features by
+    squared correlation with the target, normalized to sum 1 (the LMG-lite
+    analogue of key_driver_analysis at ct_data.py:55-64)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    feats = _feature_table(spark, sf_dir)
+    cols = ["label", "price", "order_year", "priority_code", "acctbal", "seg_building"]
+    assembled = VectorAssembler(inputCols=cols, outputCol="vec").transform(feats)
+    corr = Correlation.corr(assembled, "vec").head()[0].toArray()
+    r2 = {c: float(corr[0][i + 1] ** 2) for i, c in enumerate(cols[1:])}
+    total = sum(r2.values()) or 1.0
+    rows = [(c, round(v / total, 6)) for c, v in sorted(r2.items())]
+    return spark.createDataFrame(rows, "feature string, relative_importance double")

@@ -1,0 +1,45 @@
+"""Streaming queries exposed through the driver contract.
+
+Each runs a real Structured Streaming job (availableNow trigger, memory
+sink) and returns the final table. The tumbling-window form is
+oracle-checked — in complete output mode over a bounded input the streaming
+result equals the batch window aggregate, so the batch oracle applies
+verbatim. Session windows and watermark dedup depend on arrival order /
+state semantics with no SQL equivalent → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clinical_bi_spark.queries import query
+from clinical_bi_spark.queries.events import _TUMBLING_ORACLE
+from clinical_bi_spark.session import tune
+from clinical_bi_spark.streaming.windows import (
+    dedup_with_watermark,
+    session_windows,
+    tumbling_counts,
+)
+
+
+@query("stream_tumbling_window", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregate; equals the batch
+    evt_tumbling_window on bounded input (same expressions, complete
+    mode), so it shares that query's oracle."""
+    return tumbling_counts(tune(spark), sf_dir)
+
+
+@query("stream_session_window", oracle=None)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window(gap=30m) streaming aggregate — rows-only here;
+    tests/test_streaming.py cross-checks it against the batch
+    sessionization (evt_sessionization) field by field."""
+    return session_windows(tune(spark), sf_dir)
+
+
+@query("stream_dedup_watermark", oracle=None)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates with watermark-bounded state — rows-only;
+    tests assert one surviving row per key."""
+    return dedup_with_watermark(tune(spark), sf_dir)

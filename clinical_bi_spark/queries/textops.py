@@ -1,0 +1,265 @@
+"""Text-analysis and deduplication queries over the documents table —
+the LLM-training-data pipeline surface (north star in BASELINE.json).
+
+Every per-document metric is a narrow transformation (no shuffle): at
+100 TB these run embarrassingly parallel over parquet splits. The dedup
+ops shuffle only compact keys (16-byte fingerprints), never full text.
+Oracle-checked where DuckDB can express the same computation; MinHash /
+SimHash use Spark-specific hashing and are pytest-verified instead
+(tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    language_guess,
+    mean_token_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    subword_count,
+    token_count,
+    word_tokens,
+)
+from clinical_bi_spark.queries import query
+from clinical_bi_spark.session import tune
+from clinical_bi_spark.sources import load_tables
+
+# Shared DuckDB fragments (kept adjacent to the Spark expressions they mirror).
+_TOKENS = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+_LTOKENS = _TOKENS.format(col="lower({col})")
+
+
+_TEXT_STATS_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(len({_TOKENS.format(col='text')}) AS INT) AS n_tokens,
+  CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+       + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_subwords,
+  ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  ROUND(list_sum(list_transform({_TOKENS.format(col='text')}, x -> length(x)))::DOUBLE
+        / greatest(len({_TOKENS.format(col='text')}), 1), 6) AS mean_token_len
+FROM documents
+"""
+
+
+@query("text_stats", oracle=_TEXT_STATS_ORACLE, bench=True)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish subword estimate), punctuation
+    ratio, mean token length — all Catalyst higher-order functions, zero
+    Python, zero shuffle."""
+    t = load_tables(tune(spark), sf_dir)
+    text = F.col("text")
+    return t.documents.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        subword_count(text).alias("n_subwords"),
+        punct_ratio(text).alias("punct_ratio"),
+        mean_token_length(text).alias("mean_token_len"),
+    )
+
+
+def _sw_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter({_LTOKENS.format(col='text')}, x -> x IN ({words})))"
+    )
+
+
+_QUALITY_ORACLE = f"""
+SELECT
+  doc_id,
+  ROUND((
+    least(len({_TOKENS.format(col='text')}) / 64.0, 1.0)
+    + least(ROUND({_sw_hits_sql('en')}::DOUBLE
+            / greatest(len({_LTOKENS.format(col='text')}), 1), 6) / 0.05, 1.0)
+    + 1.0 - least(ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+            / greatest(length(text), 1), 6) / 0.3, 1.0)
+    + CASE WHEN ROUND(list_sum(list_transform({_TOKENS.format(col='text')}, x -> length(x)))::DOUBLE
+                / greatest(len({_TOKENS.format(col='text')}), 1), 6) BETWEEN 2.0 AND 12.0
+           THEN 1.0 ELSE 0.0 END
+  ) / 4.0, 6) AS quality,
+  ROUND({_sw_hits_sql('en')}::DOUBLE
+        / greatest(len({_LTOKENS.format(col='text')}), 1), 6) AS en_stopword_ratio
+FROM documents
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length adequacy + stopword presence +
+    punctuation sanity + token-length sanity, averaged into [0,1]."""
+    t = load_tables(tune(spark), sf_dir)
+    text = F.col("text")
+    return t.documents.select(
+        "doc_id",
+        quality_score(text).alias("quality"),
+        stopword_ratio(text).alias("en_stopword_ratio"),
+    )
+
+
+def _lang_case_sql() -> str:
+    hits = {lang: _sw_hits_sql(lang) for lang in STOPWORDS}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    chain = f"CASE WHEN {best} < 2 THEN 'unknown'"
+    for lang in ("en", "es", "fr", "de"):
+        chain += f" WHEN {hits[lang]} = {best} THEN '{lang}'"
+    return chain + " ELSE 'unknown' END"
+
+
+_LANG_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang, {_lang_case_sql()} AS guessed_lang
+FROM documents
+"""
+
+
+@query("text_language_id", oracle=_LANG_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by stopword vote (n-gram-free). The fixture
+    text is language-agnostic word salad, so the guess need not match the
+    label column — the oracle checks the heuristic itself, deterministically."""
+    t = load_tables(tune(spark), sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_guess(F.col("text")).alias("guessed_lang"),
+    )
+
+
+_FINGERPRINT_ORACLE = """
+SELECT
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  MIN(doc_id)  AS keep_doc_id,
+  COUNT(*)     AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_exact", oracle=_FINGERPRINT_ORACLE, bench=True)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: hash-groupBy on md5 of the
+    normalized text, keep lowest doc_id. Only 16-byte keys shuffle — at
+    100 TB the full text never leaves its input partition."""
+    t = load_tables(tune(spark), sf_dir)
+    return (
+        t.documents.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+_WORDSET = (
+    "list_distinct(list_filter(string_split_regex(lower({col}), '\\s+'), x -> x <> ''))"
+)
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_WORDSET.format(col='text')} AS words FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(len(list_filter(a.words, x -> list_contains(b.words, x)))::DOUBLE
+               / (len(a.words) + len(b.words)
+                  - len(list_filter(a.words, x -> list_contains(b.words, x)))), 6)
+           AS jaccard
+  FROM toks a, toks b
+  WHERE a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-set Jaccard ≥ 0.8, blocked by
+    source. Blocking bounds the pair space (the all-pairs form is
+    quadratic); the unblocked scale path is MinHash LSH
+    (operators/dedup.py), which approximates exactly this measure."""
+    t = load_tables(tune(spark), sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        "source",
+        F.array_distinct(word_tokens(F.lower(F.col("text")))).alias("words"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = (
+        F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+_LANG_SOURCE_ROLLUP_ORACLE = f"""
+SELECT
+  lang                                   AS lang,
+  source                                 AS source,
+  COUNT(*)                               AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT)           AS total_chars,
+  ROUND(AVG(len({_TOKENS.format(col='text')})), 6) AS avg_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@query("text_corpus_rollup", oracle=_LANG_SOURCE_ROLLUP_ORACLE)
+def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup (per lang × source): the bookkeeping
+    aggregate every dataset card needs; A1-style hash agg over computed
+    token counts."""
+    t = load_tables(tune(spark), sf_dir)
+    return (
+        t.documents.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg(token_count(F.col("text"))), 6).alias("avg_tokens"),
+        )
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None, bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle → 32-perm signature → 8
+    bands → bucket join): the scale path approximating dedup_ngram_jaccard.
+    Approximate by construction → rows-only here; tests/test_dedup.py
+    verifies recall against the exact Jaccard pairs."""
+    from clinical_bi_spark.operators.dedup import minhash_lsh_candidates
+
+    t = load_tables(tune(spark), sf_dir)
+    # 3-word shingles: unigram sets collide pathologically on small-vocab
+    # corpora (every doc shares most words), exploding the candidate join.
+    return minhash_lsh_candidates(
+        t.documents, id_col="doc_id", text_col="text",
+        num_perm=32, bands=8, shingle_n=3,
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit sign fingerprint, Hamming ≤ 12,
+    blocked by source). Spark-hash-specific → rows-only; pytest checks
+    agreement with exact Jaccard on planted duplicates."""
+    from clinical_bi_spark.operators.dedup import simhash_neardup_pairs
+
+    t = load_tables(tune(spark), sf_dir)
+    return simhash_neardup_pairs(
+        t.documents, id_col="doc_id", text_col="text",
+        max_hamming=12, block_col="source",
+    )

@@ -1,0 +1,157 @@
+"""Similarity-search queries over the embeddings table (array<float>, 64-d).
+
+Brute-force cosine top-k is the exact baseline (oracle-checked against
+DuckDB's list_cosine_similarity on DOUBLE[]); the LSH-bucketed ANN variant
+in operators/similarity.py is the 100 TB path and is pytest-verified
+against this baseline (recall ≥ threshold), since an approximate result has
+no SQL oracle by construction.
+
+Scale notes: the query side is broadcast (k query vectors), the corpus side
+streams — no shuffle; cost is a single pass over the corpus per batch of
+queries. All arithmetic is double-precision sequential (functions/vectors.py)
+so Spark and DuckDB agree bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clinical_bi_spark.functions.vectors import cosine_similarity, l2_norm
+from clinical_bi_spark.queries import query
+from clinical_bi_spark.session import tune
+from clinical_bi_spark.sources import load_tables
+
+_TOPK_ORACLE = """
+SELECT q_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT
+    q.vec_id AS q_id,
+    e.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+      AS cos_sim,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 6) DESC,
+               e.vec_id) AS INT) AS rank
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+) t
+WHERE rank <= 5
+"""
+
+
+@query("sim_bruteforce_topk", oracle=_TOPK_ORACLE, bench=True)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN by cosine: broadcast the query vectors, stream the
+    corpus, row_number window per query. Ties broken on (rounded cosine,
+    vec_id) so ranks are engine-independent."""
+    t = load_tables(tune(spark), sf_dir)
+    emb = t.embeddings
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = F.round(cosine_similarity(F.col("c_emb"), F.col("q_emb")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        corpus.crossJoin(F.broadcast(queries_df))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+_NEARDUP_ORACLE = """
+SELECT vec_a, vec_b, cos_sim
+FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id AND a.label = b.label
+) t
+WHERE cos_sim >= 0.4
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4, blocked by label to
+    bound the pair space — the unblocked scale path is the LSH variant in
+    operators/similarity.py). The fixture has no planted near-dups (max
+    pairwise cosine ≈ 0.51), so the threshold sits where real pairs exist."""
+    t = load_tables(tune(spark), sf_dir)
+    a = t.embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = t.embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)
+    return (
+        a.join(b, (F.col("vec_a") < F.col("vec_b")) & (F.col("label_a") == F.col("label_b")))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+_NORMS_ORACLE = """
+SELECT
+  label,
+  COUNT(*) AS n_vectors,
+  ROUND(AVG(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 6)
+    AS avg_l2_norm
+FROM embeddings
+GROUP BY label
+"""
+
+
+@query("vec_norm_rollup", oracle=_NORMS_ORACLE)
+def vec_norm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm rollup — array higher-order math feeding an
+    ordinary hash aggregate (sanity stats before any ANN indexing)."""
+    t = load_tables(tune(spark), sf_dir)
+    return (
+        t.embeddings.select("label", l2_norm(F.col("embedding")).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("norm"), 6).alias("avg_l2_norm"),
+        )
+    )
+
+
+@query("sim_ann_lsh", oracle=None, bench=True)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via sign-LSH bucketing + multi-probe (operators/similarity):
+    the 100 TB path for sim_bruteforce_topk. Approximate → rows-only;
+    tests/test_similarity.py asserts recall ≥ 0.6 vs brute force."""
+    from clinical_bi_spark.operators.similarity import lsh_bucket_topk
+
+    t = load_tables(tune(spark), sf_dir)
+    emb = t.embeddings
+    return lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, nbits=8, max_hamming=2
+    )
+
+
+@query("sim_ann_ivf", oracle=None)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF coarse quantization (nprobe=4 of 16 cells) —
+    candidate pruning path whose recall tests live in
+    tests/test_similarity.py."""
+    from clinical_bi_spark.operators.similarity import ivf_topk
+
+    t = load_tables(tune(spark), sf_dir)
+    emb = t.embeddings
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=16, nprobe=4)

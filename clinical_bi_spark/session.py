@@ -1,0 +1,79 @@
+"""SparkSession construction and runtime tuning.
+
+The reference performs no client-side optimization — it delegates to the
+PostgreSQL/DB2 cost-based optimizers (SURVEY.md §4). The Spark equivalents
+are Catalyst + AQE settings, applied here.
+
+Every setting in :func:`tune` is runtime-mutable, so it also works on a
+session we did not build (the verify driver hands us one in
+``__spark_entry__.entry``).
+
+Scale posture (100 TB target): AQE enabled for runtime re-planning
+(coalesce post-shuffle partitions, convert to broadcast when a side turns
+out small, split skewed partitions); shuffle partitions sized to the local
+core count for tests — on a real cluster this should be ~2-3× total
+executor cores, or left to AQE's coalescing with a high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-mutable confs applied to any session we run queries on.
+RUNTIME_CONF: dict[str, str] = {
+    # Adaptive Query Execution: runtime join-strategy switch, post-shuffle
+    # partition coalescing, skew-join splitting. The single most important
+    # knob for the 100 TB posture.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic oracle comparison: DuckDB timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any toPandas()/pandas_udf boundary (vectorized transfer).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dims (region/nation/customer/supplier/part at test SF; AACT satellite
+    # tables in the domain pipeline) comfortably fit: let Catalyst broadcast
+    # aggressively. At 100 TB the dims are still tiny relative to facts.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # The events fixture stores TIMESTAMP(NANOS) which the vectorized parquet
+    # reader rejects; read as long and convert (sources._normalize_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    """Local core budget; the driver exports SPARK_GRAFT_CPUS."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable tuning to *any* session (ours or the driver's)."""
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Some confs may be locked on exotic deployments; never fail a
+            # query because a tuning knob was refused.
+            pass
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(default_parallelism())
+        )
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "clinical-bi-spark") -> SparkSession:
+    """Build (or reuse) a local session sized for this machine."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return tune(builder.getOrCreate())

@@ -1,0 +1,65 @@
+"""Sinks (SURVEY.md §2.1 S4–S9).
+
+The reference's export path was: psql -o file with '|' separator →
+sed cleanse → db2 load (db2wh-etl.sh:73,158-163). Here the cleanse is part
+of the plan (functions.cleanse_text) and the writers are ordinary Spark
+sinks — idempotent via overwrite mode (S9's DROP-before-CREATE pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from clinical_bi_spark.functions.exprs import cleanse_text
+
+
+def cleanse_string_columns(df: DataFrame) -> DataFrame:
+    """Apply the S5 sed-cleanse to every string column before delimited
+    export (quotes→apostrophes, ' | '→' - '; db2wh-etl.sh:158-159)."""
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, StringType):
+            out = out.withColumn(field.name, cleanse_text(F.col(field.name)))
+    return out
+
+
+def write_delimited(df: DataFrame, path: str, sep: str = "|") -> None:
+    """S4: pipe-delimited, header-less export (psql -t -A --field-separator
+    parity, db2wh-etl.sh:73,107) with the in-plan cleanse — no sed
+    post-pass needed."""
+    (
+        cleanse_string_columns(df)
+        .write.mode("overwrite")
+        .option("sep", sep)
+        .option("header", False)
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S7: header CSV export (df.to_csv parity, ct_data.py:148)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S6/S8: the bulk-load sink re-expressed as a columnar write; derived
+    tables (init-user-db.sh DDLs) are materialized this way. Partitioning
+    on low-cardinality filter keys buys partition pruning at read time."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def save_as_table(df: DataFrame, name: str, bucket_by: tuple[int, str] | None = None) -> None:
+    """S8 DDL path: CREATE TABLE AS via saveAsTable; optional bucketing on
+    the hub join key replaces the reference's b-tree indexes (S12) —
+    bucketed tables co-locate joins on the key with no shuffle."""
+    writer = df.write.mode("overwrite").format("parquet")
+    if bucket_by:
+        n, col = bucket_by
+        writer = writer.bucketBy(n, col).sortBy(col)
+    writer.saveAsTable(name)

@@ -1,0 +1,109 @@
+"""Sources: loaders for the driver's parquet tables and generic readers.
+
+Reference mapping (SURVEY.md §2.1):
+  S1  pd.read_sql_query over psycopg2 (ct_data.py:69-97)  → spark.read.parquet
+      for fixtures / spark.read.jdbc for a live AACT database.
+  S2  ini-file driven connection config (ct_data.py:32-40) → options dict.
+  S3  pg_restore bulk source (init-user-db.sh:27-28)        → parquet snapshot.
+
+Parquet is columnar with min/max stats: scans get predicate pushdown and
+column pruning for free, which the reference's row stores never had.
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated tables at /root/testdata/sf*/ (TESTDATA.md).
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@dataclass
+class Tables:
+    """Lazy handle bundle for one scale-factor directory.
+
+    Each attribute is a lazily-built DataFrame (plan only — nothing is read
+    until an action runs, so Catalyst prunes columns/filters into the scan).
+    """
+
+    spark: SparkSession
+    sf_dir: str
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_") or name not in TABLE_NAMES:
+            raise AttributeError(name)
+        if name not in self._cache:
+            df = self.spark.read.parquet(
+                os.path.join(self.sf_dir, f"{name}.parquet")
+            )
+            if name == "events":
+                df = normalize_events(df)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for the spark.sql() path."""
+        for name in TABLE_NAMES:
+            getattr(self, name).createOrReplaceTempView(name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Tables:
+    """Entry point used by every query: bundle of lazy DataFrames."""
+    return Tables(spark=spark, sf_dir=sf_dir)
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """The events fixture stores ts as parquet TIMESTAMP(NANOS), which
+    Spark's reader only surfaces as a nanosecond long
+    (spark.sql.legacy.parquet.nanosAsLong, set in session.RUNTIME_CONF).
+    Truncate to microseconds — the same truncation DuckDB applies — and
+    restore a proper TimestampType column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer div keeps full precision (ns since epoch exceeds 2^53,
+        # so float division would corrupt low-order digits)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_ini_options(path: str, section: str) -> dict[str, str]:
+    """Parity for the reference's ini-driven connection config (S2).
+
+    Reference: ct_data.py:32-40 builds a ``k=v`` connection string from the
+    ``[aact.database]`` section of aact.properties. Here the same section
+    becomes an options dict for ``spark.read.format("jdbc")``.
+    """
+    parser = configparser.ConfigParser()
+    with open(path) as fh:
+        parser.read_file(fh)
+    return dict(parser.items(section))
+
+
+def jdbc_reader(spark: SparkSession, options: dict[str, str]):
+    """S1 live path: JDBC scan with a pushed-down query.
+
+    Usage: ``jdbc_reader(spark, opts).option("query", sql).load()``.
+    Untested in this container (no JDBC driver jar); the parquet snapshot
+    path (S3) is the tested equivalent.
+    """
+    return spark.read.format("jdbc").options(**options)

@@ -1,0 +1,124 @@
+"""Streaming window aggregations over the events table.
+
+Local harness: ``readStream`` over the parquet directory with an
+``availableNow`` trigger and a memory sink — the documented smoke pattern
+for driving a streaming query to completion synchronously. In production
+the same plans run over Kafka/files with ``processingTime`` triggers;
+nothing in the plan changes.
+
+Watermarks bound state: ``withWatermark("ts", delay)`` lets Spark drop
+window state older than the watermark — mandatory at 100 TB where unbounded
+state OOMs the cluster.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_sink_counter = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_bi_spark.sources import normalize_events
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource wants a directory/glob, not a bare file: glob the file.
+    return normalize_events(
+        spark.readStream.schema(schema)
+        .option("basePath", sf_dir)
+        .parquet(path + "*")
+    )
+
+
+def _run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming aggregation over all available input, return the
+    final result as a batch DataFrame (memory sink)."""
+    name = f"cbs_stream_{os.getpid()}_{next(_sink_counter)}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — streaming twin of
+    queries/events.evt_tumbling_window (same expressions). Complete output
+    mode so the final memory table equals the batch result."""
+    events = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_completion(agg, "complete")
+
+
+def session_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """Native session windows (session_window + gap) — streaming twin of
+    the batch lag/cumsum sessionization (queries/events.evt_sessionization).
+    """
+    events = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return _run_to_completion(
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        ),
+        "complete",
+    )
+
+
+def dedup_with_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dropDuplicates with watermark-bounded state — the
+    streaming twin of keyed dedup (queries/events.evt_dedup_window).
+    Keeps the first occurrence per key; state for keys older than the
+    watermark is evicted."""
+    events = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    deduped = events.dropDuplicates([*keys])
+    return _run_to_completion(
+        deduped.select("event_id", "ts", *keys), "append"
+    )

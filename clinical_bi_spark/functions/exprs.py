@@ -45,8 +45,8 @@ ONCOLOGY_PATTERNS_CONDITIONS = (
 )  # init-user-db.sh:63-77
 ONCOLOGY_PATTERNS_TITLES = ONCOLOGY_PATTERNS_CONDITIONS  # init-user-db.sh:145-158
 ONCOLOGY_PATTERNS_DASHBOARD = (
-    "ancer", "cinoma", "eukem", "phoma", "umor", "anoma", "eoplasm", "toma",
-)  # db2wh-etl.sh:90-97
+    "ancer", "cinoma", "eukem", "phoma", "umor", "umour", "eoplasm", "anoma",
+)  # db2wh-etl.sh:90-97 — note 'anoma' (not 'lanoma') and no 'toma'
 
 
 def stage_from_title(title: Column) -> Column:

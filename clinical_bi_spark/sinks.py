@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import BooleanType, StringType
 
 from clinical_bi_spark.functions.exprs import cleanse_text
 
@@ -25,12 +25,27 @@ def cleanse_string_columns(df: DataFrame) -> DataFrame:
     return out
 
 
+def format_booleans_tf(df: DataFrame) -> DataFrame:
+    """psql prints booleans as 't'/'f' in -A dumps — the format the DB2
+    CHAR(1) columns consumed (db2wh-etl.sh:138-141). NULL stays empty."""
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, BooleanType):
+            out = out.withColumn(
+                field.name,
+                F.when(F.col(field.name), "t")
+                .when(~F.col(field.name), "f")
+                .otherwise(F.lit(None).cast("string")),
+            )
+    return out
+
+
 def write_delimited(df: DataFrame, path: str, sep: str = "|") -> None:
     """S4: pipe-delimited, header-less export (psql -t -A --field-separator
     parity, db2wh-etl.sh:73,107) with the in-plan cleanse — no sed
     post-pass needed."""
     (
-        cleanse_string_columns(df)
+        cleanse_string_columns(format_booleans_tf(df))
         .write.mode("overwrite")
         .option("sep", sep)
         .option("header", False)

@@ -1,0 +1,182 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata (extension surface — BASELINE.json north star).
+
+Design for 100 TB of media:
+
+* media stays an opaque BinaryType column in parquet — Spark never
+  interprets it until an explicit operator does; column pruning means
+  metadata-only queries never read the bytes.
+* per-asset operators run as Arrow-batched ``mapInPandas`` — one Python
+  process per partition, bytes move once over Arrow, no per-row pickling.
+* partitioning: media rows are large, so operators repartition by byte
+  budget, not row count (``target_partition_bytes``).
+
+The container has no image/audio libraries, so the pixel-decode step is
+STUBBED (NotImplementedError behind an import-try, exactly as flagged in
+the build brief) with a deterministic fake for tests. Everything around it
+— magic-byte sniffing, PNG/GIF/JPEG header dimension parsing (pure Python,
+no deps), schemas, batching, UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "asset_id long, media_type string, byte_size int, width int, height int,"
+    " content_md5 string"
+)
+FEATURE_SCHEMA = "asset_id long, feature vector_dummy: array<float>"
+
+
+def sniff_media_type(data: bytes | None) -> str:
+    """Magic-byte container sniffing (no decoding)."""
+    if not data:
+        return "empty"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "audio/wav"
+    if data[4:8] == b"ftyp":
+        return "video/mp4"
+    return "application/octet-stream"
+
+
+def parse_dimensions(data: bytes) -> tuple[int | None, int | None]:
+    """Width/height from container headers only — no pixel decode, no
+    external libraries. Supports PNG (IHDR), GIF (logical screen), and
+    baseline/progressive JPEG (SOF scan)."""
+    kind = sniff_media_type(data)
+    try:
+        if kind == "image/png" and len(data) >= 24:
+            width, height = struct.unpack(">II", data[16:24])
+            return int(width), int(height)
+        if kind == "image/gif" and len(data) >= 10:
+            width, height = struct.unpack("<HH", data[6:10])
+            return int(width), int(height)
+        if kind == "image/jpeg":
+            i = 2
+            while i + 9 < len(data):
+                if data[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = data[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    height, width = struct.unpack(">HH", data[i + 5 : i + 9])
+                    return int(width), int(height)
+                seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+    except struct.error:
+        pass
+    return None, None
+
+
+def attach_media_metadata(
+    df: DataFrame, id_col: str = "asset_id", media_col: str = "media"
+) -> DataFrame:
+    """Typed metadata for an opaque binary column via Arrow-batched
+    mapInPandas: container type, byte size, header dimensions, content
+    fingerprint (the exact-dedup key for media)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw = pdf[media_col]
+            dims = raw.map(lambda b: parse_dimensions(b) if b else (None, None))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": raw.map(sniff_media_type),
+                    "byte_size": raw.map(lambda b: len(b) if b is not None else 0),
+                    "width": dims.map(lambda d: d[0]),
+                    "height": dims.map(lambda d: d[1]),
+                    "content_md5": raw.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=MEDIA_META_SCHEMA)
+
+
+def _decode_image(data: bytes):
+    """Pixel decode — STUB. The runtime has no imaging library; plug PIL or
+    cv2 here in a real deployment."""
+    try:
+        from PIL import Image  # noqa: F401  (not installed in this container)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires an imaging library (PIL/cv2); "
+            "not available in this environment — use fake_decode=True"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(data))
+
+
+def _fake_feature(data: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a decode→embed step: md5-seeded values.
+    Shape/semantics match a real extractor (unit-scaled float vector)."""
+    digest = hashlib.md5(data or b"").digest()
+    out = []
+    seed = int.from_bytes(digest[:8], "big")
+    for _ in range(dim):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append((seed / (1 << 63)) * 2.0 - 1.0)
+    return out
+
+
+def extract_media_features(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    media_col: str = "media",
+    dim: int = 16,
+    fake_decode: bool = True,
+    target_partition_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Decode → feature-extract as mapInPandas. ``fake_decode=True``
+    (default, and the only option in this container) swaps the pixel
+    decode for a deterministic md5-seeded feature — the Spark plumbing
+    (schema, Arrow batching, byte-budget partitioning) is identical to
+    the real path."""
+
+    schema = f"{id_col} long, feature array<float>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if fake_decode:
+                feats = pdf[media_col].map(lambda b: _fake_feature(b, dim))
+            else:
+                feats = pdf[media_col].map(lambda b: _decode_image(b))  # raises: stub
+            yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
+
+    # byte-budget repartition: media rows are megabytes, row counts lie.
+    approx_bytes = df.select(
+        F.sum(F.length(F.col(media_col))).alias("total")
+    ).head()["total"] or 0
+    n_parts = max(1, int(approx_bytes // target_partition_bytes) + 1)
+    return df.repartition(n_parts).mapInPandas(batches, schema=schema)
+
+
+def sample_video_frames(
+    df: DataFrame, id_col: str = "asset_id", media_col: str = "media", every_n: int = 30
+) -> DataFrame:
+    """Frame sampling — STUB (no video codec in this container). The
+    signature and output schema are the contract: one row per sampled
+    frame, frame index + frame bytes."""
+    raise NotImplementedError(
+        "video frame sampling requires a codec library (pyav/ffmpeg); "
+        "not available in this environment. Output schema contract: "
+        f"{id_col} long, frame_index int, frame binary"
+    )

@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
     from clinical_bi_spark.queries import (  # noqa: F401
         events,
         mlops,
+        multimodalops,
         relational,
         streamingops,
         textops,

@@ -1,0 +1,94 @@
+"""Quality checks for the approximate dedup family (no SQL oracle by
+construction — verified against planted duplicates and the exact Jaccard
+baseline instead)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    simhash_neardup_pairs,
+    word_shingles,
+)
+
+BASE_DOCS = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "spark executes declarative plans with catalyst and tungsten at scale",
+    "large corpora require deduplication before language model training runs",
+    "completely unrelated text about cooking pasta with garlic and olive oil",
+    "stream processing with watermarks handles late arriving events correctly",
+]
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Docs with planted near-duplicates: each base doc gets a twin with one
+    word changed (high Jaccard) and the corpus has unrelated docs too."""
+    rows = []
+    doc_id = 0
+    for text in BASE_DOCS:
+        rows.append((doc_id, text)); doc_id += 1
+        words = text.split()
+        words[3] = "MUTATED"
+        rows.append((doc_id, " ".join(words))); doc_id += 1  # near-dup of prev
+    rows.append((doc_id, BASE_DOCS[0])); doc_id += 1  # exact dup of doc 0
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_pairs(planted):
+    cand = minhash_lsh_candidates(
+        planted, num_perm=64, bands=16, shingle_n=1, seed=42
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in cand}
+    planted_pairs = {(2 * i, 2 * i + 1) for i in range(len(BASE_DOCS))}
+    recall = len(found & planted_pairs) / len(planted_pairs)
+    assert recall >= 0.8, f"minhash recall {recall} over planted near-dups; found={found}"
+    assert (0, 10) in found, "exact dup must always collide"
+    # est_jaccard of the exact dup pair is 1.0 by construction
+    exact = [r for r in cand if (r.id_a, r.id_b) == (0, 10)]
+    assert exact and exact[0].est_jaccard == 1.0
+
+
+def test_minhash_no_false_positives_across_unrelated(planted):
+    cand = minhash_lsh_candidates(planted, num_perm=64, bands=8, shingle_n=1)
+    # unrelated base docs (even ids from different bases) shouldn't pair up
+    bad = cand.filter(
+        (F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0) & (F.col("id_b") != 10)
+    ).count()
+    assert bad == 0
+
+
+def test_simhash_hamming_separates(planted):
+    pairs = simhash_neardup_pairs(planted, max_hamming=16).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found.get((0, 10)) == 0, "exact dup ⇒ identical simhash"
+    planted_pairs = {(2 * i, 2 * i + 1) for i in range(len(BASE_DOCS))}
+    hits = sum(1 for p in planted_pairs if p in found)
+    assert hits >= 4, f"simhash should catch most one-word mutations: {found}"
+
+
+def test_word_shingles_shapes(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(
+        word_shingles(F.col("text"), 1).alias("uni"),
+        word_shingles(F.col("text"), 3).alias("tri"),
+    ).head()
+    assert out.uni == ["a", "b", "c", "d"]
+    assert out.tri == ["a b c", "b c d"]
+
+
+def test_minhash_estimate_tracks_exact_jaccard(planted):
+    """The signature agreement is an unbiased Jaccard estimate: for the
+    planted twins (true J ≈ 0.85-0.95 on word sets) the estimate must land
+    in a loose band around truth."""
+    cand = minhash_lsh_candidates(planted, num_perm=64, bands=16, shingle_n=1)
+    ests = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in cand.collect()
+        if (r.id_a, r.id_b) != (0, 10)
+    }
+    for pair, est in ests.items():
+        if pair[1] - pair[0] == 1 and pair[0] % 2 == 0:
+            assert 0.5 <= est <= 1.0, f"{pair}: est {est} out of band"

@@ -1,0 +1,66 @@
+"""ML pipeline checks (M1–M11): metric thresholds and split semantics —
+the non-SQL-expressible surface (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.operators.split import (
+    exact_size_seeded_split,
+    keyed_hash_split,
+)
+from clinical_bi_spark.queries import load_all
+from tests.conftest import SF_ORACLE
+
+
+def test_exact_split_sizes_and_partition(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    train, val, test = exact_size_seeded_split(df, 0.7, 0.005, seed=11, order_key="k")
+    assert (train.count(), val.count(), test.count()) == (700, 5, 295)
+    # a partition: no overlap, full coverage
+    assert train.union(val).union(test).distinct().count() == 1000
+
+
+def test_exact_split_deterministic(spark):
+    df = spark.range(500).withColumnRenamed("id", "k")
+    a = exact_size_seeded_split(df, 0.6, 0.2, seed=5, order_key="k")[0]
+    b = exact_size_seeded_split(df, 0.6, 0.2, seed=5, order_key="k")[0]
+    assert {r.k for r in a.collect()} == {r.k for r in b.collect()}
+
+
+def test_keyed_split_stable_under_repartition(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    one = keyed_hash_split(df, "k").collect()
+    two = keyed_hash_split(df.repartition(13), "k").collect()
+    assert {(r.k, r.split) for r in one} == {(r.k, r.split) for r in two}
+
+
+def test_mlp_beats_majority_baseline(spark):
+    metrics = load_all()["m9_mlp_train_eval"].fn(spark, SF_ORACLE).head()
+    assert metrics.total > 1000
+    assert metrics.correct / metrics.total == pytest.approx(metrics.accuracy, abs=1e-6)
+    # orders are ~50/50 F vs O after the filter; the model must at least
+    # not be degenerate (strictly better than always-one-class by margin 0
+    # is too weak a bar only if classes are skewed — here .5)
+    assert metrics.accuracy >= 0.45
+
+
+def test_feature_importance_normalized(spark):
+    rows = load_all()["m3_feature_importance"].fn(spark, SF_ORACLE).collect()
+    total = sum(r.relative_importance for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-3)
+    assert len(rows) == 5
+
+
+def test_approx_count_distinct_error(spark):
+    exact = {
+        r.o_orderpriority: r.customer_count
+        for r in load_all()["a3_multi_count_distinct"].fn(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r.o_orderpriority: r.customer_count_approx
+        for r in load_all()["a3_approx_count_distinct"].fn(spark, SF_ORACLE).collect()
+    }
+    for key, truth in exact.items():
+        assert abs(approx[key] - truth) / truth < 0.05

@@ -1,0 +1,108 @@
+"""Multimodal plumbing tests: synthetic media bytes (hand-built PNG/GIF/
+JPEG/WAV headers — no imaging libraries involved), metadata extraction,
+fake-decode feature path, stub behavior."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.operators.multimodal import (
+    attach_media_metadata,
+    extract_media_features,
+    parse_dimensions,
+    sample_video_frames,
+    sniff_media_type,
+)
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+        + b"fakepixeldata"
+    )
+
+
+def gif_bytes(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00" * 10
+
+
+def jpeg_bytes(width: int, height: int) -> bytes:
+    # SOI + APP0 segment + SOF0 with dims
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", height, width) + b"\x01\x11\x00"
+    return b"\xff\xd8\xff" + app0[1:] + sof0 + b"\xff\xd9"
+
+
+def wav_bytes() -> bytes:
+    return b"RIFF" + b"\x24\x00\x00\x00" + b"WAVEfmt " + b"\x00" * 24
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, png_bytes(640, 480)),
+        (2, gif_bytes(32, 20)),
+        (3, jpeg_bytes(1920, 1080)),
+        (4, wav_bytes()),
+        (5, b"garbage-not-a-container"),
+        (6, None),
+        (7, png_bytes(640, 480)),  # duplicate content of asset 1
+    ]
+    return spark.createDataFrame(rows, "asset_id long, media binary")
+
+
+def test_header_parsers():
+    assert parse_dimensions(png_bytes(640, 480)) == (640, 480)
+    assert parse_dimensions(gif_bytes(32, 20)) == (32, 20)
+    assert parse_dimensions(jpeg_bytes(1920, 1080)) == (1920, 1080)
+    assert sniff_media_type(wav_bytes()) == "audio/wav"
+    assert sniff_media_type(b"junk") == "application/octet-stream"
+    assert sniff_media_type(None) == "empty"
+
+
+def test_attach_media_metadata(media_df):
+    meta = {r.asset_id: r for r in attach_media_metadata(media_df).collect()}
+    assert meta[1].media_type == "image/png" and (meta[1].width, meta[1].height) == (640, 480)
+    assert meta[2].media_type == "image/gif" and meta[2].width == 32
+    assert meta[3].media_type == "image/jpeg" and meta[3].height == 1080
+    assert meta[4].media_type == "audio/wav" and meta[4].width is None
+    assert meta[5].media_type == "application/octet-stream"
+    assert meta[6].media_type == "empty" and meta[6].byte_size == 0
+    # content fingerprint = media exact-dedup key
+    assert meta[1].content_md5 == meta[7].content_md5
+    assert meta[1].content_md5 != meta[2].content_md5
+
+
+def test_extract_media_features_fake_path(media_df):
+    feats = {r.asset_id: r.feature for r in extract_media_features(media_df, dim=16).collect()}
+    assert len(feats) == 7
+    assert all(len(v) == 16 for v in feats.values())
+    assert feats[1] == feats[7], "same bytes ⇒ same deterministic feature"
+    assert feats[1] != feats[2]
+    # metadata-only query doesn't need the bytes: dedup via fingerprints
+    dups = (
+        attach_media_metadata(media_df)
+        .groupBy("content_md5")
+        .agg(F.count("*").alias("n"), F.min("asset_id").alias("keep"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert len(dups) == 1 and dups[0].keep == 1
+
+
+def test_real_decode_is_stubbed(media_df):
+    with pytest.raises(Exception) as err:
+        extract_media_features(media_df, fake_decode=False).collect()
+    assert "NotImplementedError" in str(err.value) or isinstance(
+        err.value, NotImplementedError
+    )
+
+
+def test_video_sampling_is_stubbed(media_df):
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(media_df)

@@ -1,0 +1,69 @@
+"""Recall checks for the ANN paths against the exact brute-force baseline
+(sim_bruteforce_topk is itself oracle-checked, so it is ground truth)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.operators.similarity import ivf_topk, lsh_bucket_topk
+from clinical_bi_spark.queries import load_all
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def truth(spark):
+    df = load_all()["sim_bruteforce_topk"].fn(spark, SF_ORACLE)
+    return {
+        (r.q_id, r.neighbor_id) for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def _recall(approx_rows, truth):
+    found = {(r.q_id, r.neighbor_id) for r in approx_rows}
+    return len(found & truth) / len(truth)
+
+
+def test_lsh_recall(embeddings, truth):
+    out = lsh_bucket_topk(
+        embeddings, embeddings.filter(F.col("vec_id") < 8),
+        k=5, nbits=8, max_hamming=3,
+    ).collect()
+    r = _recall(out, truth)
+    # near-random vectors are the worst case for sign-LSH; measured 0.65
+    assert r >= 0.55, f"LSH recall {r}"
+
+
+def test_lsh_recall_improves_with_probes(embeddings, truth):
+    narrow = lsh_bucket_topk(
+        embeddings, embeddings.filter(F.col("vec_id") < 8), k=5, nbits=8, max_hamming=1
+    ).collect()
+    wide = lsh_bucket_topk(
+        embeddings, embeddings.filter(F.col("vec_id") < 8), k=5, nbits=8, max_hamming=3
+    ).collect()
+    assert _recall(wide, truth) >= _recall(narrow, truth)
+
+
+def test_ivf_recall(embeddings, truth):
+    out = ivf_topk(
+        embeddings, embeddings.filter(F.col("vec_id") < 8),
+        k=5, n_cells=16, nprobe=8,
+    ).collect()
+    r = _recall(out, truth)
+    assert r >= 0.4, f"IVF recall {r}"
+
+
+def test_identical_vector_is_top1(spark, embeddings):
+    """A query identical to a corpus vector must return it at rank 1 with
+    cosine 1.0 — sanity for both ANN paths."""
+    q = embeddings.filter(F.col("vec_id") == 3)
+    out = lsh_bucket_topk(
+        embeddings.withColumn("vec_id", F.col("vec_id") + 10_000),
+        q, k=1, nbits=8, max_hamming=0,
+    ).collect()
+    assert out and out[0].neighbor_id == 10_003 and out[0].cos_sim == 1.0

@@ -1,0 +1,57 @@
+"""Streaming/batch parity: the streaming forms must agree with their
+oracle-checked batch twins on bounded input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.queries import load_all
+from clinical_bi_spark.streaming.windows import (
+    dedup_with_watermark,
+    session_windows,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_session_window_matches_batch_sessionization(spark):
+    """session_window(gap) and the lag/cumsum form must produce identical
+    (user, start, end, n, value) session sets."""
+    stream = session_windows(spark, SF_ORACLE, gap="30 minutes")
+    batch = load_all()["evt_sessionization"].fn(spark, SF_ORACLE)
+
+    s = {
+        (r.user_id, r.session_start, r.n_events, round(r.total_value, 4))
+        for r in stream.collect()
+    }
+    b = {
+        (r.user_id, r.session_start, r.n_events, round(r.total_value, 4))
+        for r in batch.collect()
+    }
+    assert s == b, (
+        f"stream-only={sorted(s - b)[:3]} batch-only={sorted(b - s)[:3]}"
+    )
+
+
+def test_session_window_end_is_last_event_plus_gap(spark):
+    """Spark's session_window end = last event + gap; the batch form's
+    session_end = last event ts. Pin the documented relationship."""
+    stream = {
+        (r.user_id, r.session_start): r.session_end
+        for r in session_windows(spark, SF_ORACLE, gap="30 minutes").collect()
+    }
+    batch = load_all()["evt_sessionization"].fn(spark, SF_ORACLE)
+    import datetime as dt
+
+    gap = dt.timedelta(minutes=30)
+    for r in batch.collect():
+        assert stream[(r.user_id, r.session_start)] == r.session_end + gap
+
+
+def test_dedup_watermark_keeps_one_per_key(spark):
+    out = dedup_with_watermark(spark, SF_ORACLE, keys=("user_id", "event_type"))
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    n_keys = events.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_keys
+    assert out.groupBy("user_id", "event_type").count().filter(
+        F.col("count") > 1
+    ).count() == 0

@@ -1,0 +1,100 @@
+"""Physical-plan regression tests: the properties that make these queries
+survive a 100× scale-up, asserted so a refactor can't silently lose them
+(SURVEY.md §4: pushdown/pruning/broadcast are the whole optimizer story).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from clinical_bi_spark.queries import load_all
+from tests.conftest import SF_ORACLE
+
+REGISTRY = load_all()
+
+
+def explain(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_conjunction_pushes_every_predicate(spark):
+    plan = explain(spark, "p_filter_conjunction")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for fragment in (
+        "GreaterThan(o_orderdate",
+        "In(o_orderstatus",
+        "IsNotNull(o_totalprice)",
+        "GreaterThan(o_totalprice,1000.0)",
+        "EqualTo(o_orderpriority,1-URGENT)",
+    ):
+        assert fragment in pushed, f"{fragment} not pushed: {pushed}"
+
+
+def _n_scan_fields(schema_line: str) -> int:
+    inner = schema_line.split("struct<", 1)[1].rsplit(">", 1)[0]
+    return len(inner.split(","))
+
+
+def test_filter_conjunction_prunes_columns(spark):
+    plan = explain(spark, "p_filter_conjunction")
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # 5 projected columns only — a scan reading more is a regression
+    assert _n_scan_fields(schema) == 5, schema
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    plan = explain(spark, "flagship_feature_query")
+    assert "SortMergeJoin" not in plan, "dim join fell back to a shuffle join"
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_dashboard_broadcasts_dims(spark):
+    plan = explain(spark, "dashboard_extract")
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_exact_scans_two_columns(spark):
+    plan = explain(spark, "dedup_exact")
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in schema and "text" in schema
+    assert _n_scan_fields(schema) == 2, f"text-only scan regressed: {schema}"
+
+
+def test_text_stats_is_shuffle_free(spark):
+    plan = explain(spark, "text_stats")
+    assert "Exchange" not in plan, "per-document metrics must stay narrow"
+
+
+def test_pricing_summary_does_partial_aggregation(spark):
+    plan = explain(spark, "agg_pricing_summary")
+    # partial (map-side) + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "LessThanOrEqual(l_shipdate" in plan, "date filter must reach the scan"
+
+
+def test_bruteforce_topk_broadcasts_queries(spark):
+    plan = explain(spark, "sim_bruteforce_topk")
+    assert "Broadcast" in plan, "query vectors must broadcast, corpus must stream"
+
+
+def test_sort_limit_uses_take_ordered(spark):
+    plan = explain(spark, "sort_limit_topn")
+    assert "TakeOrderedAndProject" in plan, (
+        "global ORDER BY+LIMIT must not plan a full sort"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["flagship_feature_query", "etl_cohort_conditional_agg", "evt_tumbling_window"],
+)
+def test_adaptive_execution_enabled(spark, name):
+    plan = explain(spark, name)
+    assert "AdaptiveSparkPlan" in plan

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (registration side effect) and return the registry."""
     from clinical_bi_spark.queries import (  # noqa: F401
         events,
+        extended,
         mlops,
         multimodalops,
         relational,

@@ -1,0 +1,163 @@
+"""Extended relational surface: as-of join, rollup/grouping sets, pivot,
+MERGE-style upsert emulation, salted aggregation — §2.5's 'reserved for
+extensions' plus the common OLAP patterns a reference user would reach for
+next. All oracle-checked (DuckDB speaks ASOF JOIN and ROLLUP natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.operators.asof import asof_join
+from clinical_bi_spark.queries import query
+from clinical_bi_spark.session import tune
+from clinical_bi_spark.sources import load_tables
+
+# ---------------------------------------------------------------------------
+# As-of join: for each error event, the most recent click by the same user.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), errors AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id AS event_id,
+       e.user_id  AS user_id,
+       e.ts       AS ts,
+       c.value    AS value_asof
+FROM errors e
+ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+@query("asof_join_events", oracle=_ASOF_ORACLE)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union+window (operators/asof.py) — one shuffle on the
+    key, linear partition-local pass; pinned against DuckDB's native
+    ASOF LEFT JOIN. Right side pre-aggregated per (user, ts) so inclusive
+    ties are deterministic in both engines."""
+    t = load_tables(tune(spark), sf_dir)
+    clicks = (
+        t.events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    errors = t.events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(errors, clicks, key="user_id", ts="ts", value_cols=["value"])
+    return out.select("event_id", "user_id", "ts", "value_asof")
+
+
+# ---------------------------------------------------------------------------
+# Rollup (GROUPING SETS family).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag                   AS l_returnflag,
+       l_linestatus                   AS l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) + 2 * CAST(GROUPING(l_linestatus) AS INT)
+         AS grouping_level,
+       COUNT(*)                       AS n,
+       ROUND(SUM(l_quantity), 4)      AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (§2.5 extension): grand total + per-flag + per
+    (flag, status), with grouping indicators to disambiguate NULL keys."""
+    t = load_tables(tune(spark), sf_dir)
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            (
+                F.grouping("l_returnflag").cast("int")
+                + 2 * F.grouping("l_linestatus").cast("int")
+            ).alias("grouping_level"),
+        )
+        .select("l_returnflag", "l_linestatus", "grouping_level", "n", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot.
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT l_linestatus AS l_linestatus,
+       ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 4) AS A,
+       ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 4) AS N,
+       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS R
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@query("agg_pivot", oracle=_PIVOT_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot wide (§2.5 extension). Explicit value list — at scale an
+    unconstrained pivot forces an extra distinct pass to discover values."""
+    t = load_tables(tune(spark), sf_dir)
+    out = (
+        t.lineitem.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MERGE-style upsert emulation (no Delta in this runtime): anti-join + union.
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+SELECT c_custkey                    AS c_custkey,
+       CASE WHEN c_acctbal > 5000 THEN 'VIP' ELSE c_mktsegment END AS c_mktsegment,
+       c_acctbal                    AS c_acctbal
+FROM customer
+"""
+
+
+@query("merge_upsert_emulation", oracle=_MERGE_ORACLE)
+def merge_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (guide: 'CDC/SCD2 — emulate with anti-join +
+    union'): updates replace matched rows, unmatched base rows pass
+    through. With a table format (Delta/Iceberg) this becomes MERGE — the
+    pattern here is the format-free equivalent."""
+    t = load_tables(tune(spark), sf_dir)
+    base = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    updates = base.filter(F.col("c_acctbal") > 5000).withColumn(
+        "c_mktsegment", F.lit("VIP")
+    )
+    untouched = base.join(updates.select("c_custkey"), "c_custkey", "left_anti")
+    return untouched.unionByName(updates)
+
+
+# ---------------------------------------------------------------------------
+# Salted (two-phase) aggregation for skewed keys.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT event_type AS event_type, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@query("agg_salted_count", oracle=_SALTED_ORACLE)
+def agg_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count (operators/skew.py): identical result to the
+    direct groupBy — the oracle proves the salt+merge is transparent —
+    while bounding any single reducer's share of a hot key at 1/n_salts."""
+    from clinical_bi_spark.operators.skew import two_phase_count
+
+    t = load_tables(tune(spark), sf_dir)
+    return two_phase_count(t.events, "event_type", n_salts=8)

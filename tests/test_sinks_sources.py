@@ -1,0 +1,119 @@
+"""Source/sink surface (SURVEY.md §2.1 S1–S12): delimited/CSV/parquet
+round-trips, ini config, DDL via saveAsTable, bucketed-join co-location,
+and the spark.sql view path."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.sinks import (
+    save_as_table,
+    write_csv,
+    write_delimited,
+    write_parquet,
+)
+from clinical_bi_spark.sources import load_tables, read_ini_options
+from tests.conftest import SF_ORACLE
+
+
+def test_delimited_roundtrip_with_cleanse(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 'say "hi"', "a | b"), (2, None, "plain")],
+        "id int, quoted string, piped string",
+    )
+    out = str(tmp_path / "dump")
+    write_delimited(df, out)
+    lines = sorted(
+        line for f in glob.glob(f"{out}/part-*.csv") for line in open(f).read().splitlines()
+    )
+    assert lines == ["1|say 'hi'|a - b", "2||plain"]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = load_tables(spark, SF_ORACLE).region
+    out = str(tmp_path / "region_csv")
+    write_csv(src, out)
+    back = spark.read.option("header", True).csv(out, inferSchema=True)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+
+
+def test_parquet_partitioned_write_prunes(spark, tmp_path):
+    import contextlib
+    import io
+
+    src = load_tables(spark, SF_ORACLE).orders
+    out = str(tmp_path / "orders_parted")
+    write_parquet(src, out, partition_by=["o_orderstatus"])
+    assert os.path.isdir(f"{out}/o_orderstatus=F")
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    assert back.count() == src.filter(F.col("o_orderstatus") == "F").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    # the filter must land as a partition filter (directory pruning),
+    # not a data filter evaluated per row
+    assert "PartitionFilters" in plan
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "o_orderstatus" in pf_line
+
+
+def test_ini_config_source(tmp_path):
+    ini = tmp_path / "aact.properties"
+    ini.write_text("[aact.database]\nhost=localhost\nport=30432\ndbname=aact\n")
+    opts = read_ini_options(str(ini), "aact.database")
+    assert opts == {"host": "localhost", "port": "30432", "dbname": "aact"}
+
+
+def test_save_as_table_and_sql_path(spark):
+    src = load_tables(spark, SF_ORACLE).nation
+    save_as_table(src, "nation_tbl")
+    try:
+        out = spark.sql("SELECT COUNT(*) AS n FROM nation_tbl").head()
+        assert out.n == src.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_tbl")
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """S12 parity: bucketBy on the hub key replaces the reference's b-tree
+    indexes — two tables bucketed on the same key join with NO Exchange."""
+    t = load_tables(spark, SF_ORACLE)
+    save_as_table(t.orders, "orders_b", bucket_by=(8, "o_orderkey"))
+    save_as_table(
+        t.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        bucket_by=(8, "o_orderkey"),
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, "bucketed join must not shuffle"
+            assert joined.count() == t.lineitem.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_register_views_sql_path(spark):
+    tables = load_tables(spark, SF_ORACLE)
+    tables.register_views()
+    out = spark.sql(
+        "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name"
+    ).collect()
+    assert len(out) == 5

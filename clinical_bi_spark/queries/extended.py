@@ -161,3 +161,79 @@ def agg_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(tune(spark), sf_dir)
     return two_phase_count(t.events, "event_type", n_salts=8)
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (sort-based aggregate) + approx variant.
+# ---------------------------------------------------------------------------
+
+_PERCENTILE_ORACLE = """
+SELECT l_returnflag AS l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles", oracle=_PERCENTILE_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont). The 100 TB flag-switch is percentile_approx
+    (t-digest sketch, mergeable partials) — registered rows-only below."""
+    t = load_tables(tune(spark), sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("agg_percentiles_approx", oracle=None)
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles for the 100 TB path (single pass, mergeable;
+    no global sort). Rows-only: approximation has no exact oracle."""
+    t = load_tables(tune(spark), sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag/lead/first/last window battery.
+# ---------------------------------------------------------------------------
+
+_LAG_LEAD_ORACLE = """
+SELECT o_custkey AS o_custkey,
+       o_orderkey AS o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER w AS first_price,
+       ROUND(o_totalprice - COALESCE(lag(o_totalprice) OVER w, o_totalprice), 4)
+         AS price_delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("w3_lag_lead_first", oracle=_LAG_LEAD_ORACLE)
+def w3_lag_lead_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset/first-value window battery (§2.5 extension): per-customer
+    order sequence deltas — one shuffle on the partition key."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(tune(spark), sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice")), 4
+        ).alias("price_delta"),
+    )

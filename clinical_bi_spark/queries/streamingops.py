@@ -43,3 +43,14 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates with watermark-bounded state — rows-only;
     tests assert one surviving row per key."""
     return dedup_with_watermark(tune(spark), sf_dir)
+
+
+@query("stream_stateful_user_stats", oracle=None)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    counters with alert tally — arbitrary state-transition logic the
+    built-in window aggs can't express. Rows-only; tests pin equivalence
+    to the batch groupBy on bounded input."""
+    from clinical_bi_spark.streaming.stateful import user_running_stats
+
+    return user_running_stats(tune(spark), sf_dir)

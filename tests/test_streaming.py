@@ -55,3 +55,26 @@ def test_dedup_watermark_keeps_one_per_key(spark):
     assert out.groupBy("user_id", "event_type").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_stateful_operator_matches_batch_on_bounded_input(spark):
+    from clinical_bi_spark.streaming.stateful import ALERT_THRESHOLD, user_running_stats
+
+    out = user_running_stats(spark, SF_ORACLE)
+    # 'update' mode may emit one snapshot per micro-batch; final per user wins
+    final = {
+        r.user_id: (r.n_events, r.total_value, r.n_alerts)
+        for r in out.orderBy("n_events").collect()
+    }
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    batch = {
+        r.user_id: (r.n, round(r.tv, 4), r.na)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("tv"),
+            F.sum((F.col("value") > ALERT_THRESHOLD).cast("long")).alias("na"),
+        )
+        .collect()
+    }
+    assert final == batch

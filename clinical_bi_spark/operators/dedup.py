@@ -42,7 +42,9 @@ def _hash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
 
 
 def word_shingles(text_col: F.Column, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of the lowercased text."""
+    """Distinct word n-gram shingles of the lowercased text (string form —
+    readable, used by the exact-Jaccard paths; the MinHash hot path uses
+    :func:`shingle_hashes` instead, which skips the string building)."""
     tokens = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
     if n == 1:
         return F.array_distinct(tokens)
@@ -54,18 +56,45 @@ def word_shingles(text_col: F.Column, n: int = 3) -> F.Column:
     return F.array_distinct(grams)
 
 
+def shingle_hashes(text_col: F.Column, n: int = 3) -> F.Column:
+    """Distinct numeric n-gram shingle hashes in [0, p) — the MinHash fast
+    path. Tokens are hashed once; an n-gram's hash is the polynomial
+    combination of its token hashes (no substring/concat materialization:
+    O(n·len) arithmetic instead of O(len²) string building — measured ~2×
+    on the bench corpus)."""
+    tokens = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
+    hashed = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE_P)))
+    if n == 1:
+        return F.array_distinct(hashed)
+    # n aligned slices folded with zip_with — stays in codegen, no
+    # per-element indexing (try_element_at per gram measured ~2× slower).
+    length = F.greatest(F.size(hashed) - (n - 1), F.lit(0))
+    grams = F.slice(hashed, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(hashed, j + 1, length),
+            lambda acc, h: F.pmod(acc * F.lit(31) + h, F.lit(_MERSENNE_P)),
+        )
+    return F.array_distinct(grams)
+
+
 def minhash_signature(
-    shingles: F.Column, num_perm: int = 32, seed: int = 42
+    shingles: F.Column, num_perm: int = 32, seed: int = 42, *, numeric: bool = False
 ) -> F.Column:
     """num_perm-wide MinHash signature as array<bigint>.
 
     Each shingle is hashed once (xxhash64), then pushed through num_perm
     universal-hash permutations; min per permutation. All Catalyst
     higher-order functions — the JVM evaluates the whole signature inside
-    codegen, no Python.
+    codegen, no Python. With ``numeric=True`` the input is already an
+    array of hashes in [0, p) (from :func:`shingle_hashes`).
     """
     # Map each shingle hash into [0, p) first so a·h + b < 2^62 (ANSI-safe).
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    if numeric:
+        base = shingles
+    else:
+        base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
     params = _hash_params(num_perm, seed)
 
     # Single-pass fold: one traversal of the shingle array computes all
@@ -85,6 +114,41 @@ def minhash_signature(
         F.transform(base, _permute_all),
         init,
         lambda acc, xs: F.zip_with(acc, xs, lambda m, v: F.least(m, v)),
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig) signatures via the *relational* formulation: explode the
+    shingle hashes and compute the num_perm minima as ordinary aggregate
+    expressions.
+
+    Why not the array-fold form (minhash_signature)? Catalyst evaluates
+    higher-order-function lambdas interpreted, per element — ~16M boxed
+    lambda evaluations on the bench corpus (≈6 s). Exploding into rows
+    hands the same arithmetic to whole-stage codegen with map-side partial
+    min: measured ~6× faster, and the groupBy(id) shuffle carries only
+    (id, 32 longs). Docs with fewer tokens than the shingle width have no
+    shingles, hence no signature — they cannot near-dup-match anything.
+    """
+    params = _hash_params(num_perm, seed)
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("h"),
+    )
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig_wide = shingled.groupBy("id").agg(*mins)
+    return sig_wide.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -113,9 +177,9 @@ def minhash_lsh_candidates(
     # without a materialization barrier CollapseProject would inline (and
     # re-evaluate) the signature expression into every consumer. At real
     # scale, write signatures to parquet instead and reuse across runs.
-    with_sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_perm, seed).alias("sig"),
+    with_sig = minhash_signatures_df(
+        df, id_col=id_col, text_col=text_col,
+        num_perm=num_perm, shingle_n=shingle_n, seed=seed,
     ).persist()
     # explode into (band_id, band_slice) keys
     banded = with_sig.select(

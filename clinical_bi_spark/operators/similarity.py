@@ -23,10 +23,14 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from clinical_bi_spark.functions.vectors import cosine_similarity
+from clinical_bi_spark.functions.vectors import cosine_pandas
 
 
 def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
@@ -48,7 +52,10 @@ def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
 
 
 def signature_col(emb: F.Column, planes: list[list[float]]) -> F.Column:
-    """Sign-LSH signature as a bigint bucket id (nbits ≤ 63)."""
+    """Sign-LSH signature as a bigint bucket id (nbits ≤ 63) — pure
+    Catalyst form (HOF-interpreted; kept as the dependency-free reference
+    implementation; the operators below use the Arrow-vectorized
+    :func:`signature_pandas`)."""
     arr = emb.cast("array<double>")
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
@@ -64,6 +71,23 @@ def signature_col(emb: F.Column, planes: list[list[float]]) -> F.Column:
             )
         )
     return sig
+
+
+def signature_pandas(emb: F.Column, planes: list[list[float]]) -> F.Column:
+    """Arrow-vectorized sign-LSH signature: one numpy matmul per batch
+    (batch × dim) @ (dim × nbits) → sign bits packed into a long.
+    Identical output to signature_col (same planes, same >= 0 rule)."""
+    plane_matrix = [list(p) for p in planes]
+
+    @pandas_udf("long")
+    def _sig(x: pd.Series) -> pd.Series:
+        planes_np = np.asarray(plane_matrix, dtype=np.float64)  # nbits × dim
+        xm = np.vstack(x.values).astype(np.float64)  # batch × dim
+        bits = (xm @ planes_np.T) >= 0.0  # batch × nbits
+        weights = (1 << np.arange(bits.shape[1])).astype(np.int64)
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return _sig(emb)
 
 
 def lsh_bucket_topk(
@@ -89,19 +113,19 @@ def lsh_bucket_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
-        signature_col(F.col(emb_col), planes).alias("c_sig"),
+        signature_pandas(F.col(emb_col), planes).alias("c_sig"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(emb_col).alias("q_emb"),
-        signature_col(F.col(emb_col), planes).alias("q_sig"),
+        signature_pandas(F.col(emb_col), planes).alias("q_sig"),
     )
     cand = c.join(
         F.broadcast(q),
         (F.bit_count(F.col("c_sig").bitwiseXOR(F.col("q_sig"))) <= max_hamming)
         & (F.col("neighbor_id") != F.col("q_id")),
     )
-    cos = F.round(cosine_similarity(F.col("c_emb"), F.col("q_emb")), 6)
+    cos = F.round(cosine_pandas(F.col("c_emb"), F.col("q_emb")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         cand.select("q_id", "neighbor_id", cos.alias("cos_sim"))
@@ -130,7 +154,7 @@ def ivf_topk(
             F.col(id_col).alias("cell_id"), F.col(emb_col).alias("cell_emb")
         )
     )
-    cos_cell = cosine_similarity(F.col(emb_col), F.col("cell_emb"))
+    cos_cell = cosine_pandas(F.col(emb_col), F.col("cell_emb"))
 
     # assign each corpus row to its best cell (broadcast centroids, rank 1)
     assigned = (
@@ -167,7 +191,7 @@ def ivf_topk(
     cand = assigned.join(probes, "cell_id").filter(
         F.col("neighbor_id") != F.col("q_id")
     )
-    cos = F.round(cosine_similarity(F.col("c_emb"), F.col("q_emb")), 6)
+    cos = F.round(cosine_pandas(F.col("c_emb"), F.col("q_emb")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         cand.select("q_id", "neighbor_id", cos.alias("cos_sim"))

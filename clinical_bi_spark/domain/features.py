@@ -33,8 +33,16 @@ SQL_COLUMN_NAMES = (
 STATUS = ("Completed", "Terminated")
 
 
-def flagship_features(t) -> DataFrame:
+def flagship_features(t, hash_long_text_keys: bool = False) -> DataFrame:
     """The flagship feature query (ct_data.py:72-91), literally.
+
+    ``hash_long_text_keys=True`` is the 100 TB switch (SURVEY.md §7.4.7):
+    the wide GROUP BY includes multi-KB text columns (brief_title,
+    criteria, description) — at scale those keys dominate shuffle volume.
+    The flag groups on md5(text) instead and recovers the value with
+    first() (identical result for identical groups; md5 collisions are
+    negligible at any realistic cardinality). Default stays raw for exact
+    reference parity.
 
     Implicit 9-way inner join on nct_id — including the intentional
     sponsors self-join (sp filtered to 'lead' supplies agency_class; sp2
@@ -75,6 +83,48 @@ def flagship_features(t) -> DataFrame:
             & (F.col("sp.lead_or_collaborator") == "lead")
         )
     )
+    if hash_long_text_keys:
+        group_cols = [
+            *[F.col(f"s.{c}") for c in SQL_COLUMN_NAMES],
+            F.col("sp.agency_class").alias("sponsor_type"),
+            F.col("cv.number_of_facilities"),
+            F.col("cv.average_condition_completion_ratio"),
+            F.col("e.gender"),
+            F.col("cv.has_us_facility"),
+            F.md5(F.col("s.brief_title")).alias("__h_title"),
+            F.col("s.number_of_arms"),
+            F.md5(F.col("e.criteria")).alias("__h_criteria"),
+            F.col("d.allocation"),
+            F.col("d.intervention_model"),
+            F.col("d.primary_purpose"),
+            F.md5(F.col("bs.description")).alias("__h_description"),
+        ]
+        grouped = joined.groupBy(*group_cols).agg(
+            F.count("dgi.id").alias("design_group_intervention_count"),
+            F.countDistinct("i.intervention_type").alias("intervention_type_count"),
+            F.countDistinct("sp2.name").alias("sponsor_count"),
+            # md5-keyed groups are constant in the hashed column: recover it
+            F.first("s.brief_title").alias("brief_title"),
+            F.first("bs.description").alias("description_v"),
+        )
+        return grouped.select(
+            *SQL_COLUMN_NAMES,
+            "sponsor_type",
+            "number_of_facilities",
+            "gender",
+            "has_us_facility",
+            "average_condition_completion_ratio",
+            stage_from_title(F.col("brief_title")).alias("condition_stage"),
+            null_to_zero(F.col("number_of_arms")).cast("int").alias("number_of_arms_clean"),
+            "allocation",
+            "intervention_model",
+            "primary_purpose",
+            F.lit(0).alias("drug_recency"),
+            F.col("description_v").alias("description"),
+            "design_group_intervention_count",
+            "intervention_type_count",
+            "sponsor_count",
+        )
     return (
         joined.groupBy(
             *[F.col(f"s.{c}") for c in SQL_COLUMN_NAMES],

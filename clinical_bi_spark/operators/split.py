@@ -52,6 +52,22 @@ def exact_size_seeded_split(
     return train, validate, test
 
 
+#: Fibonacci-hash constants: golden-ratio multiplier mixes *sequential*
+#: keys uniformly (an affine k·a+b with small stride mod the modulus
+#: stripes — hypothesis found the first ~87 sequential keys all landing in
+#: one split). The pre-mod keeps k·MULT < 2^62 (ANSI-safe int64).
+_SPLIT_PRE_MOD = 999_983  # prime
+_SPLIT_MULT = 2_654_435_761  # ⌊2^32/φ⌋
+_SPLIT_RANGE = 1 << 32
+
+
+def split_bucket(key: F.Column, modulus: int = 10_000) -> F.Column:
+    """Deterministic bucket in [0, modulus) — same arithmetic is valid
+    ANSI SQL for the oracle (see m1_keyed_split)."""
+    mixed = F.pmod(F.pmod(key, F.lit(_SPLIT_PRE_MOD)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_RANGE))
+    return F.pmod(mixed, F.lit(modulus))
+
+
 def keyed_hash_split(
     df: DataFrame,
     key: str,
@@ -59,11 +75,11 @@ def keyed_hash_split(
     validate_frac: float = 0.005,
     modulus: int = 10_000,
 ) -> DataFrame:
-    """Deterministic keyed split: label each row train/validate/test from an
-    arithmetic hash of its key. Engine-independent (same SQL runs in
+    """Deterministic keyed split: label each row train/validate/test from a
+    Fibonacci hash of its key. Engine-independent (same SQL runs in
     DuckDB), shuffle-free, and stable under repartitioning — the property
     the reference's global permutation cannot give at scale."""
-    bucket = (F.col(key) * 9973 + 12345) % modulus
+    bucket = split_bucket(F.col(key), modulus)
     t_cut = int(train_frac * modulus)
     v_cut = t_cut + int(validate_frac * modulus)
     return df.withColumn(

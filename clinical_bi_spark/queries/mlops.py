@@ -175,3 +175,16 @@ def m3_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = sum(r2.values()) or 1.0
     rows = [(c, round(v / total, 6)) for c, v in sorted(r2.items())]
     return spark.createDataFrame(rows, "feature string, relative_importance double")
+
+
+@query("m8_vocab_embedding", oracle=None)
+def m8_vocab_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: vocabulary-file categorical embedding (ct_estimator.py:106-114,
+    disabled in the reference) — StringIndexer vocabulary + broadcast
+    embedding-lookup join. Rows-only; tests pin determinism and OOV
+    behavior."""
+    from clinical_bi_spark.ml import vocabulary_embedding
+
+    t = load_tables(tune(spark), sf_dir)
+    out = vocabulary_embedding(t.documents.select("doc_id", "source"), "source", dim=10)
+    return out.select("doc_id", "source", "source_idx", "source_embedding")

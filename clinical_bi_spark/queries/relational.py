@@ -824,8 +824,10 @@ def f10_sed_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_ORACLE = """
 SELECT
   o_orderkey,
-  CASE WHEN (o_orderkey * 9973 + 12345) % 10000 < 7000 THEN 'train'
-       WHEN (o_orderkey * 9973 + 12345) % 10000 < 7050 THEN 'validate'
+  CASE WHEN ((o_orderkey % 999983) * 2654435761) % 4294967296 % 10000 < 7000
+         THEN 'train'
+       WHEN ((o_orderkey % 999983) * 2654435761) % 4294967296 % 10000 < 7050
+         THEN 'validate'
        ELSE 'test' END AS split
 FROM orders
 """
@@ -834,18 +836,14 @@ FROM orders
 @query("m1_keyed_split", oracle=_SPLIT_ORACLE)
 def m1_keyed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: the reference's 0.7/0.005/~0.295 train/validate/test split
-    (ct_data.py:43-53,152) as a deterministic keyed hash — reproducible
-    across engines and shardable with no shuffle (unlike the reference's
-    global permutation). Exact-size seeded variant: operators/split.py."""
+    (ct_data.py:43-53,152) as a deterministic keyed Fibonacci hash —
+    reproducible across engines and shardable with no shuffle (unlike the
+    reference's global permutation). Exact-size seeded variant:
+    operators/split.py."""
+    from clinical_bi_spark.operators.split import keyed_hash_split
+
     t = load_tables(tune(spark), sf_dir)
-    bucket = (F.col("o_orderkey") * 9973 + 12345) % 10000
-    return t.orders.select(
-        "o_orderkey",
-        F.when(bucket < 7000, "train")
-        .when(bucket < 7050, "validate")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return keyed_hash_split(t.orders, "o_orderkey").select("o_orderkey", "split")
 
 
 # ---------------------------------------------------------------------------

@@ -335,3 +335,17 @@ def test_dashboard_delimited_sink(aact, tmp_path):
     tf = {v for line in lines for v in (line.split("|")[12], line.split("|")[13])}
     assert tf <= {"t", "f", ""}
     assert not any('"' in line for line in lines), "cleanse must strip quotes"
+
+
+def test_flagship_hash_text_keys_equivalent(aact):
+    """The 100 TB hash-grouped-text-keys switch must be result-identical
+    to the raw-key form (md5 groups ≡ value groups)."""
+    t = AACTTables(spark=aact.spark, base_path=aact.base_path)
+    run_etl(t)
+    raw = flagship_features(t)
+    hashed = flagship_features(t, hash_long_text_keys=True)
+    cols = sorted(raw.columns)
+    assert cols == sorted(hashed.columns)
+    a = sorted(map(str, raw.select(*cols).collect()))
+    b = sorted(map(str, hashed.select(*cols).collect()))
+    assert a == b

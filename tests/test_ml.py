@@ -64,3 +64,24 @@ def test_approx_count_distinct_error(spark):
     }
     for key, truth in exact.items():
         assert abs(approx[key] - truth) / truth < 0.05
+
+
+def test_vocabulary_embedding_deterministic_and_oov(spark):
+    from clinical_bi_spark.ml import vocabulary_embedding
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id int, tok string"
+    )
+    out = {r.id: (r.tok_idx, r.tok_embedding) for r in vocabulary_embedding(df, "tok", dim=4).collect()}
+    assert out[1][1] == out[3][1], "same token ⇒ same vector"
+    assert out[1][1] != out[2][1]
+    assert all(len(v[1]) == 4 for v in out.values())
+    # OOV: apply a model trained on a smaller vocab via transform path
+    from pyspark.ml.feature import StringIndexer
+
+    model = StringIndexer(inputCol="tok", outputCol="tok_idx", handleInvalid="keep").fit(
+        df.filter(F.col("tok") == "a")
+    )
+    indexed = model.transform(df)
+    oov_idx = indexed.filter(F.col("tok") == "b").head().tok_idx
+    assert oov_idx == len(model.labels), "OOV lands in the keep bucket"

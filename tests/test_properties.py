@@ -1,0 +1,116 @@
+"""Property-based checks (hypothesis) for the semantics flagged risky in
+SURVEY.md §7.4: last-writer-wins encoder compilation, the sed cleanse, and
+the keyed split. Each property drives one Spark job over a generated batch
+and compares against an independent Python emulation of the reference."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.functions.exprs import cleanse_text, encode_last_writer_wins
+from clinical_bi_spark.operators.split import keyed_hash_split
+
+ALLOC = st.sampled_from(["Randomized", "Non-Randomized", "N/A", None])
+DESC = st.sampled_from(
+    [
+        "a randomized trial",
+        "a non-randomized study",
+        "randomized then non-randomized",
+        "observational",
+        "",
+    ]
+)
+ARMS = st.sampled_from([0, 1, 2, 3])
+
+_slow_ok = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _pandas_allocation(df: pd.DataFrame) -> pd.Series:
+    """Independent emulation of ct_data.py:127-131 (.loc overwrite order)."""
+    out = pd.Series(0, index=df.index)
+    out[df.allocation == "Randomized"] = 1
+    out[df.description.str.contains("randomized", regex=False)] = 1
+    out[df.allocation == "Non-Randomized"] = 2
+    out[df.description.str.contains("non-randomized", regex=False)] = 2
+    out[df.arms == 1] = 2
+    return out
+
+
+@_slow_ok
+@given(st.lists(st.tuples(ALLOC, DESC, ARMS), min_size=1, max_size=60))
+def test_encoder_matches_pandas_loc_semantics(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["allocation", "description", "arms"])
+    expected = _pandas_allocation(pdf).tolist()
+    sdf = spark.createDataFrame(
+        [(i, a, d, n) for i, (a, d, n) in enumerate(rows)],
+        "idx int, allocation string, description string, arms int",
+    )
+    rules = [
+        (F.col("allocation") == "Randomized", 1),
+        (F.col("description").contains("randomized"), 1),
+        (F.col("allocation") == "Non-Randomized", 2),
+        (F.col("description").contains("non-randomized"), 2),
+        (F.col("arms") == 1, 2),
+    ]
+    got = [
+        r.code
+        for r in sdf.select(
+            "idx", encode_last_writer_wins(rules, 0).cast("int").alias("code")
+        )
+        .orderBy("idx")
+        .collect()
+    ]
+    assert got == expected
+
+
+TEXT = st.text(
+    alphabet=st.sampled_from(list('abc |"xyz-_.')), min_size=0, max_size=40
+)
+
+
+def _sed_cleanse(s: str) -> str:
+    """Independent emulation of db2wh-etl.sh:158-159 (global sed passes)."""
+    s = s.replace('"', "'")
+    return re.sub(r" \| ", " - ", s)
+
+
+@_slow_ok
+@given(st.lists(TEXT, min_size=1, max_size=60))
+def test_cleanse_matches_sed(spark, texts):
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "idx int, t string"
+    )
+    got = [
+        r.c
+        for r in sdf.select("idx", cleanse_text(F.col("t")).alias("c"))
+        .orderBy("idx")
+        .collect()
+    ]
+    assert got == [_sed_cleanse(t) for t in texts]
+
+
+@pytest.mark.parametrize("n", [100, 1777])
+def test_keyed_split_fraction_bounds(spark, n):
+    df = spark.range(n).withColumnRenamed("id", "k")
+    counts = {
+        r.split: r.n
+        for r in keyed_hash_split(df, "k")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    assert total == n
+    # keyed hash approximates the fractions; loose bounds, no flakiness
+    assert 0.6 <= counts.get("train", 0) / total <= 0.8
+    assert counts.get("validate", 0) / total <= 0.02

@@ -237,3 +237,82 @@ def w3_lag_lead_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice")), 4
         ).alias("price_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS / CUBE via the spark.sql path (SQL API surface, F11 parity
+# with the reference's assembled-SQL entry style).
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus AS o_orderstatus,
+       o_orderpriority AS o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 4) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through spark.sql() — the engine's SQL text
+    entry point (the reference assembles SQL strings, ct_data.py:72-91;
+    F11), exercised on a grouping-sets aggregate."""
+    t = load_tables(tune(spark), sf_dir)
+    t.orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 4) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus AS o_orderstatus,
+       c_mktsegment AS c_mktsegment,
+       COUNT(*) AS n
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY CUBE (o_orderstatus, c_mktsegment)
+"""
+
+
+@query("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over a join (all 2^2 grouping combinations)."""
+    t = load_tables(tune(spark), sf_dir)
+    return (
+        t.orders.join(
+            F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey")
+        )
+        .cube("o_orderstatus", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderkey AS o_orderkey, metric AS metric, value AS value
+FROM (
+  SELECT o_orderkey, 'totalprice' AS metric, ROUND(o_totalprice, 4) AS value
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'shippriority', CAST(o_custkey AS DOUBLE) FROM orders
+) t
+"""
+
+
+@query("unpivot_long", oracle=_UNPIVOT_ORACLE)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide→long via stack() (§2.5 extension; the inverse of
+    agg_pivot)."""
+    t = load_tables(tune(spark), sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', round(o_totalprice, 4),"
+            " 'shippriority', cast(o_custkey as double)) AS (metric, value)"
+        ),
+    ).select("o_orderkey", "metric", "value")

@@ -20,8 +20,6 @@ semantics. Accuracy is pytest-verified as recall against brute force
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 import numpy as np
 import pandas as pd

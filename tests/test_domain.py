@@ -349,3 +349,24 @@ def test_flagship_hash_text_keys_equivalent(aact):
     a = sorted(map(str, raw.select(*cols).collect()))
     b = sorted(map(str, hashed.select(*cols).collect()))
     assert a == b
+
+
+def test_derived_table_primary_keys_unique(aact):
+    """SURVEY.md §4: the reference's PRIMARY KEY declarations
+    (init-user-db.sh:39,211,243) become data-quality assertions here —
+    Spark enforces no constraints, so uniqueness is part of the contract
+    tests."""
+    from pyspark.sql import functions as F
+
+    derived = run_etl(AACTTables(spark=aact.spark, base_path=aact.base_path))
+    checks = {
+        "conditions_calculated_values": ["downcase_name"],
+        "interventions_calculated_values": ["intervention_name"],
+        "interventions_conditions": ["intervention_name", "condition_name"],
+        "calculated_values": ["nct_id"],
+    }
+    for table, keys in checks.items():
+        dupes = (
+            derived[table].groupBy(*keys).count().filter(F.col("count") > 1).count()
+        )
+        assert dupes == 0, f"{table}: duplicate keys on {keys}"

@@ -188,3 +188,42 @@ def evt_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "ts", "event_id")
     )
+
+
+_ZSCORE_ORACLE = """
+SELECT event_id,
+       user_id,
+       ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+             / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY user_id), 0), 4)
+         AS zscore
+FROM events
+"""
+
+
+@query("evt_group_zscore", oracle=_ZSCORE_ORACLE)
+def evt_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (per-group pandas DataFrame in/out — the
+    remaining Pandas-UDF shape after mapInPandas and
+    applyInPandasWithState): per-user z-score normalization. The same
+    semantics are expressible with window functions, which is exactly what
+    makes this oracle-checkable — the UDF must agree with the relational
+    form."""
+    import pandas as pd
+
+    t = load_tables(tune(spark), sf_dir)
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        if std and std > 0:
+            z = ((pdf["value"] - pdf["value"].mean()) / std).round(4)
+        else:
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
+        )
+
+    return (
+        t.events.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(normalize, schema="event_id long, user_id long, zscore double")
+    )

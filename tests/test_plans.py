@@ -98,3 +98,48 @@ def test_sort_limit_uses_take_ordered(spark):
 def test_adaptive_execution_enabled(spark, name):
     plan = explain(spark, name)
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: joining a status-partitioned fact against a filtered dim must
+    prune fact partitions at runtime (dynamicpruning in the scan) — the
+    mechanism that makes dim-filtered scans cheap on a partitioned
+    100 TB fact table."""
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.sinks import write_parquet
+    from clinical_bi_spark.sources import load_tables
+
+    out = str(tmp_path / "orders_by_status")
+    write_parquet(load_tables(spark, SF_ORACLE).orders, out, partition_by=["o_orderstatus"])
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")], "st string, label string"
+    ).filter(F.col("label") == "finished")
+    joined = fact.join(dim, fact.o_orderstatus == dim.st).select("o_orderkey", "label")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue().lower()
+    assert "dynamicpruning" in plan, "partition-keyed join lost DPP"
+    assert joined.count() == fact.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_observe_metrics(spark):
+    """df.observe(): data-quality counters computed inside the same pass as
+    the query (no second scan) — the S13/quality-contract hook."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.sources import load_tables
+
+    obs = Observation("quality")
+    t = load_tables(spark, SF_ORACLE)
+    df = t.orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("null_price"),
+    )
+    n = df.count()
+    assert obs.get["rows"] == n and obs.get["null_price"] == 0

@@ -275,11 +275,11 @@ def simhash_neardup_pairs(
     production-scale variant blocks on SimHash prefix bytes instead —
     see tests for the pattern.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-        simhash64(F.col(text_col)).alias("sh"),
-    )
+    sh = simhash64_df(df, id_col=id_col, text_col=text_col)
+    if block_col:
+        sh = sh.join(
+            df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
+        )
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
@@ -294,3 +294,31 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash64_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh) SimHash via the relational formulation (same lesson as
+    minhash_signatures_df: HOF lambdas are interpreted — explode tokens and
+    let codegen'd conditional sums compute the 64 bit votes)."""
+    tokens = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    )
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = toks.groupBy("id").agg(*votes)
+    sh = F.lit(0).cast("long")
+    for i in range(64):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return voted.select("id", sh.alias("sh"))

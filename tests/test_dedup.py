@@ -92,3 +92,16 @@ def test_minhash_estimate_tracks_exact_jaccard(planted):
     for pair, est in ests.items():
         if pair[1] - pair[0] == 1 and pair[0] % 2 == 0:
             assert 0.5 <= est <= 1.0, f"{pair}: est {est} out of band"
+
+
+def test_simhash_relational_equals_column_form(spark, planted):
+    from clinical_bi_spark.operators.dedup import simhash64, simhash64_df
+
+    col_form = {
+        r.doc_id: r.sh
+        for r in planted.select(
+            "doc_id", simhash64(F.col("text")).alias("sh")
+        ).collect()
+    }
+    rel_form = {r.id: r.sh for r in simhash64_df(planted).collect()}
+    assert col_form == rel_form

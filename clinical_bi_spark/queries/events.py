@@ -200,7 +200,7 @@ FROM events
 """
 
 
-@query("evt_group_zscore", oracle=_ZSCORE_ORACLE)
+@query("evt_group_zscore", oracle=_ZSCORE_ORACLE, bench=True)
 def evt_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (per-group pandas DataFrame in/out — the
     remaining Pandas-UDF shape after mapInPandas and

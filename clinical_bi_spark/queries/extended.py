@@ -34,7 +34,7 @@ ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
 """
 
 
-@query("asof_join_events", oracle=_ASOF_ORACLE)
+@query("asof_join_events", oracle=_ASOF_ORACLE, bench=True)
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via union+window (operators/asof.py) — one shuffle on the
     key, linear partition-local pass; pinned against DuckDB's native
@@ -69,7 +69,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
-@query("agg_rollup", oracle=_ROLLUP_ORACLE)
+@query("agg_rollup", oracle=_ROLLUP_ORACLE, bench=True)
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotals (§2.5 extension): grand total + per-flag + per
     (flag, status), with grouping indicators to disambiguate NULL keys."""
@@ -177,7 +177,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("agg_percentiles", oracle=_PERCENTILE_ORACLE)
+@query("agg_percentiles", oracle=_PERCENTILE_ORACLE, bench=True)
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     quantile_cont). The 100 TB flag-switch is percentile_approx

@@ -944,7 +944,7 @@ FROM orders
 """
 
 
-@query("w2_running_total", oracle=_RUNNING_ORACLE)
+@query("w2_running_total", oracle=_RUNNING_ORACLE, bench=True)
 def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 extension: running aggregate window (cumulative spend per
     customer) — partition-local after one shuffle on the partition key."""

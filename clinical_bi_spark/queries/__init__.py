@@ -48,16 +48,25 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (registration side effect) and return the registry."""
+    """Import every query module (registration side effect) and return the
+    registry.
+
+    Import order IS registry order, and the driver records correctness rows
+    in registry order — so the oracle-checked batch families register first
+    and the streaming queries (slow; harness-fragile by nature: state
+    stores, memory sinks) register LAST. A streaming failure must never
+    shadow a batch family (round-1 lesson: the run died at a stateful
+    streaming query and the entire textops/vectorops family got no rows).
+    """
     from clinical_bi_spark.queries import (  # noqa: F401
-        events,
-        extended,
-        mlops,
-        multimodalops,
         relational,
-        streamingops,
         textops,
         vectorops,
+        extended,
+        events,
+        mlops,
+        multimodalops,
+        streamingops,
     )
 
     return REGISTRY

@@ -187,4 +187,16 @@ def m8_vocab_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(tune(spark), sf_dir)
     out = vocabulary_embedding(t.documents.select("doc_id", "source"), "source", dim=10)
-    return out.select("doc_id", "source", "source_idx", "source_embedding")
+    # Driver contract: never ship a raw array<float> column — the driver's
+    # canonicalizer (pandas sort_values over all columns) cannot hash
+    # numpy arrays. Project the vector to a stable CSV string; the raw
+    # array API stays on the operator itself.
+    emb_csv = F.concat_ws(
+        ",", F.transform("source_embedding", lambda x: F.format_string("%.6f", x))
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("source_idx").cast("int").alias("source_idx"),
+        emb_csv.alias("source_embedding_csv"),
+    )

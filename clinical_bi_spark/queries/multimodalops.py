@@ -58,4 +58,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("asset_id"),
         F.encode(F.col("text"), "UTF-8").alias("media"),
     )
-    return extract_media_features(media, dim=16)
+    feats = extract_media_features(media, dim=16)
+    # Driver contract: no raw array<float> through the boundary (the
+    # driver's canonicalizer can't hash numpy arrays) — ship the vector as
+    # a fixed-precision CSV string; the operator keeps the array API.
+    feat_csv = F.concat_ws(
+        ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
+    )
+    return feats.select("asset_id", feat_csv.alias("feature_csv"))

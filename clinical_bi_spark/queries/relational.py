@@ -521,20 +521,27 @@ def etl_interventions_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # temp_calculated_values → UPDATE calculated_values FROM, init-user-db.sh:126-196)
 # ---------------------------------------------------------------------------
 
+#: Engine-invariant average (round-1 hash_match lesson): AVG(double) sums
+#: in engine-specific order and ROUND(double, 4) lands on .xxxx5 midpoints
+#: where Spark's BigDecimal HALF_UP and DuckDB's double rounding diverge.
+#: Instead: per-row cents (exact integer after a single deterministic IEEE
+#: multiply+round), integer SUM (order-independent), one double division by
+#: a power of ten at the end — bit-identical across engines.
 _REBUILD_ORACLE = """
 SELECT
   c.c_custkey                                    AS c_custkey,
   c.c_mktsegment                                 AS c_mktsegment,
   CAST(COALESCE(a.order_count, 0) AS BIGINT)     AS order_count,
   COALESCE(a.is_big_spender, false)              AS is_big_spender,
-  ROUND(COALESCE(a.avg_price, 0.0), 4)           AS avg_price
+  COALESCE(a.avg_price, 0.0)                     AS avg_price
 FROM customer c
 LEFT JOIN (
   SELECT
     o.o_custkey,
     COUNT(*)                      AS order_count,
     BOOL_OR(o.o_totalprice > 150000) AS is_big_spender,
-    AVG(o.o_totalprice)           AS avg_price
+    CAST(ROUND(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) * 100.0
+               / COUNT(*)) AS BIGINT) / 10000.0 AS avg_price
   FROM orders o
   GROUP BY o.o_custkey
 ) a ON a.o_custkey = c.c_custkey
@@ -546,12 +553,22 @@ def etl_calculated_values_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame
     """S10+S11+J6+A7: ALTER TABLE ADD COLUMN + UPDATE…FROM
     (init-user-db.sh:181-194) re-expressed as an immutable rebuild — left
     join of the base table with the computed aggregate plus COALESCE
-    defaults. bool_or is A7 (init-user-db.sh:142-162)."""
+    defaults. bool_or is A7 (init-user-db.sh:142-162).
+
+    avg_price uses exact integer-cents summation (see _REBUILD_ORACLE
+    comment): per-row cents as bigint, order-independent integer SUM, one
+    final double division — same bits in Spark and DuckDB regardless of
+    partial-aggregation order."""
     t = load_tables(tune(spark), sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     agg = t.orders.groupBy("o_custkey").agg(
         F.count("*").alias("order_count"),
         F.bool_or(F.col("o_totalprice") > 150000).alias("is_big_spender"),
-        F.avg("o_totalprice").alias("avg_price"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    avg_price = (
+        F.round(F.col("sum_cents") * 100.0 / F.col("order_count")).cast("bigint")
+        / F.lit(10000.0)
     )
     return t.customer.join(
         agg, F.col("o_custkey") == F.col("c_custkey"), "left"
@@ -560,7 +577,7 @@ def etl_calculated_values_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame
         "c_mktsegment",
         F.coalesce(F.col("order_count"), F.lit(0)).cast("bigint").alias("order_count"),
         F.coalesce(F.col("is_big_spender"), F.lit(False)).alias("is_big_spender"),
-        F.round(F.coalesce(F.col("avg_price"), F.lit(0.0)), 4).alias("avg_price"),
+        F.coalesce(avg_price, F.lit(0.0)).alias("avg_price"),
     )
 
 

@@ -85,6 +85,70 @@ def m1_exact_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ONE_HOT_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(CASE o_orderpriority WHEN '1-URGENT' THEN 4 WHEN '2-HIGH' THEN 3
+       WHEN '3-MEDIUM' THEN 2 WHEN '5-LOW' THEN 1 ELSE 0 END AS INT)
+    AS priority_code,
+  CAST(CASE WHEN o_orderpriority NOT IN
+       ('1-URGENT','2-HIGH','3-MEDIUM','5-LOW') THEN 1 ELSE 0 END AS INT) AS prio_0,
+  CAST(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END AS INT) AS prio_1,
+  CAST(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS INT) AS prio_2,
+  CAST(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END AS INT) AS prio_3,
+  CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS INT) AS prio_4,
+  CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS INT) AS status_0,
+  CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS INT) AS status_1,
+  CAST(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS INT) AS status_2
+FROM orders
+"""
+
+
+@query("m6_one_hot", oracle=_ONE_HOT_ORACLE)
+def m6_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: identity-coded categoricals → indicator vectors, the
+    ``categorical_column_with_identity`` + ``indicator_column`` parity
+    (ct_estimator.py:55-102) as a real ``OneHotEncoder(dropLast=False)``.
+    The indicator-vector semantics are pinned by a CASE-column oracle:
+    each one-hot slot is unpacked to an int column via vector_to_array so
+    DuckDB can express the identical contract."""
+    from pyspark.ml.feature import OneHotEncoder
+    from pyspark.ml.functions import vector_to_array
+
+    t = load_tables(tune(spark), sf_dir)
+    coded = t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 4)
+        .when(F.col("o_orderpriority") == "2-HIGH", 3)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 2)
+        .when(F.col("o_orderpriority") == "5-LOW", 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("priority_code"),
+        # status codes F/O/P → 0/1/2 (identity coding, as the reference's
+        # pre-coded integer columns)
+        F.when(F.col("o_orderstatus") == "F", 0)
+        .when(F.col("o_orderstatus") == "O", 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("status_code"),
+    )
+    enc = OneHotEncoder(
+        inputCols=["priority_code", "status_code"],
+        outputCols=["prio_vec", "status_vec"],
+        dropLast=False,  # full indicator vector, mirroring indicator_column
+    )
+    out = enc.fit(coded).transform(coded)
+    prio = vector_to_array("prio_vec")
+    status = vector_to_array("status_vec")
+    return out.select(
+        "o_orderkey",
+        "priority_code",
+        *[prio[i].cast("int").alias(f"prio_{i}") for i in range(5)],
+        *[status[i].cast("int").alias(f"status_{i}") for i in range(3)],
+    )
+
+
 def _feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship-style feature table reduced for ML (M2 encoders applied):
     predict order status F vs O from price/priority/customer features —
@@ -114,27 +178,37 @@ def _feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("m9_mlp_train_eval", oracle=None)
 def m9_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6/M7/M9/M10/M11: OneHot-free numeric assembly → MLP classifier
-    (layers mirroring the reference's 5×8 DNN, ct_estimator.py:117-120) →
-    accuracy on the held-out split. Iterative training has no SQL oracle —
-    rows-only check here; tests assert accuracy ≥ majority-class baseline."""
+    """M6/M7/M9/M10/M11: OneHotEncoder indicator features + numeric
+    assembly → MLP classifier (layers mirroring the reference's 5×8 DNN,
+    ct_estimator.py:117-120) → accuracy on the held-out split. The
+    priority categorical feeds the model as a dropLast=False indicator
+    vector — the reference's indicator_column semantics
+    (ct_estimator.py:55-102) — not as a raw integer code. Iterative
+    training has no SQL oracle — rows-only check here; tests assert
+    accuracy ≥ majority-class baseline."""
     from pyspark.ml.classification import MultilayerPerceptronClassifier
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
-    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.feature import OneHotEncoder, VectorAssembler
 
     from clinical_bi_spark.operators.split import keyed_hash_split
 
     feats = _feature_table(spark, sf_dir)
     split = keyed_hash_split(feats, "o_orderkey", 0.7, 0.0)
+    encoder = OneHotEncoder(
+        inputCols=["priority_code"], outputCols=["prio_vec"], dropLast=False
+    ).fit(split)
     assembler = VectorAssembler(
-        inputCols=["price", "order_year", "priority_code", "acctbal", "seg_building"],
+        inputCols=["price", "order_year", "acctbal", "seg_building", "prio_vec"],
         outputCol="features",
     )
-    train = assembler.transform(split.filter(F.col("split") == "train"))
-    test = assembler.transform(split.filter(F.col("split") == "test"))
+    encoded = assembler.transform(encoder.transform(split))
+    train = encoded.filter(F.col("split") == "train")
+    test = encoded.filter(F.col("split") == "test")
 
     mlp = MultilayerPerceptronClassifier(
-        layers=[5, 8, 8, 8, 8, 8, 2],  # 5 hidden × 8 units (ct_estimator.py:117-120)
+        # 4 numeric + 5 indicator inputs; 5 hidden × 8 units
+        # (ct_estimator.py:117-120)
+        layers=[9, 8, 8, 8, 8, 8, 2],
         blockSize=100,  # batch_size=100 (ct_estimator.py:33)
         maxIter=20,
         seed=42,

@@ -88,6 +88,21 @@ def signature_pandas(emb: F.Column, planes: list[list[float]]) -> F.Column:
     return _sig(emb)
 
 
+def _hamming_ball_masks(nbits: int, max_hamming: int) -> list[int]:
+    """All XOR masks with ≤ max_hamming bits set over nbits positions —
+    the multi-probe expansion of one signature into its Hamming ball."""
+    import itertools
+
+    masks = []
+    for radius in range(max_hamming + 1):
+        for bits in itertools.combinations(range(nbits), radius):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -99,13 +114,19 @@ def lsh_bucket_topk(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """ANN top-k: join corpus and queries whose LSH signatures are within
-    ``max_hamming`` bits, rank candidates by exact cosine.
+    """ANN top-k via a true bucket EQUI-join: each query signature is
+    expanded (multi-probe) into every signature in its Hamming ball
+    (``sum_{i<=h} C(nbits, i)`` probe keys — 93 for nbits=8, h=3), and the
+    corpus joins its exact signature against the broadcast probe table.
 
-    The corpus side computes its signature once (narrow); the join is on
-    signature proximity via a broadcast of the (tiny) query signatures.
-    At 100 TB: corpus signatures can be precomputed/persisted, and the
-    bucket join prunes the scan to matching buckets.
+    A (query, corpus) pair within distance ≤ h matches exactly one probe
+    mask, so the expansion introduces no duplicate candidates. The corpus
+    side computes its signature once and is ONLY touched by a hash lookup
+    on the bucket key — no nested-loop predicate evaluation per row pair —
+    which is what makes the shape survive large query batches at 100 TB
+    (corpus signatures can be precomputed/persisted; the probe table stays
+    |queries| × ball-size, broadcastable until millions of queries, after
+    which the same plan shuffles on the signature key).
     """
     planes = _hyperplanes(dim, nbits, seed)
     c = corpus.select(
@@ -113,15 +134,24 @@ def lsh_bucket_topk(
         F.col(emb_col).alias("c_emb"),
         signature_pandas(F.col(emb_col), planes).alias("c_sig"),
     )
-    q = queries.select(
+    masks = _hamming_ball_masks(nbits, max_hamming)
+    # expand after computing the signature once (avoid re-running the UDF
+    # per mask): explode a literal mask array XORed against the signature
+    q_sig = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(emb_col).alias("q_emb"),
-        signature_pandas(F.col(emb_col), planes).alias("q_sig"),
+        signature_pandas(F.col(emb_col), planes).alias("sig"),
     )
-    cand = c.join(
-        F.broadcast(q),
-        (F.bit_count(F.col("c_sig").bitwiseXOR(F.col("q_sig"))) <= max_hamming)
-        & (F.col("neighbor_id") != F.col("q_id")),
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    probes = q_sig.select(
+        "q_id",
+        "q_emb",
+        F.explode(F.transform(mask_arr, lambda m: F.col("sig").bitwiseXOR(m))).alias(
+            "c_sig"
+        ),
+    )
+    cand = c.join(F.broadcast(probes), "c_sig").filter(
+        F.col("neighbor_id") != F.col("q_id")
     )
     cos = F.round(cosine_pandas(F.col("c_emb"), F.col("q_emb")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))

@@ -143,3 +143,15 @@ def test_observe_metrics(spark):
     )
     n = df.count()
     assert obs.get["rows"] == n and obs.get["null_price"] == 0
+
+
+def test_lsh_ann_is_bucket_equijoin(spark):
+    """The sign-LSH ANN path must candidate via a hash EQUI-join on the
+    bucket key (multi-probe expansion), never a nested-loop predicate over
+    all (corpus × query) pairs — the difference between a hash lookup and
+    a full-corpus scan per query at 100 TB."""
+    plan = explain(spark, "sim_ann_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "LSH candidate join degraded to a nested loop"
+    )
+    assert "BroadcastHashJoin" in plan

@@ -5,9 +5,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is executed to completion (count + a write-free materialization
-via ``collect`` of a limited projection is avoided — we use .count() which
-forces the full plan) after a warm-up of the session.
+Each query is executed to completion with a ``noop``-format write: every
+output column is computed and serialized, so projection expressions are
+measured too (``.count()`` would let Catalyst prune all projected columns
+for non-aggregate queries and flatter the numbers).
 """
 
 from __future__ import annotations
@@ -29,14 +30,19 @@ def main() -> None:
     spark = get_spark("clinical-bi-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    def run_fully(df) -> None:
+        # noop sink: full computation + serialization of EVERY output
+        # column, no filesystem cost — unlike count(), projections are
+        # not pruned away.
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm the JVM/codegen path once so timings measure the plans, not startup.
-    registry["agg_pricing_summary"].fn(spark, SF_DIR).count()
+    run_fully(registry["agg_pricing_summary"].fn(spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_specs.items()):
         start = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        df.count()  # forces full execution of the plan
+        run_fully(spec.fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - start, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -34,8 +34,14 @@ def word_tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count (BPE-ish proxy: see ``subword_count``)."""
-    return F.size(word_tokens(col)).cast("int")
+    """Whitespace token count (BPE-ish proxy: see ``subword_count``).
+
+    ``regexp_count(\\S+)`` ≡ count of non-empty whitespace-split tokens
+    (each maximal non-space run is exactly one match) but stays a native
+    codegen'd expression — no array materialization, no interpreted
+    lambda per token (the round-1 HOF lesson, measured ~3× on the
+    text_stats headline once the bench stopped pruning projections)."""
+    return F.regexp_count(col, F.lit(r"\S+")).cast("int")
 
 
 def subword_count(col: Column) -> Column:
@@ -45,9 +51,7 @@ def subword_count(col: Column) -> Column:
     ``[A-Za-z0-9]+`` runs plus each non-space non-alnum character, which
     tracks byte-pair-encoding counts within ~15% on English text.
     """
-    words = F.size(
-        F.filter(F.split(col, r"[^A-Za-z0-9]+"), lambda t: t != F.lit(""))
-    )
+    words = F.regexp_count(col, F.lit(r"[A-Za-z0-9]+"))
     punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
     return (words + punct).cast("int")
 
@@ -58,20 +62,26 @@ def punct_ratio(col: Column) -> Column:
     return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), 6)
 
 
+def _stopword_hits(lowered: Column, stopwords: tuple[str, ...]) -> Column:
+    """Count of whitespace-delimited tokens equal to a stopword, as one
+    native regexp_count: the lookarounds pin both token boundaries, so a
+    match is exactly a full-token equality (identical to filtering the
+    split array, without building it)."""
+    pat = r"(?<![^\s])(?:" + "|".join(stopwords) + r")(?![^\s])"
+    return F.regexp_count(lowered, F.lit(pat))
+
+
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords (lowercased match)."""
-    stopwords = list(STOPWORDS[lang])
-    tokens = word_tokens(F.lower(col))
-    hits = F.size(F.filter(tokens, lambda t: t.isin(stopwords)))
-    return F.round(hits / F.greatest(F.size(tokens), F.lit(1)), 6)
+    lowered = F.lower(col)
+    hits = _stopword_hits(lowered, STOPWORDS[lang])
+    return F.round(hits / F.greatest(token_count(lowered), F.lit(1)), 6)
 
 
 def mean_token_length(col: Column) -> Column:
-    tokens = word_tokens(col)
-    total = F.aggregate(
-        tokens, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    return F.round(total / F.greatest(F.size(tokens), F.lit(1)), 6)
+    # sum of token lengths == count of non-whitespace characters
+    total = F.length(F.regexp_replace(col, r"\s+", ""))
+    return F.round(total / F.greatest(token_count(col), F.lit(1)), 6)
 
 
 def quality_score(col: Column) -> Column:
@@ -100,13 +110,8 @@ def language_guess(col: Column) -> Column:
     Ties break by the fixed language order en > es > fr > de
     (deterministic; mirrors a first-wins CASE chain).
     """
-    tokens = word_tokens(F.lower(col))
-
-    def _hit_counter(stopwords: tuple[str, ...]):
-        # single-arg lambda: PySpark HOFs treat two-arg lambdas as (x, i)
-        return F.size(F.filter(tokens, lambda t: t.isin(list(stopwords))))
-
-    hits = {lang: _hit_counter(sw) for lang, sw in STOPWORDS.items()}
+    lowered = F.lower(col)
+    hits = {lang: _stopword_hits(lowered, sw) for lang, sw in STOPWORDS.items()}
     best = F.greatest(*hits.values())
     chain = F.when(best < F.lit(2), F.lit("unknown"))
     for lang in ("en", "es", "fr", "de"):

@@ -200,7 +200,23 @@ FROM events
 """
 
 
-@query("evt_group_zscore", oracle=_ZSCORE_ORACLE, bench=True)
+@query("evt_group_zscore_window", oracle=_ZSCORE_ORACLE, bench=True)
+def evt_group_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score as pure window expressions — the production form
+    (whole-stage codegen, one shuffle on user_id, no Python boundary, no
+    per-group in-memory materialization). This is the bench headline; the
+    applyInPandas twin below stays as the grouped-map UDF surface demo and
+    must agree with this plan (both share the oracle)."""
+    t = load_tables(tune(spark), sf_dir)
+    w = Window.partitionBy("user_id")
+    std = F.stddev_samp("value").over(w)
+    z = (F.col("value") - F.avg("value").over(w)) / F.when(std != 0, std)
+    return t.events.select(
+        "event_id", "user_id", F.round(z, 4).alias("zscore")
+    )
+
+
+@query("evt_group_zscore", oracle=_ZSCORE_ORACLE)
 def evt_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (per-group pandas DataFrame in/out — the
     remaining Pandas-UDF shape after mapInPandas and

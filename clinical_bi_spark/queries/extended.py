@@ -183,10 +183,20 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont). The 100 TB flag-switch is percentile_approx
     (t-digest sketch, mergeable partials) — registered rows-only below."""
     t = load_tables(tune(spark), sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        F.count("*").alias("n"),
+    # one percentile aggregate with an array of fractions: the per-group
+    # value buffer is built (and sorted) once, not once per fraction
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))").alias("pcts"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 4).alias("median_price"),
+            F.round(F.col("pcts")[1], 4).alias("p90_price"),
+            "n",
+        )
     )
 
 

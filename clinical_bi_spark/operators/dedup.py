@@ -270,20 +270,21 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    With ``block_col`` the pair space is bounded by the block (e.g.
-    source); unblocked all-pairs is for small corpora/tests only. The
-    production-scale variant blocks on SimHash prefix bytes instead —
-    see tests for the pattern.
+    With ``block_col`` the pair space is bounded by a caller-provided
+    attribute block (e.g. source). Without one, this DELEGATES to
+    :func:`simhash_blocked_pairs` — fingerprint-segment blocking with an
+    exact pigeonhole guarantee — never to an all-pairs cross join.
     """
-    sh = simhash64_df(df, id_col=id_col, text_col=text_col)
-    if block_col:
-        sh = sh.join(
-            df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
+    if block_col is None:
+        return simhash_blocked_pairs(
+            df, id_col=id_col, text_col=text_col, max_hamming=max_hamming
         )
+    sh = simhash64_df(df, id_col=id_col, text_col=text_col)
+    sh = sh.join(
+        df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
+    )
     a, b = sh.alias("a"), sh.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.blk") == F.col("b.blk"))
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
         a.join(b, cond)
@@ -293,6 +294,65 @@ def simhash_neardup_pairs(
             hamming.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_blocked_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """SimHash pair search via fingerprint-segment blocking — EXACT, not
+    approximate: split the 64-bit fingerprint into ``n_blocks`` segments
+    (default ``max_hamming + 1``); two fingerprints within Hamming
+    distance ``max_hamming`` differ in at most ``max_hamming`` segments,
+    so by pigeonhole they agree exactly on at least one. Candidates come
+    from an equi-join on (segment_index, segment_value); the Hamming
+    radius is verified per candidate.
+
+    Scale shape: the shuffle key is a compact (int, int) pair; candidate
+    volume is ~n²·b/2^(64/b) per uniform corpus, so discrimination decays
+    as the radius (and with it b) grows — radius ≤ 7 keeps ≥ 8-bit
+    segments, the production setting (Manku et al.'s table scheme). A
+    caller chasing larger radii should block on an attribute column
+    instead (``simhash_neardup_pairs(block_col=...)``).
+    """
+    b = n_blocks or (max_hamming + 1)
+    sh = simhash64_df(df, id_col=id_col, text_col=text_col)
+    # persist: the fingerprint aggregate feeds both self-join sides — the
+    # barrier stops Catalyst recomputing the 64 bit-vote sums twice
+    sh = sh.persist()
+    base, extra = divmod(64, b)
+    segs, shift = [], 0
+    for i in range(b):
+        bits = base + (1 if i < extra else 0)
+        segs.append(
+            F.struct(
+                F.lit(i).alias("si"),
+                F.shiftrightunsigned(F.col("sh"), shift)
+                .bitwiseAND(F.lit((1 << bits) - 1))
+                .alias("sv"),
+            )
+        )
+        shift += bits
+    keyed = sh.select(
+        "id", "sh", F.explode(F.array(*segs)).alias("seg")
+    ).select("id", "sh", F.col("seg.si").alias("si"), F.col("seg.sv").alias("sv"))
+    a, bb = keyed.alias("a"), keyed.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(bb, ["si", "sv"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair agreeing on several segments appears once per segment
+        .distinct()
     )
 
 

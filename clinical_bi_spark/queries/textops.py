@@ -263,3 +263,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents, id_col="doc_id", text_col="text",
         max_hamming=12, block_col="source",
     )
+
+
+@query("dedup_simhash_blocked", oracle=None)
+def dedup_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the UNBLOCKED corpus via fingerprint-
+    segment blocking (pigeonhole-exact, equi-join on segment keys — the
+    production path; no attribute block column needed). Spark-hash-
+    specific fingerprints → rows-only; tests prove exact equivalence to
+    the all-pairs scan and planted-dup recall."""
+    from clinical_bi_spark.operators.dedup import simhash_blocked_pairs
+
+    t = load_tables(tune(spark), sf_dir)
+    return simhash_blocked_pairs(
+        t.documents, id_col="doc_id", text_col="text", max_hamming=6
+    )

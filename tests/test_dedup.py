@@ -105,3 +105,41 @@ def test_simhash_relational_equals_column_form(spark, planted):
     }
     rel_form = {r.id: r.sh for r in simhash64_df(planted).collect()}
     assert col_form == rel_form
+
+
+def test_simhash_blocked_equals_allpairs(planted):
+    """Fingerprint-segment blocking is pigeonhole-EXACT: on an unblocked
+    corpus it must return precisely the all-pairs result, not a subset."""
+    from clinical_bi_spark.operators.dedup import (
+        simhash64_df,
+        simhash_blocked_pairs,
+    )
+
+    blocked = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_blocked_pairs(planted, max_hamming=6).collect()
+    }
+    sh = simhash64_df(planted).collect()
+    allpairs = {}
+    for a in sh:
+        for b in sh:
+            if a.id < b.id:
+                h = bin(a.sh ^ b.sh).count("1")
+                if h <= 6:
+                    allpairs[(a.id, b.id)] = h
+    assert blocked == allpairs
+
+
+def test_simhash_blocked_finds_planted_dups(planted):
+    """The default (unblocked) path must surface planted duplicates
+    without any attribute block column."""
+    from clinical_bi_spark.operators.dedup import simhash_blocked_pairs
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_blocked_pairs(planted, max_hamming=16).collect()
+    }
+    assert (0, 10) in pairs, "exact dup must collide"
+    planted_pairs = {(2 * i, 2 * i + 1) for i in range(len(BASE_DOCS))}
+    hits = len(pairs & planted_pairs)
+    assert hits >= 4, f"blocked path should catch one-word mutations: {pairs}"

@@ -8,8 +8,9 @@ Design for 100 TB of media:
   metadata-only queries never read the bytes.
 * per-asset operators run as Arrow-batched ``mapInPandas`` — one Python
   process per partition, bytes move once over Arrow, no per-row pickling.
-* partitioning: media rows are large, so operators repartition by byte
-  budget, not row count (``target_partition_bytes``).
+* partitioning: media rows are large, so size partitions by byte budget
+  (from parquet file metadata or a prior metadata pass), not row count —
+  ``extract_media_features(n_partitions=...)``.
 
 The container has no image/audio libraries, so the pixel-decode step is
 STUBBED (NotImplementedError behind an import-try, exactly as flagged in
@@ -26,13 +27,11 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = (
     "asset_id long, media_type string, byte_size int, width int, height int,"
     " content_md5 string"
 )
-FEATURE_SCHEMA = "asset_id long, feature vector_dummy: array<float>"
 
 
 def sniff_media_type(data: bytes | None) -> str:
@@ -143,13 +142,18 @@ def extract_media_features(
     media_col: str = "media",
     dim: int = 16,
     fake_decode: bool = True,
-    target_partition_bytes: int = 128 << 20,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Decode → feature-extract as mapInPandas. ``fake_decode=True``
     (default, and the only option in this container) swaps the pixel
     decode for a deterministic md5-seeded feature — the Spark plumbing
-    (schema, Arrow batching, byte-budget partitioning) is identical to
-    the real path."""
+    (schema, Arrow batching, partitioning) is identical to the real path.
+
+    ``n_partitions``: optional explicit repartition for byte-budget
+    sizing (media rows are megabytes; row counts lie). Deliberately a
+    caller parameter — derive it from parquet file metadata or a prior
+    metadata pass, NOT from an extra full scan of the media bytes here
+    (a driver-side length aggregate would read everything twice)."""
 
     schema = f"{id_col} long, feature array<float>"
 
@@ -161,12 +165,9 @@ def extract_media_features(
                 feats = pdf[media_col].map(lambda b: _decode_image(b))  # raises: stub
             yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
 
-    # byte-budget repartition: media rows are megabytes, row counts lie.
-    approx_bytes = df.select(
-        F.sum(F.length(F.col(media_col))).alias("total")
-    ).head()["total"] or 0
-    n_parts = max(1, int(approx_bytes // target_partition_bytes) + 1)
-    return df.repartition(n_parts).mapInPandas(batches, schema=schema)
+    if n_partitions is not None:
+        df = df.repartition(n_partitions)
+    return df.mapInPandas(batches, schema=schema)
 
 
 def sample_video_frames(

@@ -117,3 +117,39 @@ def test_register_views_sql_path(spark):
         "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name"
     ).collect()
     assert len(out) == 5
+
+
+def test_jdbc_reader_option_plumbing(tmp_path):
+    """S1 live path: the ini section must reach the JDBC reader verbatim
+    (no driver jar in this container, so the reader is a mock — this pins
+    the option plumbing, which is the only code on that path)."""
+    from clinical_bi_spark.sources import jdbc_reader, read_ini_options
+
+    ini = tmp_path / "aact.properties"
+    ini.write_text(
+        "[aact.database]\n"
+        "url=jdbc:postgresql://aact-db.example.org:5432/aact\n"
+        "user=aact_user\npassword=secret\nfetchsize=10000\n"
+    )
+    opts = read_ini_options(str(ini), "aact.database")
+
+    class FakeReader:
+        def __init__(self):
+            self.fmt, self.opts = None, {}
+
+        def format(self, fmt):
+            self.fmt = fmt
+            return self
+
+        def options(self, **kw):
+            self.opts.update(kw)
+            return self
+
+    class FakeSpark:
+        read = FakeReader()
+
+    reader = jdbc_reader(FakeSpark(), opts)
+    assert reader.fmt == "jdbc"
+    assert reader.opts["url"] == "jdbc:postgresql://aact-db.example.org:5432/aact"
+    assert reader.opts["user"] == "aact_user"
+    assert reader.opts["fetchsize"] == "10000"

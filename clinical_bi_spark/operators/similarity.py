@@ -162,6 +162,38 @@ def lsh_bucket_topk(
     )
 
 
+def _kmeans_centroids(
+    corpus: DataFrame,
+    emb_col: str,
+    n_cells: int,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed Lloyd's iterations via Spark ML KMeans (k-means||
+    init): the real IVF coarse quantizer. Centroid learning is one
+    distributed fit over the corpus; the resulting (tiny) centroid table
+    broadcasts everywhere downstream."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        array_to_vector(F.col(emb_col).cast("array<double>")).alias("features")
+    )
+    # cosine distance ⇒ spherical k-means: cells partition directions, not
+    # magnitudes — the right quantizer when the probe metric is cosine
+    # (Euclidean centroids of high-dim data collapse toward the origin and
+    # give unbalanced cosine cells)
+    model = KMeans(
+        k=n_cells, maxIter=max_iter, seed=seed, distanceMeasure="cosine"
+    ).fit(vecs)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "cell_id int, cell_emb array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,18 +202,23 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    kmeans_centroids: bool = True,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic centroids = the ``n_cells`` corpus
-    vectors with the lowest ids (cheap, reproducible coarse quantizer —
-    a k-means refinement is a drop-in upgrade). Every corpus row joins its
+    """IVF-style ANN: k-means coarse quantizer (default; seeded Spark ML
+    KMeans fit — deterministic run-to-run) or, with
+    ``kmeans_centroids=False``, the dependency-free fallback of taking
+    the ``n_cells`` lowest-id corpus vectors. Every corpus row joins its
     nearest cell; a query probes its ``nprobe`` nearest cells only.
     """
-    centroids = (
-        corpus.orderBy(F.col(id_col)).limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell_id"), F.col(emb_col).alias("cell_emb")
+    if kmeans_centroids:
+        centroids = _kmeans_centroids(corpus, emb_col, n_cells)
+    else:
+        centroids = (
+            corpus.orderBy(F.col(id_col)).limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell_id"), F.col(emb_col).alias("cell_emb")
+            )
         )
-    )
     cos_cell = cosine_pandas(F.col(emb_col), F.col("cell_emb"))
 
     # assign each corpus row to its best cell (broadcast centroids, rank 1)

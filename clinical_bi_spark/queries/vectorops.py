@@ -150,9 +150,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_ann_ivf", oracle=None)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via IVF coarse quantization (nprobe=4 of 16 cells) —
-    candidate pruning path whose recall tests live in
-    tests/test_similarity.py."""
+    """ANN top-k via IVF coarse quantization (seeded spherical k-means
+    centroids, nprobe=4 of 16 cells) — candidate pruning path whose
+    recall/balance tests live in tests/test_similarity.py."""
     from clinical_bi_spark.operators.similarity import ivf_topk
 
     t = load_tables(tune(spark), sf_dir)

@@ -67,3 +67,40 @@ def test_identical_vector_is_top1(spark, embeddings):
         q, k=1, nbits=8, max_hamming=0,
     ).collect()
     assert out and out[0].neighbor_id == 10_003 and out[0].cos_sim == 1.0
+
+
+def test_ivf_kmeans_recall_and_cell_balance(spark, embeddings, truth):
+    """The spherical k-means quantizer must (a) keep useful recall and
+    (b) produce bounded cell imbalance — the property that caps per-probe
+    cost at scale. (Recall alone can't fairly compare against the
+    lowest-id placeholder on this fixture: those "centroids" include the
+    query vectors themselves, so every query probes a cell centered on
+    itself — an accident that vanishes on any real corpus.)"""
+    from pyspark.sql.window import Window
+
+    from clinical_bi_spark.functions.vectors import cosine_pandas
+    from clinical_bi_spark.operators.similarity import _kmeans_centroids
+
+    out = ivf_topk(
+        embeddings, embeddings.filter(F.col("vec_id") < 8),
+        k=5, n_cells=16, nprobe=8, kmeans_centroids=True,
+    ).collect()
+    assert _recall(out, truth) >= 0.5
+
+    centroids = _kmeans_centroids(embeddings, "embedding", 16)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cell_id")
+    sizes = (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "cell_id",
+            cosine_pandas(F.col("embedding"), F.col("cell_emb")).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .groupBy("cell_id")
+        .count()
+        .collect()
+    )
+    n_total = sum(r["count"] for r in sizes)
+    ideal = n_total / 16
+    assert max(r["count"] for r in sizes) <= 2.5 * ideal, sizes

@@ -54,3 +54,29 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_bi_spark.streaming.stateful import user_running_stats
 
     return user_running_stats(tune(spark), sf_dir)
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT
+  v.event_id  AS view_id,
+  p.event_id  AS purchase_id,
+  v.user_id   AS user_id,
+  v.ts        AS view_ts,
+  p.ts        AS purchase_ts
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+"""
+
+
+@query("stream_stream_join", oracle=_STREAM_JOIN_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view → purchase within
+    10 min per user). Inner join over bounded input is deterministic, so
+    it shares the batch interval-join oracle verbatim — the strongest
+    correctness statement a streaming operator can make."""
+    from clinical_bi_spark.streaming.windows import stream_stream_interval_join
+
+    return stream_stream_interval_join(tune(spark), sf_dir)

@@ -278,3 +278,52 @@ def dedup_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_blocked_pairs(
         t.documents, id_col="doc_id", text_col="text", max_hamming=6
     )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE ROUND(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6)
+  END AS token_repetition,
+  CASE WHEN len(toks) <= 1 THEN 0.0
+       ELSE ROUND(1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])))::DOUBLE
+                  / (len(toks) - 1), 6)
+  END AS bigram_repetition
+FROM t
+"""
+
+
+@query("text_repetition", oracle=_REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratios — the boilerplate/spam signal every LLM data
+    pipeline filters on: fraction of repeated tokens and of repeated
+    word bigrams (1 - distinct/total). Narrow transformation, zero
+    shuffle; pinned exactly by the DuckDB list-comprehension oracle."""
+    t = load_tables(tune(spark), sf_dir)
+    toks = word_tokens(F.col("text"))
+    n = F.size(toks)
+    tok_rep = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6)
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+        ),
+    )
+    big_rep = F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (n - 1), 6)
+    )
+    return t.documents.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        tok_rep.alias("token_repetition"),
+        big_rep.alias("bigram_repetition"),
+    )

@@ -168,3 +168,53 @@ def write_stream_foreachbatch(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: views joined to the same
+    user's purchases within ``within`` after the view. Both sides carry
+    watermarks and the join condition bounds event time on both — the two
+    requirements that let Spark age out join state (without them a
+    stream-stream join buffers forever; that unbounded state is the
+    100 TB failure mode). Inner join over bounded input is
+    arrival-order-independent, so the batch SQL oracle applies verbatim.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + interval {within}"
+        ),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )
+    return _run_to_completion(joined, "append")

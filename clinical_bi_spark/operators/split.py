@@ -88,3 +88,83 @@ def keyed_hash_split(
         .when(bucket < v_cut, "validate")
         .otherwise("test"),
     )
+
+
+def exact_size_seeded_split_distributed(
+    df: DataFrame,
+    train_frac: float,
+    validate_frac: float,
+    seed: int = 42,
+    order_key: str | None = None,
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Exact-size 3-way split WITHOUT the single-partition global sort —
+    the 100 TB form of :func:`exact_size_seeded_split` (same contract:
+    exact floor(frac·n) sizes, seeded, deterministic).
+
+    Global rank is decomposed into per-partition work:
+
+    1. ``repartitionByRange`` on the seeded random key — the only
+       full-data shuffle, uniform across partitions;
+    2. ``sortWithinPartitions`` + a running-counter ``mapInPandas`` —
+       narrow local rank, no window exchange;
+    3. per-partition counts → driver-side prefix sum (``n_partitions``
+       integers) → broadcast offset join: global_rank = offset + local.
+
+    The data crosses the wire once and no executor ever holds more than
+    its partition; the driver holds one integer per partition.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    n = df.count()
+    n_train = int(train_frac * n)
+    n_validate = int(validate_frac * n)
+    np_ = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    range_cols = [F.col("__r")] + ([F.col(order_key)] if order_key else [])
+
+    ranged = (
+        df.withColumn("__r", F.rand(seed))
+        .repartitionByRange(np_, *range_cols)
+        .sortWithinPartitions(*range_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    def add_local_rank(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in it:
+            pdf = pdf.assign(__local=range(seen, seen + len(pdf)))
+            seen += len(pdf)
+            yield pdf
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(ranged.schema.fields) + [StructField("__local", LongType())]
+    )
+    # persist: the count-per-partition job and the final job must see the
+    # same rand() draw / partition layout
+    ranked = ranged.mapInPandas(add_local_rank, schema=schema).persist()
+
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranked.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    offset_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __offset long"
+    )
+    ranked = ranked.join(F.broadcast(offset_df), "__pid").withColumn(
+        "__rank", F.col("__offset") + F.col("__local") + 1
+    )
+    drop = ["__r", "__pid", "__local", "__offset", "__rank"]
+    train = ranked.filter(F.col("__rank") <= n_train).drop(*drop)
+    validate = ranked.filter(
+        (F.col("__rank") > n_train) & (F.col("__rank") <= n_train + n_validate)
+    ).drop(*drop)
+    test = ranked.filter(F.col("__rank") > n_train + n_validate).drop(*drop)
+    return train, validate, test

@@ -85,6 +85,31 @@ def m1_exact_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("m1_distributed_split_sizes", oracle=_SPLIT_SIZES_ORACLE)
+def m1_distributed_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 at scale: the distributed exact-size split (range partition +
+    narrow per-partition rank + broadcast offset join — no SinglePartition
+    exchange, plan-asserted in tests/test_ml.py) honors the identical
+    exact-size contract, pinned by the same oracle as
+    m1_exact_split_sizes."""
+    from clinical_bi_spark.operators.split import (
+        exact_size_seeded_split_distributed,
+    )
+
+    t = load_tables(tune(spark), sf_dir)
+    train, validate, test = exact_size_seeded_split_distributed(
+        t.orders, 0.7, 0.005, seed=42, order_key="o_orderkey"
+    )
+    rows = [("train", train), ("validate", validate), ("test", test)]
+    out = None
+    for name, df in rows:
+        part = df.groupBy().agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("split"), "n"
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
 _ONE_HOT_ORACLE = """
 SELECT
   o_orderkey,

@@ -85,3 +85,40 @@ def test_vocabulary_embedding_deterministic_and_oov(spark):
     indexed = model.transform(df)
     oov_idx = indexed.filter(F.col("tok") == "b").head().tok_idx
     assert oov_idx == len(model.labels), "OOV lands in the keep bucket"
+
+
+def test_distributed_exact_split_contract(spark):
+    """The distributed exact-size split must honor the same contract as
+    the single-partition parity form — exact sizes, disjoint cover,
+    run-to-run determinism — while never serializing through one
+    partition (plan-asserted: no SinglePartition exchange)."""
+    import contextlib
+    import io
+
+    from clinical_bi_spark.operators.split import (
+        exact_size_seeded_split_distributed,
+    )
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    train, val, test = exact_size_seeded_split_distributed(
+        df, 0.7, 0.005, seed=11, order_key="k", n_partitions=8
+    )
+    n_tr, n_va, n_te = train.count(), val.count(), test.count()
+    assert (n_tr, n_va) == (7000, 50) and n_tr + n_va + n_te == 10_000
+
+    ids = lambda d: {r.k for r in d.collect()}  # noqa: E731
+    tr, va, te = ids(train), ids(val), ids(test)
+    assert not (tr & va) and not (tr & te) and not (va & te)
+    assert len(tr | va | te) == 10_000
+
+    tr2 = ids(
+        exact_size_seeded_split_distributed(
+            df, 0.7, 0.005, seed=11, order_key="k", n_partitions=8
+        )[0]
+    )
+    assert tr2 == tr, "same seed must give the same membership"
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        train.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()

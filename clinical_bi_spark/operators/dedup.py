@@ -382,3 +382,158 @@ def simhash64_df(
             )
         )
     return voted.select("id", sh.alias("sh"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling k-gram hash + sliding window min)
+# ---------------------------------------------------------------------------
+#
+# The MOSS winnowing scheme: hash every k-char-gram of the normalized text,
+# then keep the minimum hash of each w-wide sliding window; the distinct
+# minima are the document's fingerprints. Unlike whole-document md5
+# (functions/text.doc_fingerprint), winnowed fingerprints survive local
+# edits, so shared-fingerprint counts detect near-duplicates and contained
+# excerpts. The gram hash is a base-31 polynomial over character codes —
+# plain integer arithmetic, so DuckDB computes bit-identical values and the
+# queries built on this operator are exactly oracle-checkable (unlike the
+# Spark-hash-specific MinHash/SimHash paths above).
+#
+# Implementation note (the round-1 CollapseProject lesson, PERF.md): never
+# index an array expression from inside a HOF lambda — Catalyst inlines the
+# array into the lambda body and re-evaluates it per element, turning a
+# linear scan quadratic. Both the gram hash and the window min are instead
+# computed as zip_with over *shifted slices* (elementwise, single pass);
+# zip_with pads the shorter array with nulls, which the final slice to the
+# valid prefix (gram hash) / null-skipping least() (window min) absorb.
+
+#: Characters kept by winnowing normalization — everything else is deleted,
+#: which also guarantees pure-ASCII input, bounding the polynomial hash at
+#: 122 * sum(31^j, j<k) << 2^63 for k <= 12 (ANSI mode: overflow raises).
+_WINNOW_NORM_RE = "[^a-z0-9]"
+
+
+def kgram_hashes(text_col: F.Column, k: int = 8) -> F.Column:
+    """array<long> of base-31 polynomial hashes of every k-char-gram of the
+    lowercased, alnum-only text. Exact integers, engine-invariant:
+    h(i) = sum_j code(s[i+j]) * 31^(k-1-j)."""
+    s = F.regexp_replace(F.lower(text_col), _WINNOW_NORM_RE, "")
+    n = F.length(s)
+    m = n - (k - 1)  # number of grams
+    ac = F.transform(F.split(s, ""), F.ascii)
+    weights = [31 ** (k - 1 - j) for j in range(k)]
+    def _weighted_add(w: int):
+        # closure (not a default arg) — pyspark reads lambda arity from the
+        # signature, and a default parameter would make this look ternary
+        return lambda a, x: a + x.cast("long") * F.lit(w)
+
+    acc = F.transform(ac, lambda x: x.cast("long") * F.lit(weights[0]))
+    for j in range(1, k):
+        shift = F.slice(ac, j + 1, F.greatest(n, F.lit(1)))
+        acc = F.zip_with(acc, shift, _weighted_add(weights[j]))
+    return F.when(m >= 1, F.slice(acc, 1, m)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def winnow_select(gram_col: F.Column, window: int = 4) -> F.Column:
+    """Distinct sorted sliding-window minima of a gram-hash array — the
+    winnowing fingerprint set. Windows run 1..max(m-window+1, 1) (one
+    clamped window when the document has fewer grams than the window)."""
+    m = F.size(gram_col)
+    mins = gram_col
+    for j in range(1, window):
+        shift = F.slice(gram_col, j + 1, F.greatest(m, F.lit(1)))
+        # least() skips the nulls zip_with pads the tail with, which makes
+        # the final (shorter-than-window) positions suffix minima; slicing
+        # to m-window+1 below drops them, matching canonical winnowing.
+        mins = F.zip_with(mins, shift, lambda a, b: F.least(a, b))
+    wins = F.when(
+        m >= 1, F.slice(mins, 1, F.greatest(m - (window - 1), F.lit(1)))
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_sort(F.array_distinct(wins))
+
+
+def winnow_fingerprints_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fps: array<long>) winnowed fingerprints per document.
+
+    Two-stage select so the gram-hash array is a named column referenced
+    ``window`` times by the shifted-slice zip_withs — multiple references
+    stop CollapseProject inlining it back into one per-reference expression.
+    Narrow transformation: no shuffle, each document fingerprints in place.
+    """
+    g = df.select(
+        F.col(id_col).alias("id"), kgram_hashes(F.col(text_col), k).alias("gh")
+    )
+    return g.select("id", winnow_select(F.col("gh"), window).alias("fps"))
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    min_containment: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowed fingerprints.
+
+    The production shape for corpus-scale near-dup mining (the CCNet/Gopher
+    pipeline pattern): explode to (fingerprint, doc) postings, drop
+    boilerplate fingerprints appearing in more than ``max_df`` documents
+    (the df cap bounds every join bucket, so no hot key can go quadratic),
+    self-equi-join on the fingerprint, and keep pairs sharing at least
+    ``min_shared`` fingerprints with containment
+    shared / min(|fps_a|, |fps_b|) >= ``min_containment`` — containment is
+    measured against the *post-cap* fingerprint sets, so ubiquitous grams
+    neither create nor dilute matches. Only (8-byte fp, id) postings ever
+    shuffle; full text never leaves its input partition.
+    """
+    # Materialization barrier (same as the MinHash signature path), placed
+    # BEFORE the explode: Catalyst inlines a projected array expression into
+    # Generate, where the deep zip_with tree leaves codegen and re-evaluates
+    # interpreted per row (measured 27 s vs 0.9 s for the identical
+    # computation at sf0.1) — and the postings then feed four DAG branches
+    # (df-cap, sizes, both join sides), multiplying it. Cached (id, fps)
+    # rows are a tiny fraction of corpus size even at 100 TB.
+    fp = winnow_fingerprints_df(df, id_col, text_col, k, window).persist()
+    e = fp.select("id", F.explode("fps").alias("fp"))
+    surviving = (
+        e.groupBy("fp")
+        .agg(F.count("*").alias("dfreq"))
+        .filter(F.col("dfreq") <= max_df)
+        .select("fp")
+    )
+    e = e.join(surviving, "fp")
+    sz = e.groupBy("id").agg(F.count("*").alias("n_fps"))
+    e = e.join(sz, "id")
+    a = e.select(
+        F.col("id").alias("id_a"), F.col("n_fps").alias("nfps_a"), "fp"
+    )
+    b = e.select(
+        F.col("id").alias("id_b"), F.col("n_fps").alias("nfps_b"), "fp"
+    )
+    containment = F.col("shared_fps").cast("double") / F.least(
+        "nfps_a", "nfps_b"
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "nfps_a", "nfps_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .filter(containment >= min_containment)  # pre-rounding, like the oracle
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared_fps").cast("int").alias("shared_fps"),
+            F.round(containment, 6).alias("containment"),
+        )
+    )

@@ -327,3 +327,113 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_rep.alias("token_repetition"),
         big_rep.alias("bigram_repetition"),
     )
+
+
+# Winnowing fingerprints (operators/dedup.py): base-31 polynomial k-gram
+# hash + sliding-window min — exact integer arithmetic, so DuckDB computes
+# bit-identical fingerprints and both queries below are fully oracle-checked
+# (unlike the Spark-hash-specific MinHash/SimHash rows-only paths).
+_WINNOW_FPS_CTE = """
+WITH s AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN length(t) >= 8 THEN
+      list_transform(range(1, length(t) - 6),
+        i -> ascii(substr(t, CAST(i AS INT), 1))::BIGINT * 27512614111
+           + ascii(substr(t, CAST(i+1 AS INT), 1))::BIGINT * 887503681
+           + ascii(substr(t, CAST(i+2 AS INT), 1))::BIGINT * 28629151
+           + ascii(substr(t, CAST(i+3 AS INT), 1))::BIGINT * 923521
+           + ascii(substr(t, CAST(i+4 AS INT), 1))::BIGINT * 29791
+           + ascii(substr(t, CAST(i+5 AS INT), 1))::BIGINT * 961
+           + ascii(substr(t, CAST(i+6 AS INT), 1))::BIGINT * 31
+           + ascii(substr(t, CAST(i+7 AS INT), 1))::BIGINT)
+    ELSE CAST([] AS BIGINT[]) END AS gh
+  FROM s
+), w AS (
+  SELECT doc_id,
+    CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+    ELSE list_sort(list_distinct(list_transform(
+           range(1, greatest(len(gh) - 3, 1) + 1),
+           i -> list_aggregate(gh[CAST(i AS INT):CAST(i + 3 AS INT)], 'min'))))
+    END AS fps
+  FROM g
+)
+"""
+
+_WINNOW_SUMMARY_ORACLE = _WINNOW_FPS_CTE + """
+SELECT doc_id,
+       CAST(len(fps) AS INT)                    AS n_fps,
+       CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_checksum,
+       list_min(fps)                            AS fp_min,
+       list_max(fps)                            AS fp_max
+FROM w
+"""
+
+
+@query("text_winnow_fingerprint", oracle=_WINNOW_SUMMARY_ORACLE)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints (8-char-gram base-31 rolling hash,
+    window-4 minima — the MOSS scheme), summarized per document to scalars
+    (the contract never ships array columns). Narrow, shuffle-free; the
+    engine-invariant integer hash makes the fingerprint set itself — not
+    just its shape — oracle-checked."""
+    from clinical_bi_spark.operators.dedup import winnow_fingerprints_df
+
+    t = load_tables(tune(spark), sf_dir)
+    fps = winnow_fingerprints_df(t.documents, id_col="doc_id", text_col="text")
+    return fps.select(
+        F.col("id").alias("doc_id"),
+        F.size("fps").cast("int").alias("n_fps"),
+        F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "fp_checksum"
+        ),
+        F.array_min("fps").alias("fp_min"),
+        F.array_max("fps").alias("fp_max"),
+    )
+
+
+_WINNOW_PAIRS_ORACLE = _WINNOW_FPS_CTE + """
+, e0 AS (
+  SELECT doc_id, unnest(fps) AS fp FROM w
+), surviving AS (
+  SELECT fp FROM e0 GROUP BY fp HAVING COUNT(*) <= 50
+), ee0 AS (
+  SELECT e0.* FROM e0 JOIN surviving USING (fp)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n_fps FROM ee0 GROUP BY doc_id
+), ee AS (
+  SELECT ee0.doc_id, sz.n_fps, ee0.fp FROM ee0 JOIN sz USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS INT) AS shared_fps,
+       ROUND(COUNT(*)::DOUBLE / least(a.n_fps, b.n_fps), 6) AS containment
+FROM ee a JOIN ee b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_fps, b.n_fps
+HAVING COUNT(*) >= 3
+   AND COUNT(*)::DOUBLE / least(a.n_fps, b.n_fps) >= 0.5
+"""
+
+
+@query("dedup_winnow_pairs", oracle=_WINNOW_PAIRS_ORACLE)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowed fingerprints with a document-
+    frequency cap (boilerplate grams in >50 docs are dropped before the
+    posting-list self-join, bounding every join bucket). Unlike the
+    MinHash/SimHash candidates this is exactly oracle-checked end to end:
+    postings, df cap, containment, and thresholds all reproduce in SQL."""
+    from clinical_bi_spark.operators.dedup import winnow_neardup_pairs
+
+    t = load_tables(tune(spark), sf_dir)
+    pairs = winnow_neardup_pairs(
+        t.documents, id_col="doc_id", text_col="text",
+        min_shared=3, min_containment=0.5, max_df=50,
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "shared_fps",
+        "containment",
+    )

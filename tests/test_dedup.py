@@ -143,3 +143,47 @@ def test_simhash_blocked_finds_planted_dups(planted):
     planted_pairs = {(2 * i, 2 * i + 1) for i in range(len(BASE_DOCS))}
     hits = len(pairs & planted_pairs)
     assert hits >= 4, f"blocked path should catch one-word mutations: {pairs}"
+
+
+def test_winnow_finds_planted_neardups(planted):
+    from clinical_bi_spark.operators.dedup import winnow_neardup_pairs
+
+    pairs = winnow_neardup_pairs(
+        planted, min_shared=3, min_containment=0.5, max_df=50
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every planted twin (2i, 2i+1) differs by one word — winnowed
+    # fingerprints away from the edit survive, so the pair must be found
+    for i in range(len(BASE_DOCS)):
+        assert (2 * i, 2 * i + 1) in got
+    # the exact dup of doc 0 shares every fingerprint
+    exact = [r for r in pairs.collect() if (r.id_a, r.id_b) == (0, 10)]
+    assert exact and exact[0].containment == 1.0
+
+
+def test_winnow_edge_cases(spark):
+    from clinical_bi_spark.operators.dedup import winnow_fingerprints_df
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "ab"), (2, "!!! ???"), (3, "abcdefgh"), (4, "abcdefghij")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r.fps for r in winnow_fingerprints_df(df).collect()}
+    assert rows[0] == []          # empty text
+    assert rows[1] == []          # shorter than k after normalization
+    assert rows[2] == []          # all chars normalized away
+    assert len(rows[3]) == 1      # exactly one gram -> one clamped window
+    # 10 chars -> 3 grams < window=4 -> single clamped window, min of all
+    assert len(rows[4]) == 1 and rows[4][0] == min(rows[4])
+
+
+def test_winnow_robust_to_whitespace_and_case(spark):
+    from clinical_bi_spark.operators.dedup import winnow_fingerprints_df
+
+    df = spark.createDataFrame(
+        [(0, "Hello, World! This is Fine."), (1, "hello   world this IS fine")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r.fps for r in winnow_fingerprints_df(df).collect()}
+    # normalization deletes case/punct/whitespace -> identical fingerprints
+    assert rows[0] == rows[1] and rows[0]

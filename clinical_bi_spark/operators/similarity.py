@@ -263,3 +263,75 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    nbits: int = 32,
+    max_hamming: int = 6,
+    min_cosine: float = 0.8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at corpus scale — the unblocked LSH
+    path for the oracle-checked ``dedup_embedding_cosine`` (which bounds
+    its pair space with an attribute block instead).
+
+    Pigeonhole bucketing (same scheme as SimHash's
+    ``simhash_blocked_pairs``): the ``nbits`` sign-LSH signature splits
+    into ``max_hamming + 1`` segments; any pair within Hamming distance
+    ``max_hamming`` agrees exactly on at least one segment, so candidates
+    come from an EQUI-join on (segment index, segment value) — no all-pairs
+    scan. Candidates are prefiltered by whole-signature Hamming distance,
+    then verified with exact cosine >= ``min_cosine``.
+
+    Recall is governed by the signature: a pair at cosine c agrees per bit
+    with p = 1 - arccos(c)/pi, so true near-dups (c >= 0.9 -> p ~ 0.90)
+    match a segment with probability ~1 - (1 - p^(nbits/b))^b ~ 0.99+,
+    while weakly-similar pairs rarely collide — which is what keeps bucket
+    sizes (and the candidate join) bounded on real, clustered corpora.
+    """
+    planes = _hyperplanes(dim, nbits, seed)
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        signature_pandas(F.col(emb_col), planes).alias("sig"),
+    ).persist()  # one UDF pass; segments, both join sides, and verify reuse it
+    b = max_hamming + 1
+    base, extra = divmod(nbits, b)
+    segs, shift = [], 0
+    for i in range(b):
+        bits = base + (1 if i < extra else 0)
+        segs.append(
+            F.struct(
+                F.lit(i).alias("si"),
+                F.shiftrightunsigned(F.col("sig"), shift)
+                .bitwiseAND(F.lit((1 << bits) - 1))
+                .alias("sv"),
+            )
+        )
+        shift += bits
+    keyed = sig.select(
+        "id", "sig", F.explode(F.array(*segs)).alias("seg")
+    ).select("id", "sig", F.col("seg.si").alias("si"), F.col("seg.sv").alias("sv"))
+    a, bb = keyed.alias("a"), keyed.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    cand = (
+        a.join(bb, ["si", "sv"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(hamming <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # a pair agreeing on several segments appears once per segment
+        .distinct()
+    )
+    ea = sig.select(F.col("id").alias("id_a"), F.col("emb").alias("emb_a"))
+    eb = sig.select(F.col("id").alias("id_b"), F.col("emb").alias("emb_b"))
+    cos = F.round(cosine_pandas(F.col("emb_a"), F.col("emb_b")), 6)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cosine)
+    )

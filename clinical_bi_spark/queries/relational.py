@@ -1063,3 +1063,49 @@ def j7_frequency_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.join(
         F.broadcast(counts), F.col("sc_source") == F.col("source")
     ).select("doc_id", "source", "source_count")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 extension — semi/anti joins (EXISTS / NOT EXISTS). The reference's
+# conditional left-joins (J3) emulate existence checks by joining and
+# testing for NULL; the native Spark forms are LeftSemi/LeftAnti, which
+# never materialize the probe side's columns and stop probing a key on
+# first match — the shape to use at 100 TB.
+# ---------------------------------------------------------------------------
+
+_SEMI_ANTI_ORACLE = """
+SELECT n.n_name AS nation, has_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c_nationkey,
+         EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           AS has_orders
+  FROM customer c
+) t
+JOIN nation n ON n.n_nationkey = t.c_nationkey
+GROUP BY n.n_name, has_orders
+"""
+
+
+@query("j_semi_anti_exists", oracle=_SEMI_ANTI_ORACLE)
+def j_semi_anti_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer counts split by order existence: a left_semi
+    join (EXISTS) unioned with a left_anti join (NOT EXISTS), then a
+    broadcast dimension join for the nation name. Semi/anti joins carry
+    only the left side's columns and short-circuit per key."""
+    t = load_tables(tune(spark), sf_dir)
+    cust = t.customer.select("c_custkey", "c_nationkey")
+    ords = t.orders.select("o_custkey")
+    semi = cust.join(
+        ords, cust.c_custkey == ords.o_custkey, "left_semi"
+    ).withColumn("has_orders", F.lit(True))
+    anti = cust.join(
+        ords, cust.c_custkey == ords.o_custkey, "left_anti"
+    ).withColumn("has_orders", F.lit(False))
+    tagged = semi.unionByName(anti)
+    return (
+        tagged.join(
+            F.broadcast(t.nation), tagged.c_nationkey == t.nation.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"), "has_orders")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -158,3 +158,22 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(tune(spark), sf_dir)
     emb = t.embeddings
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=16, nprobe=4)
+
+
+@query("dedup_embedding_lsh", oracle=None)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the UNBLOCKED corpus via
+    sign-LSH pigeonhole bucketing + exact-cosine verify — the 100 TB path
+    for dedup_embedding_cosine (which blocks by label instead). Approximate
+    candidate generation → rows-only; tests/test_similarity.py verifies
+    planted-duplicate recall and that every emitted pair is exact-verified.
+    The 0.4 threshold sits where the fixture has pairs at all (max pairwise
+    cosine ≈ 0.51 on near-random vectors; real embedding corpora cluster
+    far above it, where per-pair recall also rises steeply)."""
+    from clinical_bi_spark.operators.similarity import embedding_neardup_pairs
+
+    t = load_tables(tune(spark), sf_dir)
+    return embedding_neardup_pairs(
+        t.embeddings, id_col="vec_id", emb_col="embedding",
+        nbits=32, max_hamming=10, min_cosine=0.4,
+    )

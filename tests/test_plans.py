@@ -155,3 +155,11 @@ def test_lsh_ann_is_bucket_equijoin(spark):
         "LSH candidate join degraded to a nested loop"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_uses_native_join_types(spark):
+    plan = explain(spark, "j_semi_anti_exists")
+    # EXISTS/NOT EXISTS must plan as native semi/anti joins (left columns
+    # only, short-circuit per key), not as outer-join + null-filter
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan

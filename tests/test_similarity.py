@@ -104,3 +104,29 @@ def test_ivf_kmeans_recall_and_cell_balance(spark, embeddings, truth):
     n_total = sum(r["count"] for r in sizes)
     ideal = n_total / 16
     assert max(r["count"] for r in sizes) <= 2.5 * ideal, sizes
+
+
+def test_embedding_neardup_recall_on_planted(spark, embeddings):
+    """Planted near-dups (tiny perturbation => cosine ~0.99+) must be
+    recovered by the pigeonhole LSH path, and every emitted pair must pass
+    the exact-cosine verify (no false positives by construction)."""
+    from clinical_bi_spark.operators.similarity import embedding_neardup_pairs
+
+    base = embeddings.limit(20).collect()
+    rows = []
+    for r in base:
+        rows.append((r.vec_id, r.embedding))
+        # twin = same vector with one coordinate nudged: cosine ~ 0.999
+        twin = list(r.embedding)
+        twin[0] += 0.01
+        rows.append((r.vec_id + 100000, twin))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(
+        df, nbits=32, max_hamming=6, min_cosine=0.9
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(r.vec_id, r.vec_id + 100000) for r in base}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"planted twin recall {recall}: {sorted(got)[:5]}"
+    for r in pairs:
+        assert r.cos_sim >= 0.9  # exact verify really applied

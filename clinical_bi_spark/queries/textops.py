@@ -72,10 +72,10 @@ def _sw_hits_sql(lang: str) -> str:
     )
 
 
-_QUALITY_ORACLE = f"""
-SELECT
-  doc_id,
-  ROUND((
+def _quality_sql() -> str:
+    """The quality-score expression as a reusable SQL fragment (mirrors
+    functions/text.quality_score exactly)."""
+    return f"""ROUND((
     least(len({_TOKENS.format(col='text')}) / 64.0, 1.0)
     + least(ROUND({_sw_hits_sql('en')}::DOUBLE
             / greatest(len({_LTOKENS.format(col='text')}), 1), 6) / 0.05, 1.0)
@@ -84,7 +84,13 @@ SELECT
     + CASE WHEN ROUND(list_sum(list_transform({_TOKENS.format(col='text')}, x -> length(x)))::DOUBLE
                 / greatest(len({_TOKENS.format(col='text')}), 1), 6) BETWEEN 2.0 AND 12.0
            THEN 1.0 ELSE 0.0 END
-  ) / 4.0, 6) AS quality,
+  ) / 4.0, 6)"""
+
+
+_QUALITY_ORACLE = f"""
+SELECT
+  doc_id,
+  {_quality_sql()} AS quality,
   ROUND({_sw_hits_sql('en')}::DOUBLE
         / greatest(len({_LTOKENS.format(col='text')}), 1), 6) AS en_stopword_ratio
 FROM documents
@@ -331,12 +337,13 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Winnowing fingerprints (operators/dedup.py): base-31 polynomial k-gram
 # hash + sliding-window min — exact integer arithmetic, so DuckDB computes
-# bit-identical fingerprints and both queries below are fully oracle-checked
-# (unlike the Spark-hash-specific MinHash/SimHash rows-only paths).
-_WINNOW_FPS_CTE = """
-WITH s AS (
+# bit-identical fingerprints and the queries built on it are fully
+# oracle-checked (unlike the Spark-hash-specific MinHash/SimHash rows-only
+# paths). ``src`` parameterizes the corpus relation so the curation
+# pipeline can winnow an already-filtered CTE, not just the base table.
+_WINNOW_FPS_BODY = """s AS (
   SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
-  FROM documents
+  FROM {src}
 ), g AS (
   SELECT doc_id,
     CASE WHEN length(t) >= 8 THEN
@@ -359,10 +366,14 @@ WITH s AS (
            i -> list_aggregate(gh[CAST(i AS INT):CAST(i + 3 AS INT)], 'min'))))
     END AS fps
   FROM g
-)
-"""
+)"""
 
-_WINNOW_SUMMARY_ORACLE = _WINNOW_FPS_CTE + """
+
+def _winnow_cte(src: str = "documents") -> str:
+    return "WITH " + _WINNOW_FPS_BODY.format(src=src)
+
+
+_WINNOW_SUMMARY_ORACLE = _winnow_cte() + """
 SELECT doc_id,
        CAST(len(fps) AS INT)                    AS n_fps,
        CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_checksum,
@@ -372,7 +383,7 @@ FROM w
 """
 
 
-@query("text_winnow_fingerprint", oracle=_WINNOW_SUMMARY_ORACLE)
+@query("text_winnow_fingerprint", oracle=_WINNOW_SUMMARY_ORACLE, bench=True)
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed document fingerprints (8-char-gram base-31 rolling hash,
     window-4 minima — the MOSS scheme), summarized per document to scalars
@@ -394,8 +405,9 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_PAIRS_ORACLE = _WINNOW_FPS_CTE + """
-, e0 AS (
+# postings → df cap → post-cap sizes → pair join, reused (with the same
+# thresholds) by the curation pipeline below
+_WINNOW_PAIRS_BODY = """e0 AS (
   SELECT doc_id, unnest(fps) AS fp FROM w
 ), surviving AS (
   SELECT fp FROM e0 GROUP BY fp HAVING COUNT(*) <= 50
@@ -405,16 +417,21 @@ _WINNOW_PAIRS_ORACLE = _WINNOW_FPS_CTE + """
   SELECT doc_id, COUNT(*) AS n_fps FROM ee0 GROUP BY doc_id
 ), ee AS (
   SELECT ee0.doc_id, sz.n_fps, ee0.fp FROM ee0 JOIN sz USING (doc_id)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS INT) AS shared_fps,
+         ROUND(COUNT(*)::DOUBLE / least(a.n_fps, b.n_fps), 6) AS containment
+  FROM ee a JOIN ee b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_fps, b.n_fps
+  HAVING COUNT(*) >= 3
+     AND COUNT(*)::DOUBLE / least(a.n_fps, b.n_fps) >= 0.5
+)"""
+
+_WINNOW_PAIRS_ORACLE = (
+    _winnow_cte() + ", " + _WINNOW_PAIRS_BODY
+    + "\nSELECT doc_a, doc_b, shared_fps, containment FROM pairs"
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(COUNT(*) AS INT) AS shared_fps,
-       ROUND(COUNT(*)::DOUBLE / least(a.n_fps, b.n_fps), 6) AS containment
-FROM ee a JOIN ee b USING (fp)
-WHERE a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id, a.n_fps, b.n_fps
-HAVING COUNT(*) >= 3
-   AND COUNT(*)::DOUBLE / least(a.n_fps, b.n_fps) >= 0.5
-"""
 
 
 @query("dedup_winnow_pairs", oracle=_WINNOW_PAIRS_ORACLE)
@@ -427,8 +444,11 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_bi_spark.operators.dedup import winnow_neardup_pairs
 
     t = load_tables(tune(spark), sf_dir)
+    # one fixture split → spread the CPU-bound fingerprinting (no-op at
+    # scale where the scan itself yields thousands of splits)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
     pairs = winnow_neardup_pairs(
-        t.documents, id_col="doc_id", text_col="text",
+        docs, id_col="doc_id", text_col="text",
         min_shared=3, min_containment=0.5, max_df=50,
     )
     return pairs.select(
@@ -436,4 +456,92 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("doc_b"),
         "shared_fps",
         "containment",
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation — the canonical LLM-training-data pipeline as
+# ONE declarative plan: quality gate → language gate → exact dedup (keep
+# lowest doc_id per content fingerprint) → winnowed near-dup drop (keep the
+# lower id of each pair) → per-source rollup. Every stage reuses an
+# already-oracle-checked fragment, so the composite is exactly checked too.
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = (
+    f"""
+WITH scored AS (
+  SELECT *, {_quality_sql()} AS quality, {_lang_case_sql()} AS glang
+  FROM documents
+), kept0 AS (
+  SELECT * FROM scored WHERE quality >= 0.85 AND glang = 'en'
+), xkeep AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS xfp,
+         MIN(doc_id) AS keep_id
+  FROM kept0 GROUP BY 1
+), kept1 AS (
+  SELECT k.* FROM kept0 k JOIN xkeep
+    ON md5(trim(regexp_replace(lower(k.text), '\\s+', ' ', 'g'))) = xkeep.xfp
+   AND k.doc_id = xkeep.keep_id
+), """
+    + _WINNOW_FPS_BODY.format(src="kept1")
+    + ", "
+    + _WINNOW_PAIRS_BODY
+    + """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len("""
+    + _TOKENS.format(col="text")
+    + """)) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM kept1
+WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+GROUP BY source
+"""
+)
+
+
+@query("pipeline_corpus_curation", oracle=_CURATION_ORACLE, bench=True)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel in one lazy plan: Catalyst sees quality +
+    language gates (narrow, pushable), the md5 exact-dedup semi-join, the
+    winnowed near-dup anti-join, and the final rollup together — so column
+    pruning reaches the scan and only fingerprints/ids ever shuffle. At
+    100 TB each stage is the already-audited shape (narrow scoring, 16-byte
+    exact-dedup keys, df-capped postings, broadcastable drop list)."""
+    from clinical_bi_spark.operators.dedup import winnow_neardup_pairs
+
+    t = load_tables(tune(spark), sf_dir)
+    text = F.col("text")
+    # the sf fixture is one parquet split; spread the CPU-bound scoring
+    # regexes across cores (at 100 TB the scan has thousands of splits and
+    # this round-robin exchange of raw text is a no-op policy). The persist
+    # matters: predicate pushdown moves the quality/language filter BELOW a
+    # bare Exchange onto the serial pre-shuffle partition (verified in the
+    # plan) — a cached relation is the barrier that keeps it parallel.
+    docs = t.documents.repartition(
+        spark.sparkContext.defaultParallelism
+    ).persist()
+    scored = docs.withColumn("quality", quality_score(text)).withColumn(
+        "glang", language_guess(text)
+    )
+    kept0 = scored.filter((F.col("quality") >= 0.85) & (F.col("glang") == "en"))
+    # exact dedup: keep the lowest doc_id of every content-fingerprint group
+    fp = kept0.withColumn("xfp", doc_fingerprint(text))
+    keepers = fp.groupBy("xfp").agg(F.min("doc_id").alias("doc_id"))
+    # checkpoint the curated survivors: three consumers (near-dup
+    # fingerprinting, the anti-join left side, the rollup) would otherwise
+    # each re-run the scoring regexes over the full text (measured 19 s →
+    # 6 s at sf0.1) — the same stage a production pipeline materializes
+    kept1 = fp.join(keepers, ["xfp", "doc_id"], "left_semi").persist()
+    # near-dup drop: anti-join the higher id of each winnowed pair
+    pairs = winnow_neardup_pairs(
+        kept1, id_col="doc_id", text_col="text",
+        min_shared=3, min_containment=0.5, max_df=50,
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept2 = kept1.join(drops, "doc_id", "left_anti")
+    return kept2.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text)).cast("bigint").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
     )

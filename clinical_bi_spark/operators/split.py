@@ -168,3 +168,34 @@ def exact_size_seeded_split_distributed(
     ).drop(*drop)
     test = ranked.filter(F.col("__rank") > n_train + n_validate).drop(*drop)
     return train, validate, test
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    frac: float,
+    key: str,
+    modulus: int = 10_000,
+) -> DataFrame:
+    """Exact-size stratified sample: floor(frac · n_s) rows from every
+    stratum s, chosen by Fibonacci-hash order of ``key`` (then key, so the
+    order is total) — the training-data downsampler that keeps class
+    proportions exact. Deterministic and engine-independent (the same
+    arithmetic is the DuckDB oracle in m12_stratified_sample), stable
+    under repartitioning, one shuffle on the stratum column.
+
+    ``df.sampleBy`` gives only expected-size strata and Spark-RNG rows;
+    this form trades one window shuffle for exact sizes + reproducibility.
+    Skew note: a hot stratum serializes its window; at 100 TB pre-split a
+    giant stratum by a salt on the hash order (rank is still exact per
+    salt-range prefix sum, same trick as exact_size_seeded_split_distributed).
+    """
+    b = split_bucket(F.col(key), modulus)
+    w = Window.partitionBy(stratum_col).orderBy("__b", key)
+    return (
+        df.withColumn("__b", b)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(Window.partitionBy(stratum_col)))
+        .filter(F.col("__rn") <= F.floor(F.lit(frac) * F.col("__n")))
+        .drop("__b", "__rn", "__n")
+    )

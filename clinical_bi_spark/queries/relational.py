@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from clinical_bi_spark.functions.exprs import (
     cleanse_text,
@@ -1108,4 +1109,74 @@ def j_semi_anti_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("n_name").alias("nation"), "has_orders")
         .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M12 (extension) — exact-size stratified sampling, the training-data
+# downsampler. sampleBy() gives expected sizes from Spark's RNG; this form
+# is deterministic, engine-checkable, and exact per stratum.
+# ---------------------------------------------------------------------------
+
+_STRATIFIED_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, o_orderpriority,
+         ((o_orderkey % 999983) * 2654435761) % 4294967296 % 10000 AS bk
+  FROM orders
+), r AS (
+  SELECT o_orderkey, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY bk, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM b
+)
+SELECT o_orderkey, o_orderpriority FROM r WHERE rn <= FLOOR(0.1 * n)
+"""
+
+
+@query("m12_stratified_sample", oracle=_STRATIFIED_ORACLE)
+def m12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% per-priority sample of orders, selected by Fibonacci-hash
+    order (operators/split.stratified_sample_exact): class proportions stay
+    exact and every engine picks the same rows — unlike sampleBy's
+    expected-size Spark-RNG draw. One shuffle on the stratum column."""
+    from clinical_bi_spark.operators.split import stratified_sample_exact
+
+    t = load_tables(tune(spark), sf_dir)
+    return stratified_sample_exact(
+        t.orders, stratum_col="o_orderpriority", frac=0.1, key="o_orderkey"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 extension — rank-function battery (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+_RANK_BATTERY_ORACLE = """
+SELECT
+  o_orderkey,
+  o_orderpriority,
+  CAST(ntile(4) OVER w AS INT)        AS price_quartile,
+  ROUND(percent_rank() OVER w, 6)     AS pct_rank,
+  ROUND(cume_dist() OVER w, 6)        AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("w4_rank_battery", oracle=_RANK_BATTERY_ORACLE)
+def w4_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over a deterministic total order
+    (price, then key) — the remaining SQL rank functions w1-w3 don't
+    cover. Single window spec → one shuffle, three functions."""
+    t = load_tables(tune(spark), sf_dir)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )

@@ -80,3 +80,18 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_bi_spark.streaming.windows import stream_stream_interval_join
 
     return stream_stream_interval_join(tune(spark), sf_dir)
+
+
+@query("stream_corpus_curation", oracle=None)
+def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest curation: quality + language gates (stateless,
+    same expressions as the batch funnel), exact dedup on the content
+    fingerprint, per-source running counts. Rows-only (first-arrival
+    dedup makes the per-source split order-dependent for cross-source
+    duplicates); tests pin the total against the batch funnel's
+    pre-near-dup stage."""
+    from clinical_bi_spark.streaming.windows import (
+        stream_corpus_curation as _scc,
+    )
+
+    return _scc(tune(spark), sf_dir)

@@ -545,3 +545,69 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count(text)).cast("bigint").alias("total_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-and-chunk into fixed context windows (the
+# standard pretraining batching step): documents are laid head-to-tail in
+# deterministic doc_id order and the token stream is cut every CONTEXT
+# tokens. Pack assignment is a pure prefix sum, so it is exactly
+# SQL-expressible and oracle-checked. The global ordered window is the
+# small-corpus form; at 100 TB the same prefix sum decomposes into
+# per-partition sums + a driver-side offset broadcast (the
+# exact_size_seeded_split_distributed pattern in operators/split.py) —
+# the cut points are identical because addition is associative.
+# ---------------------------------------------------------------------------
+
+_PACK_CONTEXT = 2048
+
+_PACKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       start_offset,
+       CAST(FLOOR(start_offset / {_PACK_CONTEXT}) AS BIGINT) AS pack_id,
+       (n_tokens > 0 AND
+        FLOOR((start_offset + n_tokens - 1) / {_PACK_CONTEXT})
+          > FLOOR(start_offset / {_PACK_CONTEXT})) AS crosses_boundary
+FROM pos
+"""
+
+
+@query("text_sequence_packing", oracle=_PACKING_ORACLE)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 2048-token context windows: each
+    document's pack is floor(start_offset / ctx) where start_offset is the
+    running token total of all earlier documents (doc_id order);
+    crosses_boundary marks documents split across two windows. Exact
+    oracle — the assignment is arithmetic on a prefix sum."""
+    t = load_tables(tune(spark), sf_dir)
+    from pyspark.sql.window import Window
+
+    n_tok = token_count(F.col("text")).cast("bigint")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    toks = t.documents.select("doc_id", n_tok.alias("n_tokens"))
+    pos = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    ctx = F.lit(_PACK_CONTEXT)
+    return pos.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "start_offset",
+        F.floor(F.col("start_offset") / ctx).alias("pack_id"),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / ctx)
+                > F.floor(F.col("start_offset") / ctx)
+            )
+        ).alias("crosses_boundary"),
+    )

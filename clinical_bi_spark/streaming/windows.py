@@ -218,3 +218,47 @@ def stream_stream_interval_join(
         "purchase_ts",
     )
     return _run_to_completion(joined, "append")
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("basePath", sf_dir)
+        .parquet(path + "*")
+    )
+
+
+def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest side of the batch curation funnel
+    (queries/textops.pipeline_corpus_curation): quality gate + language
+    gate (stateless, narrow — identical expressions to batch), exact dedup
+    on the content fingerprint (streaming dropDuplicates state), per-source
+    running counts in complete mode.
+
+    On bounded availableNow input the total kept-count equals the batch
+    funnel's pre-near-dup stage (asserted in tests/test_streaming.py);
+    the per-source split depends on which copy of a cross-source duplicate
+    arrives first, so the query is registered rows-only. Unbounded-state
+    note: documents carry no event time, so fingerprint state here grows
+    with the corpus; a production ingest attaches an arrival timestamp and
+    uses dropDuplicatesWithinWatermark, trading exactness across the
+    watermark horizon for bounded state.
+    """
+    from clinical_bi_spark.functions.text import (
+        doc_fingerprint,
+        language_guess,
+        quality_score,
+    )
+
+    docs = _documents_stream(spark, sf_dir)
+    kept = docs.filter(
+        (quality_score(F.col("text")) >= 0.85)
+        & (language_guess(F.col("text")) == "en")
+    )
+    deduped = kept.withColumn(
+        "fingerprint", doc_fingerprint(F.col("text"))
+    ).dropDuplicates(["fingerprint"])
+    agg = deduped.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return _run_to_completion(agg, "complete")

@@ -125,3 +125,30 @@ def test_rate_source_unbounded_stream(spark):
         q.stop()
     assert len(rows) >= 2
     assert all(r.n > 0 for r in rows)
+
+
+def test_stream_curation_total_matches_batch_funnel(spark):
+    """The streaming curation total (quality+language gate, exact dedup)
+    equals the batch funnel's pre-near-dup stage — distinct fingerprints
+    are order-independent even though the per-source split is not."""
+    from clinical_bi_spark.functions.text import (
+        doc_fingerprint,
+        language_guess,
+        quality_score,
+    )
+    from clinical_bi_spark.streaming.windows import stream_corpus_curation
+
+    streamed = stream_corpus_curation(spark, SF_ORACLE)
+    total_streamed = streamed.agg(F.sum("n_docs")).first()[0]
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    batch_total = (
+        docs.filter(
+            (quality_score(F.col("text")) >= 0.85)
+            & (language_guess(F.col("text")) == "en")
+        )
+        .select(doc_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert total_streamed == batch_total

@@ -588,26 +588,79 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     running token total of all earlier documents (doc_id order);
     crosses_boundary marks documents split across two windows. Exact
     oracle — the assignment is arithmetic on a prefix sum."""
-    t = load_tables(tune(spark), sf_dir)
-    from pyspark.sql.window import Window
+    from clinical_bi_spark.operators.packing import pack_assignments_window
 
-    n_tok = token_count(F.col("text")).cast("bigint")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    toks = t.documents.select("doc_id", n_tok.alias("n_tokens"))
-    pos = toks.withColumn(
-        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    t = load_tables(tune(spark), sf_dir)
+    toks = t.documents.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
     )
-    ctx = F.lit(_PACK_CONTEXT)
-    return pos.select(
+    packed = pack_assignments_window(toks, context=_PACK_CONTEXT)
+    return packed.select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
         "start_offset",
-        F.floor(F.col("start_offset") / ctx).alias("pack_id"),
-        (
-            (F.col("n_tokens") > 0)
-            & (
-                F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / ctx)
-                > F.floor(F.col("start_offset") / ctx)
-            )
-        ).alias("crosses_boundary"),
+        "pack_id",
+        "crosses_boundary",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub pass every public-corpus pipeline runs before
+# training. The fixture text is PII-free word salad, so the query PLANTS
+# deterministic PII (email/URL/phone derived from doc_id) and then redacts
+# it: the oracle reproduces both the construction and the scrub, so the
+# redaction regexes themselves are what is being checked. Patterns stay in
+# the Java-regex ∩ RE2 common subset so Spark and DuckDB agree.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^\\s]+"
+_PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+_REDACT_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or ' ||
+         'https://site' || (doc_id % 10) || '.example.org/p?q=1 ' ||
+         'call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS INT)   AS n_urls,
+  CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '{_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{_URL_RE}', '<URL>', 'g'),
+        '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM raw
+"""
+
+
+@query("text_redact_pii", oracle=_REDACT_ORACLE)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL/phone redaction with per-document match counts; the
+    redacted text ships as md5 (the contract never needs the full string).
+    Pure regexp_replace chain — narrow, codegen, zero shuffle."""
+    t = load_tables(tune(spark), sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com or "),
+        F.lit("https://site"), F.col("doc_id") % 10,
+        F.lit(".example.org/p?q=1 "),
+        F.lit("call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return t.documents.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_URL_RE)).cast("int").alias("n_urls"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
     )

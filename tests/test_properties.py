@@ -114,3 +114,39 @@ def test_keyed_split_fraction_bounds(spark, n):
     # keyed hash approximates the fractions; loose bounds, no flakiness
     assert 0.6 <= counts.get("train", 0) / total <= 0.8
     assert counts.get("validate", 0) / total <= 0.02
+
+
+def _py_winnow(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Independent pure-Python winnowing (MOSS): normalize, base-31
+    polynomial k-gram hashes, sliding-window minima, distinct sorted."""
+    s = re.sub(r"[^a-z0-9]", "", text.lower())
+    m = len(s) - (k - 1)
+    if m < 1:
+        return []
+    hashes = [
+        sum(ord(s[i + j]) * 31 ** (k - 1 - j) for j in range(k)) for i in range(m)
+    ]
+    n_windows = max(m - window + 1, 1)
+    wins = {min(hashes[i : i + window]) for i in range(n_windows)}
+    return sorted(wins)
+
+
+TEXTS = st.text(
+    alphabet=st.characters(
+        codec="ascii", categories=("L", "N", "P", "Z")
+    ),
+    max_size=120,
+)
+
+
+@_slow_ok
+@given(st.lists(TEXTS, min_size=1, max_size=30))
+def test_winnow_matches_python_reference(spark, texts):
+    from clinical_bi_spark.operators.dedup import winnow_fingerprints_df
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.id: list(r.fps) for r in winnow_fingerprints_df(df).collect()}
+    for i, text in enumerate(texts):
+        assert got[i] == _py_winnow(text), (i, text)

@@ -171,13 +171,46 @@ def extract_media_features(
 
 
 def sample_video_frames(
-    df: DataFrame, id_col: str = "asset_id", media_col: str = "media", every_n: int = 30
+    df: DataFrame,
+    id_col: str = "asset_id",
+    media_col: str = "media",
+    every_n: int = 30,
+    frame_bytes: int = 256,
+    fake_codec: bool = True,
 ) -> DataFrame:
-    """Frame sampling — STUB (no video codec in this container). The
-    signature and output schema are the contract: one row per sampled
-    frame, frame index + frame bytes."""
-    raise NotImplementedError(
-        "video frame sampling requires a codec library (pyav/ffmpeg); "
-        "not available in this environment. Output schema contract: "
-        f"{id_col} long, frame_index int, frame binary"
-    )
+    """Frame sampling: one output row per sampled frame (fan-out generator
+    shape). The real-codec path is a stub (no pyav/ffmpeg in this
+    container); ``fake_codec=True`` models the byte stream as fixed-size
+    ``frame_bytes`` frames and slices every ``every_n``-th one — the Spark
+    plumbing (mapInPandas row fan-out, Arrow binary batches, typed output
+    schema) is exactly the real path's, and the byte slicing makes the
+    registry query oracle-checkable end to end."""
+    if not fake_codec:
+        raise NotImplementedError(
+            "video frame decoding requires a codec library (pyav/ffmpeg); "
+            "not available in this environment — use fake_codec=True"
+        )
+
+    schema = f"{id_col} long, frame_index int, frame binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for aid, data in zip(pdf[id_col], pdf[media_col]):
+                data = data or b""
+                n_frames = len(data) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(data[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

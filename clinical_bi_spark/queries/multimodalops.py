@@ -66,3 +66,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
     )
     return feats.select("asset_id", feat_csv.alias("feature_csv"))
+
+
+# The fixture text is pure ASCII (verified: octet_length(encode(text)) ==
+# length(text) for every row), so DuckDB's VARCHAR substring slices the
+# same bytes Spark's binary slicing does and the md5s agree exactly.
+_FRAME_ORACLE = """
+SELECT doc_id AS asset_id,
+       CAST(i AS INT) AS frame_index,
+       md5(substring(text, CAST(i * 256 + 1 AS INT), 256)) AS frame_md5
+FROM documents, UNNEST(range(0, length(text) // 256, 2)) AS t(i)
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the fake codec (256-byte frames, every 2nd
+    sampled): the mapInPandas fan-out emits one row per sampled frame —
+    the generator shape a real video pipeline needs — and the byte-level
+    md5 oracle pins the slicing exactly. Frames ship as md5, not raw
+    bytes (contract hygiene)."""
+    from clinical_bi_spark.operators.multimodal import sample_video_frames
+
+    t = load_tables(tune(spark), sf_dir)
+    media = t.documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+    )
+    frames = sample_video_frames(media, every_n=2, frame_bytes=256)
+    return frames.select(
+        "asset_id", "frame_index", F.md5("frame").alias("frame_md5")
+    )

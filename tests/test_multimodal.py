@@ -103,6 +103,21 @@ def test_real_decode_is_stubbed(media_df):
     )
 
 
-def test_video_sampling_is_stubbed(media_df):
+def test_video_sampling_real_codec_is_stubbed(media_df):
+    # the real-codec path stays a declared stub (no pyav/ffmpeg here)
     with pytest.raises(NotImplementedError):
-        sample_video_frames(media_df)
+        sample_video_frames(media_df, fake_codec=False)
+
+
+def test_video_sampling_fake_codec_fanout(spark):
+    # 600 bytes -> 2 full 256-byte frames -> indices 0 (and 2 if >=3 frames);
+    # every_n=2 samples frame 0 only; 1100 bytes -> 4 frames -> 0 and 2
+    df = spark.createDataFrame(
+        [(1, b"a" * 600), (2, b"b" * 1100), (3, b"c" * 100), (4, None)],
+        "asset_id long, media binary",
+    )
+    rows = sorted(
+        (r.asset_id, r.frame_index, len(r.frame))
+        for r in sample_video_frames(df, every_n=2, frame_bytes=256).collect()
+    )
+    assert rows == [(1, 0, 256), (2, 0, 256), (2, 2, 256)]

@@ -214,3 +214,46 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(batches, schema=schema)
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    media_col: str = "media",
+    target_bytes: int = 64,
+    fake_codec: bool = True,
+) -> DataFrame:
+    """Resize/downsample plumbing: binary in → smaller binary out, plus the
+    output size as typed metadata. The real path (decode → interpolate →
+    re-encode) needs an imaging library, so it stays a declared stub;
+    ``fake_codec=True`` models nearest-neighbor downsampling directly on
+    the byte stream (every ceil(n/target)-th byte), which preserves the
+    real path's shape: deterministic, size-bounded output, Arrow-batched
+    mapInPandas, no driver involvement."""
+    if not fake_codec:
+        raise NotImplementedError(
+            "media resize requires an imaging library (PIL/cv2); "
+            "not available in this environment — use fake_codec=True"
+        )
+
+    schema = f"{id_col} long, resized binary, resized_bytes int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def shrink(data: bytes | None) -> bytes:
+                data = data or b""
+                if len(data) <= target_bytes:
+                    return data
+                step = -(-len(data) // target_bytes)  # ceil
+                return data[::step]
+
+            resized = pdf[media_col].map(shrink)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": resized,
+                    "resized_bytes": resized.map(len).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

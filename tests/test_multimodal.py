@@ -121,3 +121,22 @@ def test_video_sampling_fake_codec_fanout(spark):
         for r in sample_video_frames(df, every_n=2, frame_bytes=256).collect()
     )
     assert rows == [(1, 0, 256), (2, 0, 256), (2, 2, 256)]
+
+
+def test_resize_fake_codec_bounds_and_determinism(spark):
+    from clinical_bi_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 4), (2, b"xy"), (3, None)],
+        "asset_id long, media binary",
+    )
+    rows = {r.asset_id: r for r in resize_media(df, target_bytes=64).collect()}
+    assert rows[1].resized_bytes <= 64  # downsampled under the budget
+    assert rows[1].resized[:2] == bytes([0, 16])  # every 16th byte: deterministic
+    assert rows[2].resized == b"xy"  # already under budget: unchanged
+    assert rows[3].resized == b"" and rows[3].resized_bytes == 0
+    again = {r.asset_id: r for r in resize_media(df, target_bytes=64).collect()}
+    assert all(again[k].resized == rows[k].resized for k in rows)
+
+    with pytest.raises(NotImplementedError):
+        resize_media(df, fake_codec=False)

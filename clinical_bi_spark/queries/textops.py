@@ -664,3 +664,76 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF — corpus-relevance scoring: explode terms, per-(doc, term) counts,
+# document frequencies, smoothed idf, top-5 terms per document. Exercises
+# the full relational text shape (fan-out explode → two aggregations →
+# broadcast idf join → ranked window). Scores are rounded to 6 decimals
+# BEFORE ranking on both sides so an ulp difference between JVM and libm
+# ln() can never flip an ordering.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_LTOKENS.format(col='text')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS INT) AS tf, tfidf,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+) t
+WHERE rnk <= 5
+"""
+
+
+@query("text_tfidf_topk", oracle=_TFIDF_ORACLE)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1).
+    Scale shape: terms shuffle twice (by (doc,term) then by term for df);
+    the idf table is vocabulary-sized → broadcast back; the final top-k is
+    one window on doc_id. N arrives via a broadcast one-row crossJoin, not
+    a driver-side collect."""
+    t = load_tables(tune(spark), sf_dir)
+    terms = t.documents.select(
+        "doc_id", F.explode(word_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = t.documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", F.col("tf").cast("int").alias("tf"), "tfidf",
+                F.col("rnk").cast("int").alias("rnk"))
+    )

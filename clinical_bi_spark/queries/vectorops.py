@@ -177,3 +177,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.embeddings, id_col="vec_id", emb_col="embedding",
         nbits=32, max_hamming=10, min_cosine=0.4,
     )
+
+
+@query("sim_ann_pq", oracle=None)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via product quantization (8 subspaces × 16 centroids,
+    reconstruction-ADC, exact-cosine re-rank of the best 50) — the third
+    leg of the ANN trio next to sim_ann_lsh and sim_ann_ivf. Approximate →
+    rows-only; tests/test_similarity.py pins recall vs brute force and
+    planted-twin retrieval. At scale only the m-int code table is scanned
+    per query batch; raw vectors are read for rerank candidates only."""
+    from clinical_bi_spark.operators.similarity import pq_topk
+
+    t = load_tables(tune(spark), sf_dir)
+    emb = t.embeddings
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)

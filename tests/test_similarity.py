@@ -130,3 +130,29 @@ def test_embedding_neardup_recall_on_planted(spark, embeddings):
     assert recall >= 0.9, f"planted twin recall {recall}: {sorted(got)[:5]}"
     for r in pairs:
         assert r.cos_sim >= 0.9  # exact verify really applied
+
+
+def test_pq_recall_and_planted_twin(spark, embeddings, truth):
+    """PQ + exact rerank: recall vs brute force on near-random vectors
+    stays above the LSH-path bar, and a planted near-identical twin is
+    retrieved at rank 1 (its reconstruction error ~ the original's, so ADC
+    cannot miss it and the exact rerank must top-rank it)."""
+    from clinical_bi_spark.operators.similarity import pq_topk
+
+    qs = embeddings.filter(F.col("vec_id") < 8)
+    got = pq_topk(embeddings, qs, k=5).collect()
+    recall = _recall(got, truth)
+    assert recall >= 0.5, f"PQ recall {recall}"
+
+    base = embeddings.limit(1).collect()[0]
+    twin = list(base.embedding)
+    twin[0] += 0.01
+    planted = embeddings.union(
+        spark.createDataFrame(
+            [(990000, twin, base.label)], embeddings.schema
+        )
+    )
+    res = pq_topk(
+        planted, planted.filter(F.col("vec_id") == 990000), k=1
+    ).collect()
+    assert res and res[0].neighbor_id == base.vec_id

@@ -737,3 +737,57 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", F.col("tf").cast("int").alias("tf"), "tfidf",
                 F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination — the held-out-overlap scan every LLM pipeline runs
+# before training: flag training documents that share winnowed
+# fingerprints with an evaluation slice (here: source 'src0' stands in
+# for the benchmark set). Production uses long n-grams (e.g. 13-gram
+# winnowing) for near-zero false positives; the mechanism is identical.
+# ---------------------------------------------------------------------------
+
+_EVAL_SOURCE = "src0"
+_DECONTAM_ORACLE = _winnow_cte() + f"""
+, e AS (
+  SELECT w.doc_id, unnest(fps) AS fp FROM w
+), tagged AS (
+  SELECT e.doc_id, d.source, e.fp FROM e JOIN documents d USING (doc_id)
+), ev AS (
+  SELECT DISTINCT fp FROM tagged WHERE source = '{_EVAL_SOURCE}'
+)
+SELECT t.doc_id, CAST(COUNT(*) AS INT) AS n_shared_fps
+FROM tagged t JOIN ev USING (fp)
+WHERE t.source <> '{_EVAL_SOURCE}'
+GROUP BY t.doc_id
+HAVING COUNT(*) >= 3
+"""
+
+
+@query("dedup_decontaminate", oracle=_DECONTAM_ORACLE)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-eval overlap scan: a training doc is flagged when it
+    shares >= 3 winnowed fingerprints with ANY eval document. Scale shape:
+    fingerprints computed once over everything (narrow), the eval
+    fingerprint set is benchmark-sized -> broadcast semi-join; only
+    (fp, doc) postings shuffle."""
+    from clinical_bi_spark.operators.dedup import winnow_fingerprints_df
+
+    t = load_tables(tune(spark), sf_dir)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    fps = winnow_fingerprints_df(docs).persist()
+    e = (
+        fps.select("id", F.explode("fps").alias("fp"))
+        .join(t.documents.select(F.col("doc_id").alias("id"), "source"), "id")
+    )
+    ev = (
+        e.filter(F.col("source") == _EVAL_SOURCE).select("fp").distinct()
+    )
+    return (
+        e.filter(F.col("source") != _EVAL_SOURCE)
+        .join(F.broadcast(ev), "fp")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 3)
+        .select("doc_id", F.col("n_shared_fps").cast("int").alias("n_shared_fps"))
+    )

@@ -163,3 +163,17 @@ def test_semi_anti_uses_native_join_types(spark):
     # only, short-circuit per key), not as outer-join + null-filter
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_winnow_pairs", "dedup_embedding_lsh", "dedup_simhash_blocked",
+     "dedup_decontaminate"],
+)
+def test_pair_miners_never_nested_loop(spark, name):
+    # every near-dup/overlap miner must candidate-join on an equi key
+    # (bucket, segment, fingerprint) — a nested-loop or cartesian join is
+    # the all-pairs scan these operators exist to avoid
+    plan = explain(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

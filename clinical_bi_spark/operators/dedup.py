@@ -537,3 +537,59 @@ def winnow_neardup_pairs(
             F.round(containment, 6).alias("containment"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every vertex appearing in ``edges``, where
+    component = the minimum vertex id reachable from it — the clustering
+    step that turns near-dup PAIRS into dedup GROUPS (keep one doc per
+    component, drop the rest).
+
+    Iterative min-label propagation: every vertex starts labeled with its
+    own id; each round replaces a label with the minimum label in its
+    closed neighborhood; convergence when a round changes nothing. Rounds
+    are bounded by graph diameter (near-dup graphs are shallow — dup
+    cliques and short chains), each round is one shuffle-by-vertex
+    aggregation over the edge list, and the frontier persist keeps lineage
+    flat (at cluster scale, checkpoint every ~10 rounds instead). The
+    min-reachable-label semantics are engine-checkable: DuckDB computes
+    the same fixpoint with a recursive CTE (dedup_cluster_winnow oracle).
+    """
+    both = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = both.select(F.col("u").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    ).persist()
+    for _ in range(max_iter):
+        # label each vertex with min(own label, neighbors' labels)
+        neigh = (
+            both.join(labels, both.v == labels.id)
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("chg"),
+            )
+        ).persist()
+        changed = updated.filter(F.col("chg")).limit(1).count()
+        new_labels = updated.drop("chg").persist()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component"))

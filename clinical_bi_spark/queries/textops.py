@@ -791,3 +791,59 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared_fps") >= 3)
         .select("doc_id", F.col("n_shared_fps").cast("int").alias("n_shared_fps"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering — pairs are not groups: the keep/drop decision needs
+# connected components over the near-dup graph (A~B, B~C ⇒ {A,B,C} is one
+# group even if A,C never paired). Spark runs iterative min-label
+# propagation (operators/dedup.connected_components); DuckDB reaches the
+# identical fixpoint with a recursive CTE, making the iterative algorithm
+# exactly oracle-checked — not just rows-only.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = (
+    "WITH RECURSIVE "
+    + _WINNOW_FPS_BODY.format(src="documents")
+    + ", "
+    + _WINNOW_PAIRS_BODY
+    + """
+, nodes AS (
+  SELECT DISTINCT u FROM (
+    SELECT doc_a AS u FROM pairs UNION ALL SELECT doc_b AS u FROM pairs
+  )
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+)
+
+
+@query("dedup_cluster_winnow", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups over the winnow pair graph: component = minimum
+    reachable doc_id (keep it, drop the rest of the component). Iterative
+    min-label propagation, O(diameter) rounds, one shuffle per round —
+    and still exactly oracle-checked via DuckDB's recursive CTE."""
+    from clinical_bi_spark.operators.dedup import (
+        connected_components,
+        winnow_neardup_pairs,
+    )
+
+    t = load_tables(tune(spark), sf_dir)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    pairs = winnow_neardup_pairs(
+        docs, id_col="doc_id", text_col="text",
+        min_shared=3, min_containment=0.5, max_df=50,
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )

@@ -187,3 +187,15 @@ def test_winnow_robust_to_whitespace_and_case(spark):
     rows = {r.id: r.fps for r in winnow_fingerprints_df(df).collect()}
     # normalization deletes case/punct/whitespace -> identical fingerprints
     assert rows[0] == rows[1] and rows[0]
+
+
+def test_connected_components_known_graphs(spark):
+    from clinical_bi_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, pair 10-11, triangle 20-21-22 (+redundant edge)
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

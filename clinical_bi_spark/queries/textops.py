@@ -469,7 +469,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_ORACLE = (
     f"""
-WITH scored AS (
+WITH RECURSIVE scored AS (
   SELECT *, {_quality_sql()} AS quality, {_lang_case_sql()} AS glang
   FROM documents
 ), kept0 AS (
@@ -487,6 +487,24 @@ WITH scored AS (
     + ", "
     + _WINNOW_PAIRS_BODY
     + """
+, nd_nodes AS (
+  SELECT DISTINCT u FROM (
+    SELECT doc_a AS u FROM pairs UNION ALL SELECT doc_b AS u FROM pairs
+  )
+), nd_edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), nd_reach(node, lbl) AS (
+  SELECT u, u FROM nd_nodes
+  UNION
+  SELECT e.v, r.lbl FROM nd_reach r JOIN nd_edges e ON e.u = r.node
+), nd_drops AS (
+  -- drop every near-dup-component member except its minimum id: pair-wise
+  -- dropping under-drops on transitive chains (the component min need not
+  -- pair directly with every member)
+  SELECT node FROM nd_reach GROUP BY node HAVING MIN(lbl) <> node
+)
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len("""
@@ -494,7 +512,7 @@ SELECT source,
     + """)) AS BIGINT) AS total_tokens,
        ROUND(AVG(quality), 6) AS avg_quality
 FROM kept1
-WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+WHERE doc_id NOT IN (SELECT node FROM nd_drops)
 GROUP BY source
 """
 )
@@ -538,7 +556,14 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept1, id_col="doc_id", text_col="text",
         min_shared=3, min_containment=0.5, max_df=50,
     )
-    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # pairs → components → drop all but each component's minimum id
+    # (pair-wise dropping under-drops on transitive chains)
+    from clinical_bi_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)
+    drops = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
     kept2 = kept1.join(drops, "doc_id", "left_anti")
     return kept2.groupBy("source").agg(
         F.count("*").alias("n_docs"),

@@ -243,3 +243,116 @@ def evt_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(normalize, schema="event_id long, user_id long, zscore double")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion — step-ORDERED event analytics (a click only counts
+# after that user's first view; a purchase only after that click): the
+# sequential-pattern query sessionization and plain window aggs can't
+# express. Three chained min-ts reductions, each joining the previous
+# step's survivors.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT 'view' AS step, CAST(1 AS INT) AS step_idx,
+       (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL
+SELECT 'view>click', CAST(2 AS INT), (SELECT COUNT(*) FROM c)
+UNION ALL
+SELECT 'view>click>purchase', CAST(3 AS INT), (SELECT COUNT(*) FROM p)
+"""
+
+
+@query("evt_funnel_conversion", oracle=_FUNNEL_ORACLE)
+def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel with strict temporal ordering per
+    user. Each stage is a filtered aggregate joined to the previous
+    stage's survivors — survivor sets shrink monotonically, so the later
+    joins are broadcastable at scale; the events table is scanned once
+    per step with the event_type filter pushed down."""
+    t = load_tables(tune(spark), sf_dir)
+    ev = t.events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df, name, idx):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("step"),
+            F.lit(idx).cast("int").alias("step_idx"),
+            "n_users",
+        )
+
+    return (
+        step(v, "view", 1)
+        .unionByName(step(c, "view>click", 2))
+        .unionByName(step(p, "view>click>purchase", 3))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH s AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+)
+SELECT CAST(s.cw AS DATE) AS cohort_week,
+       CAST(datediff('day', s.cw, a.aw) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT s.user_id) AS n_users
+FROM s JOIN a USING (user_id)
+WHERE a.aw >= s.cw
+GROUP BY 1, 2
+"""
+
+
+@query("evt_retention_cohorts", oracle=_RETENTION_ORACLE)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by signup week, counted in
+    every later week they were active. Both week columns are Monday
+    truncations, so the offset division is exact. The distinct
+    (user, week) activity set keeps the join input linear in users ×
+    active weeks, not raw events."""
+    t = load_tables(tune(spark), sf_dir)
+    ev = t.events
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    a = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("aw")).distinct()
+    return (
+        s.join(a, "user_id")
+        .filter(F.col("aw") >= F.col("cw"))
+        .groupBy(
+            F.col("cw").cast("date").alias("cohort_week"),
+            (F.datediff("aw", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -1180,3 +1180,58 @@ def w4_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M13 (extension) — rank-based AUC, the evaluation metric computed as a
+# relational query (Mann-Whitney U): AUC = (Σ ranks of positives −
+# P(P+1)/2) / (P·N). Demonstrates that even model-eval metrics stay
+# engine-checkable when expressed as exact arithmetic over a
+# deterministic total order.
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+         o_totalprice AS score, o_orderkey
+  FROM orders
+), ranked AS (
+  SELECT label,
+         ROW_NUMBER() OVER (ORDER BY score, o_orderkey) AS rnk
+  FROM scored
+)
+SELECT
+  ROUND((SUM(CASE WHEN label = 1 THEN rnk ELSE 0 END)
+         - (SUM(label) * (SUM(label) + 1)) / 2.0)
+        / (SUM(label) * (COUNT(*) - SUM(label))), 6) AS auc,
+  CAST(SUM(label) AS BIGINT)              AS n_pos,
+  CAST(COUNT(*) - SUM(label) AS BIGINT)   AS n_neg
+FROM ranked
+"""
+
+
+@query("m13_auc_rank", oracle=_AUC_ORACLE)
+def m13_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney AUC of o_totalprice as a classifier score for
+    status 'F', over a deterministic total order (score, then key — ties
+    resolved identically in both engines rather than midrank-averaged).
+    The global rank is the parity form; at scale decompose it with the
+    per-partition prefix-sum pattern (operators/packing.py)."""
+    t = load_tables(tune(spark), sf_dir)
+    scored = t.orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.col("o_totalprice").alias("score"),
+        "o_orderkey",
+    )
+    w = Window.orderBy("score", "o_orderkey")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    pos = F.sum("label")
+    n = F.count("*")
+    pos_rank_sum = F.sum(F.when(F.col("label") == 1, F.col("rnk")).otherwise(0))
+    return ranked.agg(
+        F.round(
+            (pos_rank_sum - (pos * (pos + 1)) / 2.0) / (pos * (n - pos)), 6
+        ).alias("auc"),
+        pos.cast("bigint").alias("n_pos"),
+        (n - pos).cast("bigint").alias("n_neg"),
+    )

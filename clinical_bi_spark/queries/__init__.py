@@ -47,17 +47,80 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
     return deco
 
 
+#: The driver records correctness rows for registry[:50] only, so ordering
+#: decides which queries get a driver verdict each round. Round-3 priority:
+#: every entry with no r1/r2 CORRECTNESS row, plus every query whose
+#: implementation changed this round (winnow/ANN/packing families — a green
+#: r2 row does not cover new code). Streaming sits at the window's TAIL: a
+#: wedged stateful stream must only ever cost later *streaming* rows, never
+#: a batch family (round-1 lesson). Entries not named here keep their module
+#: import order after the priority block — they all have green r1∪r2 rows.
+_DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- oracled, never driver-checked in any round --
+    "evt_group_zscore_window",
+    "evt_funnel_conversion",
+    "evt_retention_cohorts",
+    "m1_distributed_split_sizes",
+    "m6_one_hot",
+    "multimodal_frame_sample",
+    # -- oracled, r1-green but out of the r2 window (re-confirm) --
+    "asof_join_events",
+    "agg_rollup",
+    "agg_pivot",
+    "merge_upsert_emulation",
+    "agg_salted_count",
+    "agg_percentiles",
+    "w3_lag_lead_first",
+    "agg_grouping_sets",
+    "agg_cube",
+    "unpivot_long",
+    "evt_tumbling_window",
+    "evt_sliding_window",
+    "evt_sessionization",
+    "evt_json_extract",
+    "evt_dedup_window",
+    "evt_group_zscore",
+    "m5_bucketize",
+    "m1_exact_split_sizes",
+    "multimodal_metadata",
+    # -- oracle fixed / implementation changed this round --
+    "text_sequence_packing",
+    "text_winnow_fingerprint",
+    "dedup_winnow_pairs",
+    "dedup_decontaminate",
+    "dedup_cluster_winnow",
+    "pipeline_corpus_curation",
+    "multimodal_resize",
+    # -- rows-only, never driver-checked / changed this round --
+    "dedup_embedding_lsh",
+    "sim_ann_pq",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "m9_mlp_train_eval",
+    "m3_feature_importance",
+    "m8_vocab_embedding",
+    "multimodal_features",
+    "a3_approx_count_distinct",
+    "agg_percentiles_approx",
+    # -- window padding to exactly 50: green-in-r2 headliners, placed
+    # before streaming so a wedged stream can only cost streaming rows --
+    "flagship_feature_query",
+    "dashboard_extract",
+    # -- streaming LAST within the checked window --
+    "stream_tumbling_window",
+    "stream_stream_join",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_stateful_user_stats",
+    "stream_corpus_curation",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (registration side effect) and return the
-    registry.
-
-    Import order IS registry order, and the driver records correctness rows
-    in registry order — so the oracle-checked batch families register first
-    and the streaming queries (slow; harness-fragile by nature: state
-    stores, memory sinks) register LAST. A streaming failure must never
-    shadow a batch family (round-1 lesson: the run died at a stateful
-    streaming query and the entire textops/vectorops family got no rows).
-    """
+    registry, reordered so the driver's 50-row correctness window lands on
+    the entries that most need adjudication this round (see
+    ``_DRIVER_WINDOW_PRIORITY``)."""
     from clinical_bi_spark.queries import (  # noqa: F401
         relational,
         textops,
@@ -69,4 +132,11 @@ def load_all() -> dict[str, QuerySpec]:
         streamingops,
     )
 
-    return REGISTRY
+    ordered: dict[str, QuerySpec] = {}
+    for name in _DRIVER_WINDOW_PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered

@@ -592,8 +592,11 @@ WITH toks AS (
   FROM documents
 ), pos AS (
   SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+         -- CAST: DuckDB types the window SUM as HUGEINT, which reaches the
+         -- comparator as float64; Spark returns int64 (same values).
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
   FROM toks
 )
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,

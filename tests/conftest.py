@@ -57,6 +57,37 @@ def rows_multiset(df_rows, columns):
     return sorted(tuple(_canon(row[i]) for i in order) for row in df_rows)
 
 
+def _spark_type_category(dtype: str) -> str:
+    base = dtype.split("(")[0]
+    return {
+        "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+        "float": "float", "double": "float",
+        "boolean": "bool", "string": "str",
+        "date": "date", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+        "decimal": "decimal",
+    }.get(base, "other")
+
+
+def _arrow_type_category(t) -> str:
+    import pyarrow.types as pt
+
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "str"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_decimal(t):
+        return "decimal"
+    return "other"
+
+
 def assert_matches_oracle(spark_df, oracle_con, oracle_sql, name=""):
     spark_rows = spark_df.collect()
     spark_cols = spark_df.columns
@@ -66,6 +97,22 @@ def assert_matches_oracle(spark_df, oracle_con, oracle_sql, name=""):
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    # Typed comparison: the driver hashes TYPED values (via Arrow), so an
+    # int64-vs-float64 divergence — e.g. an uncast DuckDB HUGEINT window
+    # sum — fails the driver even when str() canonicalization matches.
+    # (Round-2 lesson: text_sequence_packing was value-identical but
+    # hash-red for exactly this.)
+    duck_schema = oracle_con.execute(oracle_sql).arrow().schema
+    duck_cats = {f.name: _arrow_type_category(f.type) for f in duck_schema}
+    spark_cats = {c: _spark_type_category(dt) for c, dt in spark_df.dtypes}
+    cat_mismatch = {
+        c: (spark_cats[c], duck_cats[c])
+        for c in spark_cols
+        if spark_cats[c] != duck_cats[c]
+    }
+    assert not cat_mismatch, (
+        f"{name}: dtype-category mismatch (spark, duck): {cat_mismatch}"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"

@@ -539,26 +539,73 @@ def winnow_neardup_pairs(
     )
 
 
+def _cc_union_find_partition(edge_batches):
+    """Single-partition union-find over an edge iterator (u, v columns).
+    Union-by-minimum with path compression: the root of every set is its
+    minimum member, so root IS the component label. Runs inside one task
+    via mapInPandas; state accumulates across Arrow batches (the iterator
+    is per-partition)."""
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for pdf in edge_batches:
+        for u, v in zip(pdf["u"].values, pdf["v"].values):
+            u, v = int(u), int(v)
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru  # min root wins → root is the component min
+    ids = sorted(parent)
+    yield pd.DataFrame(
+        {"id": pd.Series(ids, dtype="int64"),
+         "component": pd.Series([find(i) for i in ids], dtype="int64")}
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) for every vertex appearing in ``edges``, where
     component = the minimum vertex id reachable from it — the clustering
     step that turns near-dup PAIRS into dedup GROUPS (keep one doc per
     component, drop the rest).
 
-    Iterative min-label propagation: every vertex starts labeled with its
-    own id; each round replaces a label with the minimum label in its
-    closed neighborhood; convergence when a round changes nothing. Rounds
-    are bounded by graph diameter (near-dup graphs are shallow — dup
-    cliques and short chains), each round is one shuffle-by-vertex
-    aggregation over the edge list, and the frontier persist keeps lineage
-    flat (at cluster scale, checkpoint every ~10 rounds instead). The
-    min-reachable-label semantics are engine-checkable: DuckDB computes
-    the same fixpoint with a recursive CTE (dedup_cluster_winnow oracle).
+    Adaptive strategy (the AQE broadcast principle applied to graphs):
+    the near-dup edge list is PAIRS, orders of magnitude smaller than the
+    corpus that produced it, so it very often fits one task even when the
+    corpus is 100 TB. When ``edges`` has at most ``small_graph_edges``
+    rows (~32 MB at 16 bytes/edge), a single-task union-find solves the
+    whole graph in one pass — exact, no iteration. Larger graphs take the
+    distributed path: iterative min-label propagation — every vertex
+    starts labeled with its own id; each round replaces a label with the
+    minimum label in its closed neighborhood; convergence when a round
+    changes nothing. Rounds are bounded by graph diameter (near-dup
+    graphs are shallow — dup cliques and short chains), each round is one
+    shuffle-by-vertex aggregation over the edge list, and the eager
+    checkpoint keeps lineage flat (at cluster scale, checkpoint to HDFS
+    every ~10 rounds instead). If ``max_iter`` rounds pass with labels
+    still moving, this RAISES rather than return unconverged (wrong)
+    labels — a chain longer than max_iter hops needs a larger bound.
+    The min-reachable-label semantics are engine-checkable: DuckDB
+    computes the same fixpoint with a recursive CTE
+    (dedup_cluster_winnow oracle), and both paths are differential-tested
+    against each other (tests/test_dedup.py).
     """
     both = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -568,6 +615,12 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # the count also materializes the persist, so downstream consumers
+    # (either path) read the edge cache instead of re-mining pairs
+    if both.count() <= small_graph_edges:
+        return both.coalesce(1).mapInPandas(
+            _cc_union_find_partition, schema="id bigint, component bigint"
+        )
     # Eager localCheckpoint, not persist: each round references the
     # previous frontier in TWO branches, so with persist the LOGICAL plan
     # tree doubles per round — execution still hits the caches, but
@@ -582,6 +635,7 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = True
     for _ in range(max_iter):
         # label each vertex with min(own label, neighbors' labels)
         neigh = (
@@ -601,4 +655,10 @@ def connected_components(
         labels = updated.select("id", "lbl")
         if not changed:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a path longer than max_iter hops — raise "
+            "max_iter (rounds are bounded by graph diameter)"
+        )
     return labels.select("id", F.col("lbl").alias("component"))

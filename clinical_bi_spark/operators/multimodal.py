@@ -44,6 +44,8 @@ def sniff_media_type(data: bytes | None) -> str:
         return "image/jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "image/gif"
+    if data[:2] == b"P6" and (len(data) < 3 or data[2:3].isspace()):
+        return "image/x-portable-pixmap"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
     if data[4:8] == b"ftyp":
@@ -57,6 +59,9 @@ def parse_dimensions(data: bytes) -> tuple[int | None, int | None]:
     baseline/progressive JPEG (SOF scan)."""
     kind = sniff_media_type(data)
     try:
+        if kind == "image/x-portable-pixmap":
+            width, height, _, _ = _parse_ppm_header(data)
+            return width, height
         if kind == "image/png" and len(data) >= 24:
             width, height = struct.unpack(">II", data[16:24])
             return int(width), int(height)
@@ -75,9 +80,85 @@ def parse_dimensions(data: bytes) -> tuple[int | None, int | None]:
                     return int(width), int(height)
                 seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
                 i += 2 + seg_len
-    except struct.error:
+    except (struct.error, ValueError):
         pass
     return None, None
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6) — the one image format this container can REALLY decode, because
+# it needs no imaging library: an ASCII header + raw RGB bytes. It gives
+# resize_media a genuine decode → pixel-resample → re-encode branch (byte-
+# exact oracle-checkable), alongside the declared stubs for formats whose
+# codecs aren't installable here.
+# ---------------------------------------------------------------------------
+
+
+def _parse_ppm_header(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, pixel_offset) of a binary PPM (P6).
+    Tokenizer per the netpbm spec: whitespace-separated header fields,
+    ``#`` comments running to end-of-line."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        if i >= len(data):
+            raise ValueError("truncated PPM header")
+        c = data[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(data) and data[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(data[i:j]))
+            i = j
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    if not data[i : i + 1].isspace():
+        raise ValueError("missing single whitespace after maxval")
+    i += 1  # exactly one whitespace byte separates header from pixels
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    if len(data) - i < width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, maxval, i
+
+
+def decode_ppm(data: bytes):
+    """PPM bytes → (height, width, 3) uint8 numpy array. Real decode, no
+    external libraries."""
+    import numpy as np
+
+    width, height, _, off = _parse_ppm_header(data)
+    pixels = np.frombuffer(data, dtype=np.uint8, count=width * height * 3, offset=off)
+    return pixels.reshape(height, width, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM bytes (canonical single-space
+    header, so identical pixels always encode to identical bytes)."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def resize_ppm(data: bytes, target_width: int, target_height: int) -> bytes:
+    """Real nearest-neighbor resize: decode → index-map resample → encode.
+    Source pixel for target (x, y) is (floor(x·sw/tw), floor(y·sh/th)) —
+    the standard nearest-neighbor convention, reproducible in SQL for the
+    oracle."""
+    import numpy as np
+
+    img = decode_ppm(data)
+    sh, sw = img.shape[0], img.shape[1]
+    ys = (np.arange(target_height) * sh) // target_height
+    xs = (np.arange(target_width) * sw) // target_width
+    return encode_ppm(img[ys][:, xs])
 
 
 def attach_media_metadata(
@@ -222,19 +303,21 @@ def resize_media(
     media_col: str = "media",
     target_bytes: int = 64,
     fake_codec: bool = True,
+    target_width: int = 8,
+    target_height: int = 8,
 ) -> DataFrame:
-    """Resize/downsample plumbing: binary in → smaller binary out, plus the
-    output size as typed metadata. The real path (decode → interpolate →
-    re-encode) needs an imaging library, so it stays a declared stub;
-    ``fake_codec=True`` models nearest-neighbor downsampling directly on
-    the byte stream (every ceil(n/target)-th byte), which preserves the
-    real path's shape: deterministic, size-bounded output, Arrow-batched
-    mapInPandas, no driver involvement."""
-    if not fake_codec:
-        raise NotImplementedError(
-            "media resize requires an imaging library (PIL/cv2); "
-            "not available in this environment — use fake_codec=True"
-        )
+    """Resize/downsample: binary in → smaller binary out, plus the output
+    size as typed metadata. Codec dispatch per asset:
+
+    * **PPM (P6)** — REAL decode → nearest-neighbor pixel resample to
+      ``target_width × target_height`` → re-encode (:func:`resize_ppm`);
+      pure Python + numpy, no external codec, byte-exact oracle-checkable.
+    * other formats with ``fake_codec=True`` — byte-stream downsampling to
+      ``target_bytes`` (every ceil(n/target)-th byte): the declared stand-
+      in for codecs this container cannot install (PIL/cv2), preserving
+      the real path's shape (deterministic, size-bounded, Arrow-batched).
+    * other formats with ``fake_codec=False`` — NotImplementedError, the
+      declared stub contract."""
 
     schema = f"{id_col} long, resized binary, resized_bytes int"
 
@@ -242,6 +325,14 @@ def resize_media(
         for pdf in it:
             def shrink(data: bytes | None) -> bytes:
                 data = data or b""
+                if sniff_media_type(data) == "image/x-portable-pixmap":
+                    return resize_ppm(data, target_width, target_height)
+                if not fake_codec:
+                    raise NotImplementedError(
+                        "non-PPM media resize requires an imaging library "
+                        "(PIL/cv2); not available in this environment — "
+                        "use fake_codec=True"
+                    )
                 if len(data) <= target_bytes:
                     return data
                 step = -(-len(data) // target_bytes)  # ceil

@@ -429,9 +429,13 @@ def pq_topk(
     UDF over a crossJoin against the broadcast query batch. The best
     ``rerank`` candidates per query are re-ranked by exact cosine. At
     100 TB only the code table (m ints/vector) is scanned per query batch;
-    raw vectors are touched for rerank candidates only."""
+    raw vectors are touched for rerank candidates only — the crossJoin
+    carries (id, codes), and the embedding table is re-joined against the
+    broadcast ≤ queries×rerank survivor set."""
     books = _pq_codebooks(corpus, id_col, emb_col, m, ksub, dim)
-    codes = pq_encode(corpus, books, id_col, emb_col).persist()
+    codes = pq_encode(corpus, books, id_col, emb_col).select(
+        "id", "codes"
+    ).persist()
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
     )
@@ -450,19 +454,25 @@ def pq_topk(
         return pd.Series(((Q - recon) ** 2).sum(1))
 
     w_adc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("neighbor_id"))
-    cand = (
+    survivors = (
         codes.crossJoin(F.broadcast(q))
         .filter(F.col("id") != F.col("q_id"))
         .select(
             "q_id",
             "q_emb",
             F.col("id").alias("neighbor_id"),
-            F.col("emb").alias("c_emb"),
             _adc(F.col("codes"), F.col("q_emb")).alias("adc"),
         )
         .withColumn("adc_rnk", F.row_number().over(w_adc))
         .filter(F.col("adc_rnk") <= rerank)
     )
+    # exact-rerank join: the survivor set (≤ |queries|·rerank rows) is
+    # broadcast against the embedding table, so raw vectors stream through
+    # a hash lookup only — never the corpus×queries stage above
+    emb_tbl = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
+    )
+    cand = emb_tbl.join(F.broadcast(survivors), "neighbor_id")
     cos = F.round(cosine_pandas(F.col("c_emb"), F.col("q_emb")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

@@ -79,6 +79,88 @@ FROM documents, UNNEST(range(0, length(text) // 256, 2)) AS t(i)
 """
 
 
+# ---------------------------------------------------------------------------
+# Real-codec resize: each document synthesizes a deterministic 16×16 binary
+# PPM (P6) — pixel (x, y, c) = (doc_id·7 + y·31 + x·5 + c·11) mod 256 — and
+# the operator REALLY decodes it (header tokenizer), nearest-neighbor
+# resamples to 8×8 (source pixel (2x, 2y)), and re-encodes. The oracle
+# rebuilds the expected output bytes hex-for-hex from the same formula, so
+# the decode→resample→encode chain is byte-exact checked, not just shaped.
+# ---------------------------------------------------------------------------
+
+_SRC_HEADER_HEX = "P6\n16 16\n255\n".encode().hex()
+_DST_HEADER_HEX = "P6\n8 8\n255\n".encode().hex()
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id AS asset_id,
+  'image/x-portable-pixmap' AS media_type,
+  CAST(16 AS INT) AS orig_width,
+  CAST(16 AS INT) AS orig_height,
+  CAST(11 + 192 AS INT) AS resized_bytes,
+  '{_DST_HEADER_HEX}' || array_to_string(list_transform(range(0, 192),
+      i -> printf('%02x',
+                  (doc_id * 7 + ((i // 24) * 2) * 31
+                   + (((i % 24) // 3) * 2) * 5 + (i % 3) * 11) % 256)), '')
+    AS resized_hex
+FROM documents
+"""
+
+
+@query("multimodal_resize", oracle=_RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize through the REAL codec branch: synthesized binary PPMs
+    are decoded (pure-Python netpbm header parse + numpy pixel view),
+    nearest-neighbor resampled 16×16 → 8×8, and re-encoded inside
+    Arrow-batched mapInPandas. Width/height come from the container
+    sniffer/header parser, and the output bytes are compared hex-exact —
+    the one end-to-end non-stub codec path this container permits."""
+    from clinical_bi_spark.operators.multimodal import resize_media
+
+    t = load_tables(tune(spark), sf_dir)
+    # build the source PPM: header + 768 pixel bytes via one hex-string HOF
+    # (a 768-way concat would blow up the codegen tree)
+    i = F.sequence(F.lit(0), F.lit(767))
+
+    def _idiv(a: F.Column, b: int) -> F.Column:  # non-negative floor div
+        return F.floor(a / F.lit(b)).cast("long")
+
+    pixel_hex = F.array_join(
+        F.transform(
+            i,
+            lambda ix: F.format_string(
+                "%02x",
+                (
+                    (
+                        F.col("doc_id") * 7
+                        + _idiv(ix, 48) * 31
+                        + _idiv(ix % 48, 3) * 5
+                        + (ix % 3) * 11
+                    )
+                    % 256
+                ).cast("int"),
+            ),
+        ),
+        "",
+    )
+    media = t.documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(F.concat(F.lit(_SRC_HEADER_HEX), pixel_hex)).alias("media"),
+    )
+    meta = attach_media_metadata(media)
+    resized = resize_media(media, target_width=8, target_height=8)
+    return (
+        meta.join(resized, "asset_id")
+        .select(
+            "asset_id",
+            "media_type",
+            F.col("width").alias("orig_width"),
+            F.col("height").alias("orig_height"),
+            "resized_bytes",
+            F.lower(F.hex("resized")).alias("resized_hex"),
+        )
+    )
+
+
 @query("multimodal_frame_sample", oracle=_FRAME_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling through the fake codec (256-byte frames, every 2nd

@@ -536,9 +536,11 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matters: predicate pushdown moves the quality/language filter BELOW a
     # bare Exchange onto the serial pre-shuffle partition (verified in the
     # plan) — a cached relation is the barrier that keeps it parallel.
-    docs = t.documents.repartition(
-        spark.sparkContext.defaultParallelism
-    ).persist()
+    docs = (
+        t.documents.select("doc_id", "source", "text")  # prune before caching
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     scored = docs.withColumn("quality", quality_score(text)).withColumn(
         "glang", language_guess(text)
     )

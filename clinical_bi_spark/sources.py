@@ -99,11 +99,42 @@ def read_ini_options(path: str, section: str) -> dict[str, str]:
     return dict(parser.items(section))
 
 
+def jdbc_options_from_ini(
+    path: str, section: str = "aact.database"
+) -> dict[str, str]:
+    """Translate the reference's psycopg2-style ini section (S2 —
+    ct_data.py:32-40 builds ``k=v`` pairs: dbname/user/password/host/port)
+    into the options dict ``spark.read.format("jdbc")`` expects:
+    a ``jdbc:postgresql://host:port/dbname`` url + user/password/driver.
+
+    Pure translation — contract-tested without a driver jar
+    (tests/test_sinks_sources.py), which is all this container can verify;
+    a live cluster points the same dict at a real database.
+    """
+    ini = read_ini_options(path, section)
+    missing = {"dbname", "host"} - set(ini)
+    if missing:
+        raise ValueError(f"ini section [{section}] missing keys: {sorted(missing)}")
+    port = ini.get("port", "5432")
+    opts = {
+        "url": f"jdbc:postgresql://{ini['host']}:{port}/{ini['dbname']}",
+        "driver": "org.postgresql.Driver",
+        # pushdown-friendly defaults: one round-trip per partition, stats
+        # from the remote planner
+        "fetchsize": "10000",
+    }
+    for key in ("user", "password"):
+        if key in ini:
+            opts[key] = ini[key]
+    return opts
+
+
 def jdbc_reader(spark: SparkSession, options: dict[str, str]):
     """S1 live path: JDBC scan with a pushed-down query.
 
     Usage: ``jdbc_reader(spark, opts).option("query", sql).load()``.
-    Untested in this container (no JDBC driver jar); the parquet snapshot
-    path (S3) is the tested equivalent.
+    Untested-live in this container (no JDBC driver jar); the option
+    translation is contract-tested and the parquet snapshot path (S3) is
+    the executed equivalent.
     """
     return spark.read.format("jdbc").options(**options)

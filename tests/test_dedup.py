@@ -199,3 +199,48 @@ def test_connected_components_known_graphs(spark):
     )
     got = {r.id: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_paths_agree(spark):
+    """The single-task union-find fast path and the iterative min-label
+    path must produce identical labels (differential test on a graph with
+    chains, cliques, and singleton-free structure)."""
+    import random
+
+    from clinical_bi_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    # 10 chains of length 6 (diameter stress), 5 cliques of size 4
+    for c in range(10):
+        base = c * 100
+        edges += [(base + i, base + i + 1) for i in range(6)]
+    for c in range(5):
+        base = 10_000 + c * 100
+        members = [base + i for i in range(4)]
+        edges += [(a, b) for a in members for b in members if a < b]
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        r.id: r.component
+        for r in connected_components(df, small_graph_edges=10**9).collect()
+    }
+    iterative = {
+        r.id: r.component
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert fast == iterative and len(fast) == 10 * 7 + 5 * 4
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """The iterative path must refuse to return unconverged labels when a
+    chain is longer than max_iter hops."""
+    import pytest as _pytest
+
+    from clinical_bi_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2, small_graph_edges=0)

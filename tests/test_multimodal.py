@@ -138,5 +138,76 @@ def test_resize_fake_codec_bounds_and_determinism(spark):
     again = {r.asset_id: r for r in resize_media(df, target_bytes=64).collect()}
     assert all(again[k].resized == rows[k].resized for k in rows)
 
-    with pytest.raises(NotImplementedError):
-        resize_media(df, fake_codec=False)
+    # fake_codec=False is now a per-asset contract (PPM assets still take
+    # the real codec path): the stub raises lazily inside the worker
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        resize_media(df, fake_codec=False).collect()
+
+
+def test_ppm_codec_roundtrip_and_parser():
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        parse_dimensions,
+        resize_ppm,
+        sniff_media_type,
+    )
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    data = encode_ppm(img)
+    assert sniff_media_type(data) == "image/x-portable-pixmap"
+    assert parse_dimensions(data) == (6, 4)
+    assert (decode_ppm(data) == img).all()
+
+    # comments + arbitrary whitespace per the netpbm spec
+    commented = b"P6 # comment\n# full line\n 6\t4 # trailing\n255\n" + img.tobytes()
+    assert (decode_ppm(commented) == img).all()
+
+    # nearest-neighbor downsample: target (x, y) <- source (2x, 2y)
+    small = decode_ppm(resize_ppm(encode_ppm(img), 3, 2))
+    assert (small == img[::2, ::2]).all()
+
+
+def test_ppm_codec_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from clinical_bi_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_ppm(img)
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5" + good[2:])
+    with pytest.raises(ValueError, match="truncated PPM pixel"):
+        decode_ppm(good[:-1])
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_resize_media_dispatch(spark):
+    """PPM assets take the real pixel path; others byte-downsample under
+    fake_codec and raise under fake_codec=False."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import encode_ppm, resize_media
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    ppm = encode_ppm(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"x" * 500))],
+        "asset_id long, media binary",
+    )
+    rows = {
+        r.asset_id: bytes(r.resized)
+        for r in resize_media(df, target_width=4, target_height=4).collect()
+    }
+    assert rows[1] == encode_ppm(img[::4, ::4])
+    assert len(rows[2]) <= 64  # fake byte-downsample path
+
+    strict = resize_media(df, fake_codec=False, target_width=4, target_height=4)
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        strict.collect()  # the stub raise surfaces via Py4J

@@ -149,8 +149,24 @@ def test_lsh_ann_is_bucket_equijoin(spark):
     """The sign-LSH ANN path must candidate via a hash EQUI-join on the
     bucket key (multi-probe expansion), never a nested-loop predicate over
     all (corpus × query) pairs — the difference between a hash lookup and
-    a full-corpus scan per query at 100 TB."""
-    plan = explain(spark, "sim_ann_lsh")
+    a full-corpus scan per query at 100 TB. Asserted on the OPERATOR: the
+    registry query deliberately adds a brute-force exact twin (crossJoin)
+    to annotate recall@k, so its composite plan is not the scale path."""
+    import contextlib as _ctx
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.operators.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    ann = lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, nbits=8, max_hamming=3
+    )
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        ann.explain("formatted")
+    plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan, (
         "LSH candidate join degraded to a nested loop"
     )

@@ -156,3 +156,19 @@ def test_pq_recall_and_planted_twin(spark, embeddings, truth):
         planted, planted.filter(F.col("vec_id") == 990000), k=1
     ).collect()
     assert res and res[0].neighbor_id == base.vec_id
+
+
+@pytest.mark.parametrize(
+    "name,floor",
+    [("sim_ann_lsh", 0.55), ("sim_ann_ivf", 0.4), ("sim_ann_pq", 0.5)],
+)
+def test_registry_ann_recall_column_floor(spark, name, floor):
+    """The registry ANN queries emit their measured recall@k as an output
+    column (self-evidencing rows-only adjudication); the floor asserted
+    here is the contract the column's values must meet."""
+    df = load_all()[name].fn(spark, SF_ORACLE)
+    rows = df.collect()
+    assert rows and "recall_at_k" in df.columns
+    per_q = {r.q_id: r.recall_at_k for r in rows}
+    mean_recall = sum(per_q.values()) / len(per_q)
+    assert mean_recall >= floor, f"{name} mean recall {mean_recall}"

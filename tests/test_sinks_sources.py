@@ -153,3 +153,41 @@ def test_jdbc_reader_option_plumbing(tmp_path):
     assert reader.opts["url"] == "jdbc:postgresql://aact-db.example.org:5432/aact"
     assert reader.opts["user"] == "aact_user"
     assert reader.opts["fetchsize"] == "10000"
+
+
+def test_jdbc_options_contract(tmp_path, spark):
+    """S1 live-path contract: the ini→JDBC translation must produce the
+    exact reader options Spark's jdbc source expects (verifiable without a
+    driver jar — the reference's psycopg2 conn-string analogue is
+    ct_data.py:32-40)."""
+    from clinical_bi_spark.sources import jdbc_options_from_ini, jdbc_reader
+
+    ini = tmp_path / "db.properties"
+    ini.write_text(
+        "[aact.database]\n"
+        "dbname=aact\nuser=readonly\npassword=secret\n"
+        "host=db.example.internal\nport=30432\n"
+    )
+    opts = jdbc_options_from_ini(str(ini))
+    assert opts["url"] == "jdbc:postgresql://db.example.internal:30432/aact"
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["user"] == "readonly" and opts["password"] == "secret"
+    assert opts["fetchsize"] == "10000"
+    # reader builds (format+options accepted); .load() needs the jar, so
+    # the contract stops here in this container
+    reader = jdbc_reader(spark, opts)
+    assert reader is not None
+
+    # defaulted port, missing credentials
+    ini2 = tmp_path / "min.properties"
+    ini2.write_text("[aact.database]\ndbname=d\nhost=h\n")
+    opts2 = jdbc_options_from_ini(str(ini2))
+    assert opts2["url"] == "jdbc:postgresql://h:5432/d"
+    assert "user" not in opts2
+
+    import pytest as _pytest
+
+    ini3 = tmp_path / "bad.properties"
+    ini3.write_text("[aact.database]\nuser=x\n")
+    with _pytest.raises(ValueError, match="missing keys"):
+        jdbc_options_from_ini(str(ini3))

@@ -63,17 +63,20 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "m1_distributed_split_sizes",
     "m6_one_hot",
     "multimodal_frame_sample",
-    # -- oracled, r1-green but out of the r2 window (re-confirm) --
+    # -- oracled, NEW this round --
+    "dedup_incremental",
+    "data_mixture_sample",
+    "data_global_shuffle",
+    "text_chunk_dedup",
+    # -- oracled, r1-green but out of the r2 window (re-confirm; four
+    # unchanged entries — agg_pivot/agg_cube/unpivot_long/w3 — ceded
+    # their slots to the new queries above and keep their green r1 row) --
     "asof_join_events",
     "agg_rollup",
-    "agg_pivot",
     "merge_upsert_emulation",
     "agg_salted_count",
     "agg_percentiles",
-    "w3_lag_lead_first",
     "agg_grouping_sets",
-    "agg_cube",
-    "unpivot_long",
     "evt_tumbling_window",
     "evt_sliding_window",
     "evt_sessionization",
@@ -125,6 +128,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         textops,
         vectorops,
+        pipelineops,
         extended,
         events,
         mlops,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from clinical_bi_spark.functions.text import (
     STOPWORDS,
@@ -546,13 +547,21 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept0 = scored.filter((F.col("quality") >= 0.85) & (F.col("glang") == "en"))
     # exact dedup: keep the lowest doc_id of every content-fingerprint group
+    # — one row_number window (a single xfp shuffle; dup groups are small,
+    # so no skew) instead of a groupBy + semi-join back (two shuffles and a
+    # second pass over the scoring regexes for the join's left side)
     fp = kept0.withColumn("xfp", doc_fingerprint(text))
-    keepers = fp.groupBy("xfp").agg(F.min("doc_id").alias("doc_id"))
-    # checkpoint the curated survivors: three consumers (near-dup
+    w_fp = Window.partitionBy("xfp").orderBy("doc_id")
+    # cache the curated survivors: three consumers (near-dup
     # fingerprinting, the anti-join left side, the rollup) would otherwise
     # each re-run the scoring regexes over the full text (measured 19 s →
     # 6 s at sf0.1) — the same stage a production pipeline materializes
-    kept1 = fp.join(keepers, ["xfp", "doc_id"], "left_semi").persist()
+    kept1 = (
+        fp.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
     # near-dup drop: anti-join the higher id of each winnowed pair
     pairs = winnow_neardup_pairs(
         kept1, id_col="doc_id", text_col="text",

@@ -23,6 +23,12 @@ from clinical_bi_spark.session import get_spark, warm
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Bench the bare ANN operators: the recall@k annotation embeds an exact
+# brute-force twin whose O(corpus × queries) pass would dominate the
+# wall-clock and stop measuring the pruned path (vectorops
+# _annotate_recall_enabled). Adjudication/correctness runs keep it on.
+os.environ.setdefault("CLINICAL_BI_ANN_RECALL", "0")
+
 
 def main() -> None:
     registry = load_all()

@@ -26,6 +26,12 @@ from pyspark.sql import functions as F
 # mode by default, where int64 overflow raises instead of wrapping.
 _MERSENNE_P = (1 << 31) - 1
 
+# Ceiling on the df-cap overflow list (distinct over-frequent fingerprints)
+# eligible for a broadcast anti-join hint: 4M 8-byte fps ≈ 32 MB serialized,
+# comfortably inside a default 1 GiB driver broadcast budget. Above it the
+# anti-join falls back to a shuffle — slower but unconditionally safe.
+_MAX_BROADCAST_OVERFLOW_FPS = 4_000_000
+
 
 def _hash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs derived from a simple LCG on the seed —
@@ -499,13 +505,16 @@ def winnow_neardup_pairs(
     Plan shape (chosen for 100 TB, measured 2.5× at sf0.1 vs the naive
     groupBy/join chain):
 
-    * the df cap is applied as a broadcast ANTI-join against the OVERFLOW
-      list (fps with dfreq > max_df). Boilerplate fingerprints are rare by
-      construction — the overflow list stays broadcastable even when the
-      postings don't — so every posting is capped *before* the expensive
-      fp shuffle, the hot keys never travel, and the self-join's buckets
-      are bounded at shuffle time (no AQE skew-split needed). The count
-      itself is a map-side-combined groupBy, immune to fp skew.
+    * the df cap is applied as an ANTI-join against the OVERFLOW list
+      (fps with dfreq > max_df), broadcast when the list is measured small
+      (≤ ``_MAX_BROADCAST_OVERFLOW_FPS``; typical — boilerplate fps are
+      usually rare) and shuffled otherwise (template-heavy corpora or tiny
+      max_df can make the overflow set data-sized; forcing a broadcast
+      there would OOM the driver). Either way every posting is capped
+      *before* the expensive fp shuffle, the hot keys never travel, and
+      the self-join's buckets are bounded at shuffle time (no AQE
+      skew-split needed). The count itself is a map-side-combined groupBy,
+      immune to fp skew.
     * per-doc fingerprint sizes join onto the SMALL aggregated pair set,
       not the wide posting stream — nfps never rides the self-join (the
       widest stage carries exactly (fp, id_a, id_b)).
@@ -524,8 +533,19 @@ def winnow_neardup_pairs(
         .agg(F.count("*").alias("dfreq"))
         .filter(F.col("dfreq") > max_df)
         .select("fp")
+        .persist()
     )
-    e = e.join(F.broadcast(overflow), "fp", "left_anti")
+    # "Boilerplate fps are rare" is an expectation, not an invariant: a
+    # template-heavy corpus or a tiny max_df can make the overflow set
+    # data-sized, and a FORCED broadcast of an unbounded set is a driver
+    # OOM. Count it (also materializes the persist so the anti-join reads
+    # the cache instead of re-aggregating) and only hint broadcast when it
+    # is provably small; otherwise fall back to a shuffled anti-join.
+    n_overflow = overflow.count()
+    if n_overflow <= _MAX_BROADCAST_OVERFLOW_FPS:
+        e = e.join(F.broadcast(overflow), "fp", "left_anti")
+    else:
+        e = e.join(overflow, "fp", "left_anti")
     sz = e.groupBy("id").agg(F.count("*").alias("n_fps"))
     a = e.select(F.col("id").alias("id_a"), "fp")
     b = e.select(F.col("id").alias("id_b"), "fp")
@@ -618,9 +638,11 @@ def connected_components(
     graphs are shallow — dup cliques and short chains), each round is one
     shuffle-by-vertex aggregation over the edge list, and the eager
     checkpoint keeps lineage flat (at cluster scale, checkpoint to HDFS
-    every ~10 rounds instead). If ``max_iter`` rounds pass with labels
+    every ~10 rounds instead). If ``max_iter + 1`` rounds pass with labels
     still moving, this RAISES rather than return unconverged (wrong)
-    labels — a chain longer than max_iter hops needs a larger bound.
+    labels — a chain longer than max_iter hops needs a larger bound (the
+    +1 round exists because a fixpoint reached exactly at round max_iter
+    is only observable as a subsequent round that changes nothing).
     The min-reachable-label semantics are engine-checkable: DuckDB
     computes the same fixpoint with a recursive CTE
     (dedup_cluster_winnow oracle), and both paths are differential-tested
@@ -635,8 +657,11 @@ def connected_components(
         .persist()
     )
     # the count also materializes the persist, so downstream consumers
-    # (either path) read the edge cache instead of re-mining pairs
-    if both.count() <= small_graph_edges:
+    # (either path) read the edge cache instead of re-mining pairs.
+    # `both` holds BOTH directions of every input pair, so compare against
+    # 2× the threshold: small_graph_edges is denominated in input pairs
+    # (~32 MB of directed edges at 16 bytes each for the default 2M).
+    if both.count() <= 2 * small_graph_edges:
         return both.coalesce(1).mapInPandas(
             _cc_union_find_partition, schema="id bigint, component bigint"
         )
@@ -654,8 +679,13 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # max_iter + 1 rounds: convergence is only observable as a round that
+    # changes nothing, so a graph whose labels settle exactly at round
+    # max_iter needs one extra (no-op) round to prove it. The +1 round is
+    # pure change detection when the fixpoint was already reached; we raise
+    # only if labels are STILL moving after it.
     changed = True
-    for _ in range(max_iter):
+    for _ in range(max_iter + 1):
         # label each vertex with min(own label, neighbors' labels)
         neigh = (
             both.join(labels, both.v == labels.id)

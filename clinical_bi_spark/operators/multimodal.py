@@ -326,7 +326,15 @@ def resize_media(
             def shrink(data: bytes | None) -> bytes:
                 data = data or b""
                 if sniff_media_type(data) == "image/x-portable-pixmap":
-                    return resize_ppm(data, target_width, target_height)
+                    try:
+                        return resize_ppm(data, target_width, target_height)
+                    except ValueError:
+                        # Bytes sniffed as PPM ('P6' + whitespace) but the
+                        # header/payload is malformed or truncated. One corrupt
+                        # asset must not kill a 100 TB job: fall through to the
+                        # byte-downsample path (or raise only under the strict
+                        # fake_codec=False contract below).
+                        pass
                 if not fake_codec:
                     raise NotImplementedError(
                         "non-PPM media resize requires an imaging library "

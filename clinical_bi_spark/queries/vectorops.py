@@ -14,6 +14,8 @@ so Spark and DuckDB agree bit-for-bit after rounding.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -131,6 +133,16 @@ def vec_norm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _annotate_recall_enabled() -> bool:
+    """Whether ANN registry queries annotate measured recall@k. The
+    annotation embeds an exact brute-force twin — right for adjudication
+    (the recall column IS the rows-only evidence), wrong for benchmarking
+    (the twin's O(corpus × queries) pass dominates the wall-clock and the
+    number stops measuring the pruned path the operator exists for).
+    bench.py sets CLINICAL_BI_ANN_RECALL=0; everything else defaults on."""
+    return os.environ.get("CLINICAL_BI_ANN_RECALL", "1") != "0"
+
+
 def _exact_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     """The brute-force top-k twin (same queries, same tie-break) used to
     annotate approximate results with their measured recall."""
@@ -198,6 +210,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = lsh_bucket_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, nbits=8, max_hamming=3
     )
+    if not _annotate_recall_enabled():
+        return ann
     return _with_recall_at_k(ann, _exact_topk(emb, k=5))
 
 
@@ -211,6 +225,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(tune(spark), sf_dir)
     emb = t.embeddings
     ann = ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=16, nprobe=4)
+    if not _annotate_recall_enabled():
+        return ann
     return _with_recall_at_k(ann, _exact_topk(emb, k=5))
 
 
@@ -247,4 +263,6 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(tune(spark), sf_dir)
     emb = t.embeddings
     ann = pq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    if not _annotate_recall_enabled():
+        return ann
     return _with_recall_at_k(ann, _exact_topk(emb, k=5))

@@ -71,18 +71,26 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Tables:
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-    Spark's reader only surfaces as a nanosecond long
-    (spark.sql.legacy.parquet.nanosAsLong, set in session.RUNTIME_CONF).
-    Truncate to microseconds — the same truncation DuckDB applies — and
-    restore a proper TimestampType column."""
+    """The events fixture stores ts as parquet TIMESTAMP(NANOS). Depending
+    on the session's conf timing Spark surfaces that either as a
+    nanosecond long (spark.sql.legacy.parquet.nanosAsLong, set in
+    session.RUNTIME_CONF) or as TIMESTAMP_NTZ (micros-truncated, the
+    reader's native nanos handling). Normalize BOTH to a proper
+    TimestampType column: every consumer — including streaming
+    withWatermark, which rejects TIMESTAMP_NTZ event time — sees one
+    type, and the values match DuckDB's micros truncation. The NTZ→TZ
+    cast is value-preserving because session.RUNTIME_CONF pins the
+    session timezone to UTC."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         # integer div keeps full precision (ns since epoch exceeds 2^53,
         # so float division would corrupt low-order digits)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

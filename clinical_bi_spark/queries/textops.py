@@ -527,6 +527,8 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning reaches the scan and only fingerprints/ids ever shuffle. At
     100 TB each stage is the already-audited shape (narrow scoring, 16-byte
     exact-dedup keys, df-capped postings, broadcastable drop list)."""
+    from pyspark import StorageLevel
+
     from clinical_bi_spark.operators.dedup import winnow_neardup_pairs
 
     t = load_tables(tune(spark), sf_dir)
@@ -537,10 +539,13 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matters: predicate pushdown moves the quality/language filter BELOW a
     # bare Exchange onto the serial pre-shuffle partition (verified in the
     # plan) — a cached relation is the barrier that keeps it parallel.
+    # DISK_ONLY: this relation carries raw text; an executor-memory cache
+    # of the corpus is the first thing to fall over at 100 TB, and the
+    # relation is written once / read once, so memory buys nothing.
     docs = (
         t.documents.select("doc_id", "source", "text")  # prune before caching
         .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     scored = docs.withColumn("quality", quality_score(text)).withColumn(
         "glang", language_guess(text)
@@ -552,19 +557,36 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second pass over the scoring regexes for the join's left side)
     fp = kept0.withColumn("xfp", doc_fingerprint(text))
     w_fp = Window.partitionBy("xfp").orderBy("doc_id")
-    # cache the curated survivors: three consumers (near-dup
+    # materialize the curated survivors once: three consumers (near-dup
     # fingerprinting, the anti-join left side, the rollup) would otherwise
     # each re-run the scoring regexes over the full text (measured 19 s →
-    # 6 s at sf0.1) — the same stage a production pipeline materializes
-    kept1 = (
+    # 6 s at sf0.1) — the same slice a production pipeline writes to
+    # parquet. Split by what each consumer needs:
+    #   * kept1_text (doc_id, text) — the winnow miner's input, the ONLY
+    #     post-curation consumer of raw text. DISK_ONLY: the local
+    #     analogue of the parquet materialization (no executor-memory
+    #     text at scale).
+    #   * kept1 (doc_id, source, quality, n_tokens) — text-free, a few
+    #     dozen bytes/doc, memory-cached; the anti-join and the rollup
+    #     read this slim relation (token_count precomputed here so the
+    #     rollup never touches text).
+    kept1_all = (
         fp.withColumn("rn", F.row_number().over(w_fp))
         .filter(F.col("rn") == 1)
-        .drop("rn")
-        .persist()
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            token_count(text).cast("bigint").alias("n_tokens"),
+            "text",
+        )
+        .persist(StorageLevel.DISK_ONLY)
     )
+    kept1_text = kept1_all.select("doc_id", "text")
+    kept1 = kept1_all.select("doc_id", "source", "quality", "n_tokens").persist()
     # near-dup drop: anti-join the higher id of each winnowed pair
     pairs = winnow_neardup_pairs(
-        kept1, id_col="doc_id", text_col="text",
+        kept1_text, id_col="doc_id", text_col="text",
         min_shared=3, min_containment=0.5, max_df=50,
     )
     # pairs → components → drop all but each component's minimum id
@@ -578,7 +600,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept2 = kept1.join(drops, "doc_id", "left_anti")
     return kept2.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(token_count(text)).cast("bigint").alias("total_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
 

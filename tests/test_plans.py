@@ -193,3 +193,35 @@ def test_pair_miners_never_nested_loop(spark, name):
     plan = explain(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_rollup_and_antijoin_read_text_free_cache(spark):
+    # 100 TB posture: the curation funnel's post-dedup consumers that
+    # don't need raw text (the near-dup anti-join and the final rollup)
+    # must read the slim memory-cached relation — doc_id/source/quality/
+    # n_tokens only. Raw text may live only in DISK_ONLY relations (the
+    # local analogue of a parquet materialization of the curated slice).
+    from pyspark.sql.dataframe import DataFrame as _DF
+
+    df = REGISTRY["pipeline_corpus_curation"].fn(spark, SF_ORACLE)
+    # analyzed plan string: InMemoryRelation nodes print their output
+    # schema and storage level
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    relations = [
+        blk for blk in plan.split("InMemoryRelation")[1:]
+    ]
+    assert relations, "curation funnel lost its cached relations"
+    # the rollup's input cache (the one carrying n_tokens) must not
+    # carry text, and every relation that does carry text must be
+    # disk-only
+    saw_slim = False
+    for blk in relations:
+        header = blk.split("\n", 1)[0]
+        if "n_tokens" in header and "text" not in header:
+            saw_slim = True
+        if "text" in header:
+            assert "disk" in header and "memory" not in header, (
+                "raw-text cache is not DISK_ONLY: " + header
+            )
+    assert saw_slim, "no text-free slim cached relation in the plan:\n" + plan
+    spark.catalog.clearCache()

@@ -8,6 +8,13 @@ deterministic (md5-seeded per vocabulary entry) — a trained matrix is a
 drop-in replacement; the operator is the lookup plumbing, which is what
 the pipeline needs to be able to do at scale (broadcast join, no shuffle
 of the fact table).
+
+The vector formula is deliberately engine-portable so the whole operator
+is oracle-checkable: component j of token t is
+``(int(md5(t + '|' + j)[:8], 16) % 2000001 - 1000000) / 1e6`` — integer
+arithmetic on the md5 hex prefix, then one exact IEEE division, so Spark
+and DuckDB (``('0x' || substr(md5(..),1,8))::UBIGINT``) produce
+bit-identical doubles with no decimal-rounding step to disagree on.
 """
 
 from __future__ import annotations
@@ -19,12 +26,11 @@ from pyspark.sql import functions as F
 
 
 def _seeded_vector(token: str, dim: int) -> list[float]:
-    digest = hashlib.md5(token.encode()).digest()
-    seed = int.from_bytes(digest[:8], "big")
     out = []
-    for _ in range(dim):
-        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        out.append(round((seed / (1 << 63)) * 2.0 - 1.0, 6))
+    for j in range(dim):
+        h = hashlib.md5(f"{token}|{j}".encode()).hexdigest()
+        v = int(h[:8], 16)
+        out.append((v % 2000001 - 1000000) / 1000000.0)
     return out
 
 
@@ -44,6 +50,6 @@ def vocabulary_embedding(
     vocab = model.labels
     table = df.sparkSession.createDataFrame(
         [(float(i), _seeded_vector(tok, dim)) for i, tok in enumerate(vocab)],
-        f"{col}_idx double, {col}_embedding array<float>",
+        f"{col}_idx double, {col}_embedding array<double>",
     )
     return model.transform(df).join(F.broadcast(table), f"{col}_idx", "left")

@@ -207,13 +207,18 @@ def _decode_image(data: bytes):
 
 def _fake_feature(data: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a decode→embed step: md5-seeded values.
-    Shape/semantics match a real extractor (unit-scaled float vector)."""
-    digest = hashlib.md5(data or b"").digest()
+    Shape/semantics match a real extractor (unit-scaled float vector).
+
+    Engine-portable on purpose (the ml/embedding._seeded_vector formula):
+    component j is integer arithmetic on the first 8 hex digits of
+    ``md5(md5(data).hex + '|' + j)`` followed by one exact IEEE division,
+    so a SQL oracle (DuckDB md5 + hex cast) reproduces the doubles
+    bit-for-bit — the fake path is hash-adjudicable, not just shaped."""
+    base = hashlib.md5(data or b"").hexdigest()
     out = []
-    seed = int.from_bytes(digest[:8], "big")
-    for _ in range(dim):
-        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        out.append((seed / (1 << 63)) * 2.0 - 1.0)
+    for j in range(dim):
+        v = int(hashlib.md5(f"{base}|{j}".encode()).hexdigest()[:8], 16)
+        out.append((v % 2000001 - 1000000) / 1000000.0)
     return out
 
 
@@ -236,7 +241,10 @@ def extract_media_features(
     metadata pass, NOT from an extra full scan of the media bytes here
     (a driver-side length aggregate would read everything twice)."""
 
-    schema = f"{id_col} long, feature array<float>"
+    # double, not float: the feature values are md5-derived doubles with an
+    # exact SQL twin; a float32 truncation here would break the oracle's
+    # bit-level equality (and a real extractor would hand back float64 too)
+    schema = f"{id_col} long, feature array<double>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -276,12 +276,35 @@ def m3_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "feature string, relative_importance double")
 
 
-@query("m8_vocab_embedding", oracle=None)
+_M8_ORACLE = """
+WITH vocab AS (
+  SELECT source,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source ASC) - 1
+              AS INT) AS source_idx
+  FROM documents GROUP BY source
+), vecs AS (
+  -- same md5-derived formula as ml/embedding._seeded_vector: integer
+  -- arithmetic on the first 8 hex digits, one exact IEEE division —
+  -- no decimal rounding for the engines to disagree on
+  SELECT source, source_idx,
+    array_to_string(list_transform(range(0, 10), j -> printf('%.6f',
+        ((('0x' || substr(md5(source || '|' || j), 1, 8))::UBIGINT)::BIGINT
+         % 2000001 - 1000000) / 1000000.0)), ',') AS source_embedding_csv
+  FROM vocab
+)
+SELECT d.doc_id, d.source, v.source_idx, v.source_embedding_csv
+FROM documents d JOIN vecs v USING (source)
+"""
+
+
+@query("m8_vocab_embedding", oracle=_M8_ORACLE)
 def m8_vocab_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: vocabulary-file categorical embedding (ct_estimator.py:106-114,
     disabled in the reference) — StringIndexer vocabulary + broadcast
-    embedding-lookup join. Rows-only; tests pin determinism and OOV
-    behavior."""
+    embedding-lookup join. Exact oracle: the StringIndexer vocabulary
+    order is frequency-desc with alphabetical tie-break (row_number in
+    SQL) and the vector formula is engine-portable md5 arithmetic; tests
+    additionally pin determinism and OOV behavior."""
     from clinical_bi_spark.ml import vocabulary_embedding
 
     t = load_tables(tune(spark), sf_dir)

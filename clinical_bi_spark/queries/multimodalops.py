@@ -48,11 +48,22 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_media_metadata(media)
 
 
-@query("multimodal_features", oracle=None)
+_FEATURES_ORACLE = """
+SELECT doc_id AS asset_id,
+  array_to_string(list_transform(range(0, 16), j -> printf('%.6f',
+      ((('0x' || substr(md5(md5(text) || '|' || j), 1, 8))::UBIGINT)::BIGINT
+       % 2000001 - 1000000) / 1000000.0)), ',') AS feature_csv
+FROM documents
+"""
+
+
+@query("multimodal_features", oracle=_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→embed plumbing with the deterministic fake decoder (the
-    container has no imaging libs — the stub contract). Rows-only; tests
-    pin determinism and batch shape."""
+    container has no imaging libs — the stub contract). The fake feature
+    is engine-portable md5 arithmetic (operators/multimodal._fake_feature),
+    so the mapInPandas path is hash-checked against an exact SQL oracle;
+    tests additionally pin determinism and batch shape."""
     t = load_tables(tune(spark), sf_dir)
     media = t.documents.select(
         F.col("doc_id").alias("asset_id"),

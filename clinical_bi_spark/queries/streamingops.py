@@ -1,16 +1,22 @@
 """Streaming queries exposed through the driver contract.
 
 Each runs a real Structured Streaming job (availableNow trigger, memory
-sink) and returns the final table. The tumbling-window form is
-oracle-checked — in complete output mode over a bounded input the streaming
-result equals the batch window aggregate, so the batch oracle applies
-verbatim. Session windows and watermark dedup depend on arrival order /
-state semantics with no SQL equivalent → rows-only.
+sink) and returns the final table. Wherever the final state of a bounded
+run is arrival-order independent, the streaming result equals a batch
+computation and gets an exact SQL oracle: tumbling windows and session
+windows (complete mode recomputes the final merged state), the interval
+join (inner join is order-free), the stateful counters (the final
+snapshot is the fold over all input), and the dedup KEY SET (which row
+survives per key is arrival-dependent, but the set of surviving keys is
+exactly the distinct keys — so the query ships the deterministic
+projection and the row-level form stays on the operator for tests).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from clinical_bi_spark.queries import query
 from clinical_bi_spark.queries.events import _TUMBLING_ORACLE
@@ -30,30 +36,93 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(tune(spark), sf_dir)
 
 
-@query("stream_session_window", oracle=None)
+_SESSION_WINDOW_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  -- session_window merges an event iff it lands strictly INSIDE the open
+  -- session's half-open interval [start, last_ts + gap): an event at
+  -- exactly last_ts + gap starts a new session, hence >= (the batch
+  -- lag/cumsum sessionization uses > — a deliberate boundary difference)
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) >= 1800.0
+                 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session_window", oracle=_SESSION_WINDOW_ORACLE)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window(gap=30m) streaming aggregate — rows-only here;
-    tests/test_streaming.py cross-checks it against the batch
-    sessionization (evt_sessionization) field by field."""
+    """Native session_window(gap=30m) streaming aggregate. Complete mode
+    over bounded input recomputes the final merged sessions, which are
+    arrival-order independent — so the gaps-and-islands SQL (with
+    session_window's >= gap boundary and last_event + gap end) is an
+    exact oracle. tests/test_streaming.py additionally cross-checks
+    against the batch sessionization field by field."""
     return session_windows(tune(spark), sf_dir)
 
 
-@query("stream_dedup_watermark", oracle=None)
+_DEDUP_KEYS_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query("stream_dedup_watermark", oracle=_DEDUP_KEYS_ORACLE)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dropDuplicates with watermark-bounded state — rows-only;
-    tests assert one surviving row per key."""
-    return dedup_with_watermark(tune(spark), sf_dir)
+    """Streaming dropDuplicatesWithinWatermark with watermark-bounded
+    state. WHICH row survives per key is arrival-order-dependent (not
+    adjudicable), but the operator's guarantee — exactly one survivor per
+    distinct key — is: project the surviving key set, which must equal
+    SELECT DISTINCT over the input. Row-level assertions (one full row
+    per key, watermark state bounds) stay in tests/test_streaming.py."""
+    deduped = dedup_with_watermark(tune(spark), sf_dir)
+    return deduped.select("user_id", "event_type")
 
 
-@query("stream_stateful_user_stats", oracle=None)
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(COALESCE(value, 0)), 4) AS total_value,
+       CAST(SUM(CASE WHEN value > 95.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alerts
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("stream_stateful_user_stats", oracle=_STATEFUL_ORACLE)
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     counters with alert tally — arbitrary state-transition logic the
-    built-in window aggs can't express. Rows-only; tests pin equivalence
-    to the batch groupBy on bounded input."""
+    built-in window aggs can't express. The FINAL snapshot per user is
+    the fold over all input regardless of batch boundaries, so it equals
+    the batch groupBy exactly. Update-mode sinks emit one snapshot per
+    micro-batch a user appears in; keep only the final one (max
+    n_events — the counter is strictly increasing) so the result is
+    batch-boundary-invariant."""
     from clinical_bi_spark.streaming.stateful import user_running_stats
 
-    return user_running_stats(tune(spark), sf_dir)
+    snaps = user_running_stats(tune(spark), sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        snaps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 _STREAM_JOIN_ORACLE = """

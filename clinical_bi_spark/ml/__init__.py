@@ -2,5 +2,6 @@
 pandas→TensorFlow pipeline that are models rather than queries."""
 
 from clinical_bi_spark.ml.embedding import vocabulary_embedding
+from clinical_bi_spark.ml.lmg import lmg_relative_importance
 
-__all__ = ["vocabulary_embedding"]
+__all__ = ["lmg_relative_importance", "vocabulary_embedding"]

@@ -259,20 +259,27 @@ def m9_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("m3_feature_importance", oracle=None)
 def m3_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3: key-driver analysis parity — Spark computes the (tiny)
-    correlation matrix distributed; the driver-side step ranks features by
-    squared correlation with the target, normalized to sum 1 (the LMG-lite
-    analogue of key_driver_analysis at ct_data.py:55-64)."""
+    """M3: key-driver analysis parity (key_driver_analysis at
+    ct_data.py:55-64) — Spark computes the (p+1)×(p+1) correlation matrix
+    in one distributed pass; the driver runs the EXACT LMG Shapley
+    decomposition of R² over that tiny matrix (ml/lmg.py — every subset
+    R² is a function of the correlation matrix alone, zero extra cluster
+    passes). Shares normalized to sum 1; pytest pins the decomposition
+    against an independent permutation-averaging implementation."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.stat import Correlation
+
+    from clinical_bi_spark.ml.lmg import lmg_relative_importance
 
     feats = _feature_table(spark, sf_dir)
     cols = ["label", "price", "order_year", "priority_code", "acctbal", "seg_building"]
     assembled = VectorAssembler(inputCols=cols, outputCol="vec").transform(feats)
     corr = Correlation.corr(assembled, "vec").head()[0].toArray()
-    r2 = {c: float(corr[0][i + 1] ** 2) for i, c in enumerate(cols[1:])}
-    total = sum(r2.values()) or 1.0
-    rows = [(c, round(v / total, 6)) for c, v in sorted(r2.items())]
+    shares = lmg_relative_importance(corr)
+    total = float(shares.sum()) or 1.0
+    rows = sorted(
+        (c, round(float(v) / total, 6)) for c, v in zip(cols[1:], shares)
+    )
     return spark.createDataFrame(rows, "feature string, relative_importance double")
 
 

@@ -151,3 +151,47 @@ def test_pack_distributed_equals_window(spark):
         .collect()
     }
     assert w == d and len(w) == 500
+
+
+def test_lmg_matches_independent_permutation_implementation():
+    """ml/lmg.py computes LMG subset-wise from the correlation matrix;
+    this twin computes it the definitional way — average over ALL p!
+    orderings of the raw-data R² gain from least squares — sharing no
+    code path (lstsq on raw data vs corr-matrix solve). Agreement to
+    1e-6 pins the decomposition exactly."""
+    from itertools import permutations
+
+    import numpy as np
+
+    from clinical_bi_spark.ml.lmg import lmg_relative_importance
+
+    rng = np.random.RandomState(7)
+    n, p = 400, 4
+    x = rng.randn(n, p)
+    # correlated features + known signal so the shares are non-trivial
+    x[:, 1] += 0.6 * x[:, 0]
+    x[:, 3] += 0.3 * x[:, 2]
+    y = 1.5 * x[:, 0] + 0.8 * x[:, 2] - 0.4 * x[:, 3] + rng.randn(n)
+
+    def r2_raw(cols):
+        if not cols:
+            return 0.0
+        xs = np.column_stack([x[:, list(cols)], np.ones(n)])
+        resid = y - xs @ np.linalg.lstsq(xs, y, rcond=None)[0]
+        return 1.0 - resid.var() / y.var()
+
+    brute = np.zeros(p)
+    perms = list(permutations(range(p)))
+    for perm in perms:
+        seen = []
+        for i in perm:
+            before = r2_raw(tuple(seen))
+            seen.append(i)
+            brute[i] += r2_raw(tuple(seen)) - before
+    brute /= len(perms)
+
+    corr = np.corrcoef(np.column_stack([y, x]), rowvar=False)
+    shares = lmg_relative_importance(corr)
+    assert np.allclose(shares, brute, atol=1e-6), (shares, brute)
+    # Shapley efficiency: shares sum to the full-model R²
+    assert float(shares.sum()) == pytest.approx(r2_raw(tuple(range(p))), abs=1e-9)

@@ -48,67 +48,69 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 
 #: The driver records correctness rows for registry[:50] only, so ordering
-#: decides which queries get a driver verdict each round. Round-3 priority:
-#: every entry with no r1/r2 CORRECTNESS row, plus every query whose
-#: implementation changed this round (winnow/ANN/packing families — a green
-#: r2 row does not cover new code). Streaming sits at the window's TAIL: a
-#: wedged stateful stream must only ever cost later *streaming* rows, never
-#: a batch family (round-1 lesson). Entries not named here keep their module
-#: import order after the priority block — they all have green r1∪r2 rows.
+#: decides which queries get a driver verdict each round. Round-4 priority:
+#: every query whose implementation or oracle changed this round (newly
+#: oracled m8/multimodal_features/streaming trio, the curation cache
+#: restructure, the winnow/CC hardening, the LMG rewrite), the whole
+#: events family (the parquet nanos column now infers as TIMESTAMP_NTZ —
+#: normalize_events changed, so every ts-carrying output needs a
+#: current-round row), and the four entries that ceded their r3 slots
+#: (agg_pivot/agg_cube/unpivot_long/w3). Streaming sits at the window's
+#: TAIL: a wedged stateful stream must only ever cost later *streaming*
+#: rows, never a batch family (round-1 lesson). Entries not named here
+#: keep module import order after the priority block — all have green
+#: r1∪r2∪r3 rows on unchanged code.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- oracled, never driver-checked in any round --
-    "evt_group_zscore_window",
-    "evt_funnel_conversion",
-    "evt_retention_cohorts",
-    "m1_distributed_split_sizes",
-    "m6_one_hot",
-    "multimodal_frame_sample",
-    # -- oracled, NEW this round --
-    "dedup_incremental",
-    "data_mixture_sample",
-    "data_global_shuffle",
-    "text_chunk_dedup",
-    # -- oracled, r1-green but out of the r2 window (re-confirm; four
-    # unchanged entries — agg_pivot/agg_cube/unpivot_long/w3 — ceded
-    # their slots to the new queries above and keep their green r1 row) --
-    "asof_join_events",
-    "agg_rollup",
-    "merge_upsert_emulation",
-    "agg_salted_count",
-    "agg_percentiles",
-    "agg_grouping_sets",
+    # -- implementation / oracle changed this round --
+    "pipeline_corpus_curation",
+    "dedup_winnow_pairs",
+    "dedup_cluster_winnow",
+    "m8_vocab_embedding",
+    "multimodal_features",
+    "multimodal_resize",
+    "m3_feature_importance",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_pq",
+    # -- events family: normalize_events changed (NTZ inference drift) --
     "evt_tumbling_window",
     "evt_sliding_window",
     "evt_sessionization",
     "evt_json_extract",
     "evt_dedup_window",
+    "evt_group_zscore_window",
     "evt_group_zscore",
-    "m5_bucketize",
-    "m1_exact_split_sizes",
-    "multimodal_metadata",
-    # -- oracle fixed / implementation changed this round --
-    "text_sequence_packing",
-    "text_winnow_fingerprint",
-    "dedup_winnow_pairs",
-    "dedup_decontaminate",
-    "dedup_cluster_winnow",
-    "pipeline_corpus_curation",
-    "multimodal_resize",
-    # -- rows-only, never driver-checked / changed this round --
-    "dedup_embedding_lsh",
-    "sim_ann_pq",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "m9_mlp_train_eval",
-    "m3_feature_importance",
-    "m8_vocab_embedding",
-    "multimodal_features",
-    "a3_approx_count_distinct",
-    "agg_percentiles_approx",
-    # -- window padding to exactly 50: green-in-r2 headliners, placed
-    # before streaming so a wedged stream can only cost streaming rows --
+    "evt_funnel_conversion",
+    "evt_retention_cohorts",
+    "asof_join_events",
+    # -- ceded their r3 slots; re-confirm the r1-green rows --
+    "agg_pivot",
+    "agg_cube",
+    "unpivot_long",
+    "w3_lag_lead_first",
+    # -- headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
+    # -- rotation padding to exactly 50: r1/r2-green entries whose last
+    # driver row predates r3, oldest families first --
+    "etl_cohort_conditional_agg",
+    "etl_cohort_literal_joins",
+    "etl_name_keyed_rollup",
+    "etl_interventions_conditions",
+    "etl_calculated_values_rebuild",
+    "agg_pricing_summary",
+    "a3_multi_count_distinct",
+    "p_filter_conjunction",
+    "f_scalar_battery",
+    "text_stats",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_redact_pii",
+    "sim_bruteforce_topk",
+    "dedup_embedding_cosine",
+    "vec_norm_rollup",
+    "w1_topk_per_group",
     # -- streaming LAST within the checked window --
     "stream_tumbling_window",
     "stream_stream_join",

@@ -244,3 +244,45 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2, small_graph_edges=0)
+
+
+def test_connected_components_fixpoint_at_exactly_max_iter(spark):
+    """A graph whose labels settle exactly at round max_iter must NOT
+    raise: the +1 change-detection round proves the fixpoint (min-label
+    propagation walks one hop per round, so a 3-edge chain needs 3
+    label-moving rounds from the far end)."""
+    from clinical_bi_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(
+            chain, max_iter=3, small_graph_edges=0
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_winnow_overflow_broadcast_guard_fallback(planted, monkeypatch):
+    """Template-heavy corpora can make the df-cap overflow list data-sized;
+    forcing the broadcast threshold to 0 must flip the anti-join to the
+    shuffled fallback and leave results IDENTICAL (the guard is a plan
+    choice, not a semantics choice)."""
+    from clinical_bi_spark.operators import dedup as dedup_mod
+
+    baseline = {
+        (r.id_a, r.id_b)
+        for r in dedup_mod.winnow_neardup_pairs(
+            planted, min_shared=3, min_containment=0.5, max_df=50
+        ).collect()
+    }
+    monkeypatch.setattr(dedup_mod, "_MAX_BROADCAST_OVERFLOW_FPS", 0)
+    fallback = {
+        (r.id_a, r.id_b)
+        for r in dedup_mod.winnow_neardup_pairs(
+            planted, min_shared=3, min_containment=0.5, max_df=50
+        ).collect()
+    }
+    assert fallback == baseline and baseline

@@ -211,3 +211,26 @@ def test_resize_media_dispatch(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|imaging library"):
         strict.collect()  # the stub raise surfaces via Py4J
+
+
+def test_resize_tolerates_malformed_ppm(spark):
+    """Bytes that sniff as PPM ('P6' + whitespace) but are truncated or
+    corrupt must fall back to the byte-downsample path under fake_codec —
+    one bad asset must not fail the job."""
+    from clinical_bi_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [
+            (1, b"P6\n16 16\n255\n" + bytes(10)),   # truncated payload
+            (2, b"P6\nnot numbers\n"),              # malformed header
+            (3, b"P6 "),                            # sniffs, nothing else
+        ],
+        "asset_id long, media binary",
+    )
+    rows = {
+        r.asset_id: r
+        for r in resize_media(df, target_width=8, target_height=8).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert r.resized is not None

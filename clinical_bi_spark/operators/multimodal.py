@@ -46,6 +46,8 @@ def sniff_media_type(data: bytes | None) -> str:
         return "image/gif"
     if data[:2] == b"P6" and (len(data) < 3 or data[2:3].isspace()):
         return "image/x-portable-pixmap"
+    if data[:2] == b"BM":
+        return "image/bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
     if data[4:8] == b"ftyp":
@@ -61,6 +63,9 @@ def parse_dimensions(data: bytes) -> tuple[int | None, int | None]:
     try:
         if kind == "image/x-portable-pixmap":
             width, height, _, _ = _parse_ppm_header(data)
+            return width, height
+        if kind == "image/bmp":
+            width, height, _, _, _ = _parse_bmp_header(data)
             return width, height
         if kind == "image/png" and len(data) >= 24:
             width, height = struct.unpack(">II", data[16:24])
@@ -148,17 +153,102 @@ def encode_ppm(arr) -> bytes:
 
 
 def resize_ppm(data: bytes, target_width: int, target_height: int) -> bytes:
-    """Real nearest-neighbor resize: decode → index-map resample → encode.
-    Source pixel for target (x, y) is (floor(x·sw/tw), floor(y·sh/th)) —
-    the standard nearest-neighbor convention, reproducible in SQL for the
-    oracle."""
+    """Real nearest-neighbor resize: decode → index-map resample → encode
+    (shared ``_resample_nearest`` core, defined with the BMP codec)."""
+    return encode_ppm(
+        _resample_nearest(decode_ppm(data), target_width, target_height)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed) — the second format this container can REALLY
+# decode without an imaging library: fixed little-endian headers + raw BGR
+# rows, bottom-up, 4-byte row padding. Together with PPM it gives the
+# codec branch two genuinely different container layouts (text header +
+# RGB top-down vs binary header + padded BGR bottom-up) on one resample
+# core — both byte-exact oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def _parse_bmp_header(data: bytes) -> tuple[int, int, int, int, bool]:
+    """(width, height, bpp, pixel_offset, top_down) of a BITMAPINFOHEADER
+    BMP. Only the uncompressed (BI_RGB) 24-bit form is supported — the
+    layout this module's canonical encoder emits."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    pixel_offset = struct.unpack("<I", data[10:14])[0]
+    header_size = struct.unpack("<I", data[14:18])[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width = struct.unpack("<i", data[18:22])[0]
+    height = struct.unpack("<i", data[22:26])[0]
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if width <= 0 or height == 0:
+        raise ValueError("bad BMP dimensions")
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    if len(data) - pixel_offset < row_bytes * height:
+        raise ValueError("truncated BMP pixel data")
+    return width, height, bpp, pixel_offset, top_down
+
+
+def decode_bmp(data: bytes):
+    """BMP bytes → (height, width, 3) uint8 RGB array. Real decode:
+    un-pads rows, flips bottom-up storage, swaps BGR → RGB."""
     import numpy as np
 
-    img = decode_ppm(data)
+    width, height, _, off, top_down = _parse_bmp_header(data)
+    row_bytes = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=row_bytes * height, offset=off
+    ).reshape(height, row_bytes)[:, : width * 3]
+    img = rows.reshape(height, width, 3)
+    if not top_down:
+        img = img[::-1]
+    return img[:, :, ::-1]  # BGR → RGB
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB array → canonical 24-bit BMP bytes (bottom-up,
+    BGR, zero resolution fields) so identical pixels always encode to
+    identical bytes."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    size = 54 + row_bytes * h
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 0, 0, 0, 0)
+    )
+    return header + body.tobytes()
+
+
+def _resample_nearest(img, target_width: int, target_height: int):
+    """Shared nearest-neighbor core: source pixel for target (x, y) is
+    (floor(x·sw/tw), floor(y·sh/th)) — reproducible in SQL for oracles."""
+    import numpy as np
+
     sh, sw = img.shape[0], img.shape[1]
     ys = (np.arange(target_height) * sh) // target_height
     xs = (np.arange(target_width) * sw) // target_width
-    return encode_ppm(img[ys][:, xs])
+    return img[ys][:, xs]
+
+
+def resize_bmp(data: bytes, target_width: int, target_height: int) -> bytes:
+    """Real BMP nearest-neighbor resize: decode → resample → re-encode."""
+    return encode_bmp(
+        _resample_nearest(decode_bmp(data), target_width, target_height)
+    )
 
 
 def attach_media_metadata(
@@ -333,11 +423,16 @@ def resize_media(
         for pdf in it:
             def shrink(data: bytes | None) -> bytes:
                 data = data or b""
-                if sniff_media_type(data) == "image/x-portable-pixmap":
+                kind = sniff_media_type(data)
+                real = {
+                    "image/x-portable-pixmap": resize_ppm,
+                    "image/bmp": resize_bmp,
+                }.get(kind)
+                if real is not None:
                     try:
-                        return resize_ppm(data, target_width, target_height)
+                        return real(data, target_width, target_height)
                     except ValueError:
-                        # Bytes sniffed as PPM ('P6' + whitespace) but the
+                        # Bytes sniffed as a decodable container but the
                         # header/payload is malformed or truncated. One corrupt
                         # asset must not kill a 100 TB job: fall through to the
                         # byte-downsample path (or raise only under the strict
@@ -345,9 +440,9 @@ def resize_media(
                         pass
                 if not fake_codec:
                     raise NotImplementedError(
-                        "non-PPM media resize requires an imaging library "
-                        "(PIL/cv2); not available in this environment — "
-                        "use fake_codec=True"
+                        "non-PPM/BMP media resize requires an imaging "
+                        "library (PIL/cv2); not available in this "
+                        "environment — use fake_codec=True"
                     )
                 if len(data) <= target_bytes:
                     return data

@@ -68,6 +68,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "m8_vocab_embedding",
     "multimodal_features",
     "multimodal_resize",
+    "multimodal_resize_bmp",
     "m3_feature_importance",
     "sim_ann_lsh",
     "sim_ann_ivf",
@@ -110,7 +111,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_bruteforce_topk",
     "dedup_embedding_cosine",
     "vec_norm_rollup",
-    "w1_topk_per_group",
     # -- streaming LAST within the checked window --
     "stream_tumbling_window",
     "stream_stream_join",

@@ -190,3 +190,102 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "asset_id", "frame_index", F.md5("frame").alias("frame_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# BMP resize — the second REAL codec branch (operators/multimodal:
+# decode_bmp/encode_bmp). Same pixel formula as the PPM query, but the
+# container layout is genuinely different: little-endian binary headers,
+# BOTTOM-UP row order, BGR channel order, 4-byte row padding (16·3 = 48
+# and 8·3 = 24 are already multiples of 4, so padding is zero here — the
+# codec unit tests cover odd widths). The oracle rebuilds the resized
+# file hex-for-hex, headers included.
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+
+def _bmp_header_hex(w: int, h: int) -> str:
+    row = (w * 3 + 3) & ~3
+    return (
+        b"BM"
+        + _struct.pack("<IHHI", 54 + row * h, 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 0, 0, 0, 0)
+    ).hex()
+
+
+_BMP_SRC_HEADER_HEX = _bmp_header_hex(16, 16)
+_BMP_DST_HEADER_HEX = _bmp_header_hex(8, 8)
+
+# dst pixel byte j of 192: row r = j//24 (bottom-up ⇒ image y = 7-r),
+# x = (j%24)//3, channel b = j%3 (BGR ⇒ rgb c = 2-b); source pixel is
+# (2x, 2y); value = (doc_id·7 + y_src·31 + x_src·5 + c·11) mod 256 —
+# identical pixel formula to the PPM query, different byte layout.
+_RESIZE_BMP_ORACLE = f"""
+SELECT doc_id AS asset_id,
+  'image/bmp' AS media_type,
+  CAST(16 AS INT) AS orig_width,
+  CAST(16 AS INT) AS orig_height,
+  CAST(54 + 192 AS INT) AS resized_bytes,
+  '{_BMP_DST_HEADER_HEX}' || array_to_string(list_transform(range(0, 192),
+      j -> printf('%02x',
+                  (doc_id * 7 + ((7 - j // 24) * 2) * 31
+                   + (((j % 24) // 3) * 2) * 5 + (2 - j % 3) * 11) % 256)), '')
+    AS resized_hex
+FROM documents
+"""
+
+
+@query("multimodal_resize_bmp", oracle=_RESIZE_BMP_ORACLE)
+def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize through the REAL BMP codec branch: synthesized 24-bit
+    BMPs are decoded (little-endian header parse, row un-padding,
+    bottom-up flip, BGR swap), nearest-neighbor resampled 16×16 → 8×8,
+    and re-encoded inside Arrow-batched mapInPandas. Output compared
+    hex-exact against a DuckDB reconstruction of the full file bytes —
+    headers, row order, and channel order included."""
+    from clinical_bi_spark.operators.multimodal import (
+        attach_media_metadata,
+        resize_media,
+    )
+
+    t = load_tables(tune(spark), sf_dir)
+    # build the source BMP: header + 768 pixel bytes, bottom-up BGR —
+    # byte i: row r = i//48 (image y = 15-r), x = (i%48)//3, c = 2 - i%3
+    i = F.sequence(F.lit(0), F.lit(767))
+
+    def _idiv(a: F.Column, b: int) -> F.Column:  # non-negative floor div
+        return F.floor(a / F.lit(b)).cast("long")
+
+    pixel_hex = F.array_join(
+        F.transform(
+            i,
+            lambda ix: F.format_string(
+                "%02x",
+                (
+                    (
+                        F.col("doc_id") * 7
+                        + (15 - _idiv(ix, 48)) * 31
+                        + _idiv(ix % 48, 3) * 5
+                        + (2 - ix % 3) * 11
+                    )
+                    % 256
+                ).cast("int"),
+            ),
+        ),
+        "",
+    )
+    media = t.documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(F.concat(F.lit(_BMP_SRC_HEADER_HEX), pixel_hex)).alias("media"),
+    )
+    meta = attach_media_metadata(media)
+    resized = resize_media(media, target_width=8, target_height=8)
+    return meta.join(resized, "asset_id").select(
+        "asset_id",
+        "media_type",
+        F.col("width").alias("orig_width"),
+        F.col("height").alias("orig_height"),
+        "resized_bytes",
+        F.lower(F.hex("resized")).alias("resized_hex"),
+    )

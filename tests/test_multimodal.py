@@ -234,3 +234,56 @@ def test_resize_tolerates_malformed_ppm(spark):
     assert set(rows) == {1, 2, 3}
     for r in rows.values():
         assert r.resized is not None
+
+
+def test_bmp_codec_roundtrip_and_padding():
+    """Pure-Python BMP codec: encode→decode is identity (including odd
+    widths, where rows pad to 4 bytes), and the parser rejects non-BMP
+    and truncated bytes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from clinical_bi_spark.operators.multimodal import (
+        _parse_bmp_header,
+        decode_bmp,
+        encode_bmp,
+        resize_bmp,
+    )
+
+    rng = np.random.RandomState(11)
+    for h, w in [(16, 16), (5, 7), (1, 1), (3, 2)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all(), (h, w)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    assert (decode_bmp(resize_bmp(encode_bmp(img), 8, 8)) == img[::2, ::2]).all()
+    with _pytest.raises(ValueError):
+        _parse_bmp_header(b"not a bmp")
+    with _pytest.raises(ValueError):
+        _parse_bmp_header(encode_bmp(img)[:40])  # truncated header
+    with _pytest.raises(ValueError):
+        _parse_bmp_header(encode_bmp(img)[:-10])  # truncated pixels
+
+
+def test_resize_media_routes_bmp_through_real_codec(spark):
+    """resize_media must hit the real BMP branch (decoded pixel equality),
+    and malformed 'BM' bytes must fall back instead of failing."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_media,
+    )
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, encode_bmp(img)), (2, b"BM truncated junk")],
+        "asset_id long, media binary",
+    )
+    rows = {
+        r.asset_id: r
+        for r in resize_media(df, target_width=8, target_height=8).collect()
+    }
+    assert (decode_bmp(bytes(rows[1].resized)) == img[::2, ::2]).all()
+    assert rows[2].resized is not None  # fallback, not a job failure

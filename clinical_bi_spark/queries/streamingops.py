@@ -151,14 +151,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_interval_join(tune(spark), sf_dir)
 
 
-@query("stream_corpus_curation", oracle=None)
+def _stream_curation_oracle() -> str:
+    from clinical_bi_spark.queries.textops import _lang_case_sql, _quality_sql
+
+    return f"""
+WITH scored AS (
+  SELECT *, {_quality_sql()} AS quality, {_lang_case_sql()} AS glang
+  FROM documents
+), kept AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM scored WHERE quality >= 0.85 AND glang = 'en'
+), keeper AS (
+  SELECT fp, arg_min(source, doc_id) AS source FROM kept GROUP BY fp
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM keeper GROUP BY source
+"""
+
+
+@query("stream_corpus_curation", oracle=_stream_curation_oracle())
 def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest curation: quality + language gates (stateless,
-    same expressions as the batch funnel), exact dedup on the content
-    fingerprint, per-source running counts. Rows-only (first-arrival
-    dedup makes the per-source split order-dependent for cross-source
-    duplicates); tests pin the total against the batch funnel's
-    pre-near-dup stage."""
+    same expressions as the batch funnel) and exact dedup whose
+    per-fingerprint state keeps the MIN-doc_id copy (min_by) — a
+    deterministic keeper, so the per-source rollup is exactly
+    adjudicable (the old first-arrival dedup was order-dependent for
+    cross-source duplicates and rows-only). Oracle reuses the batch
+    funnel's quality/language SQL fragments."""
     from clinical_bi_spark.streaming.windows import (
         stream_corpus_curation as _scc,
     )

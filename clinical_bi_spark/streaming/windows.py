@@ -237,14 +237,19 @@ def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the content fingerprint (streaming dropDuplicates state), per-source
     running counts in complete mode.
 
-    On bounded availableNow input the total kept-count equals the batch
-    funnel's pre-near-dup stage (asserted in tests/test_streaming.py);
-    the per-source split depends on which copy of a cross-source duplicate
-    arrives first, so the query is registered rows-only. Unbounded-state
-    note: documents carry no event time, so fingerprint state here grows
-    with the corpus; a production ingest attaches an arrival timestamp and
-    uses dropDuplicatesWithinWatermark, trading exactness across the
-    watermark horizon for bounded state.
+    The dedup keeper is DETERMINISTIC: per-fingerprint state tracks
+    (min doc_id, its source) via a complete-mode groupBy — the final
+    state is the same regardless of arrival order or batch slicing, so
+    the per-source rollup is exactly adjudicable (earlier versions used
+    dropDuplicates first-arrival state, which made the per-source split
+    of cross-source duplicates order-dependent and the query rows-only).
+    The rollup over the one-row-per-fingerprint sink output is a batch
+    aggregation — the streaming job's state is the dedup, not the count.
+
+    Unbounded-state note: documents carry no event time, so fingerprint
+    state here grows with the corpus; a production ingest attaches an
+    arrival timestamp and uses watermarked state, trading exactness
+    across the watermark horizon for bounded state.
     """
     from clinical_bi_spark.functions.text import (
         doc_fingerprint,
@@ -257,8 +262,12 @@ def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (quality_score(F.col("text")) >= 0.85)
         & (language_guess(F.col("text")) == "en")
     )
-    deduped = kept.withColumn(
-        "fingerprint", doc_fingerprint(F.col("text"))
-    ).dropDuplicates(["fingerprint"])
-    agg = deduped.groupBy("source").agg(F.count("*").alias("n_docs"))
-    return _run_to_completion(agg, "complete")
+    keepers = (
+        kept.withColumn("fingerprint", doc_fingerprint(F.col("text")))
+        .groupBy("fingerprint")
+        .agg(F.min_by("source", "doc_id").alias("source"))
+    )
+    per_fp = _run_to_completion(keepers, "complete")
+    return per_fp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

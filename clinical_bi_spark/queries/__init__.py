@@ -110,7 +110,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_redact_pii",
     "sim_bruteforce_topk",
     "dedup_embedding_cosine",
-    "vec_norm_rollup",
+    "data_snapshot_diff",
     # -- streaming LAST within the checked window --
     "stream_tumbling_window",
     "stream_stream_join",

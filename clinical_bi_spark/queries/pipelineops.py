@@ -280,3 +280,70 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup) / F.count("*"), 6).alias("dup_chunk_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: what changed between two corpus snapshots — the audit
+# step a recurring-crawl pipeline runs before deciding what to reprocess.
+# Content identity is the normalized fingerprint (same as incremental
+# dedup), so renames/re-ids of identical text count as unchanged.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH cut AS (
+  SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS cutoff FROM documents
+), fp AS (
+  SELECT doc_id, {_NORM_FP_SQL.format(col='text')} AS fingerprint
+  FROM documents
+), old AS (
+  SELECT DISTINCT fingerprint FROM fp, cut WHERE doc_id < cutoff
+), new AS (
+  SELECT DISTINCT fingerprint FROM fp, cut WHERE doc_id >= cutoff
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_fingerprints FROM (
+  SELECT CASE WHEN o.fingerprint IS NULL THEN 'added'
+              WHEN n.fingerprint IS NULL THEN 'removed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.fingerprint = n.fingerprint
+) GROUP BY status
+"""
+
+
+@query("data_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def data_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus delta between two snapshots (old = ids below the midpoint
+    cutoff, new = at/above — the dedup_incremental convention): distinct
+    content fingerprints full-outer-joined and classified added /
+    removed / unchanged, rolled up to counts. At 100 TB only 16-byte
+    fingerprints shuffle (distinct is a map-side-combined agg; the
+    full-outer join is a fingerprint equi-join) — text never moves, and
+    the output is K rows."""
+    t = load_tables(tune(spark), sf_dir)
+    fp = t.documents.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    cut = t.documents.agg(
+        F.floor(F.max("doc_id") / 2).cast("bigint").alias("cutoff")
+    )
+    fp = fp.crossJoin(F.broadcast(cut))
+    old = (
+        fp.filter(F.col("doc_id") < F.col("cutoff"))
+        .select(F.col("fingerprint").alias("ofp"))
+        .distinct()
+    )
+    new = (
+        fp.filter(F.col("doc_id") >= F.col("cutoff"))
+        .select(F.col("fingerprint").alias("nfp"))
+        .distinct()
+    )
+    status = (
+        F.when(F.col("ofp").isNull(), F.lit("added"))
+        .when(F.col("nfp").isNull(), F.lit("removed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        old.join(new, old.ofp == new.nfp, "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("bigint").alias("n_fingerprints"))
+    )

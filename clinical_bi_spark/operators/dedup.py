@@ -459,24 +459,88 @@ def winnow_select(gram_col: F.Column, window: int = 4) -> F.Column:
     return F.array_sort(F.array_distinct(wins))
 
 
-def winnow_fingerprints_df(
+def winnow_fingerprints_expr(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     window: int = 4,
 ) -> DataFrame:
-    """(id, fps: array<long>) winnowed fingerprints per document.
+    """(id, fps: array<long>) winnowed fingerprints — pure-Catalyst
+    expression form (kgram_hashes + winnow_select).
 
     Two-stage select so the gram-hash array is a named column referenced
     ``window`` times by the shifted-slice zip_withs — multiple references
     stop CollapseProject inlining it back into one per-reference expression.
     Narrow transformation: no shuffle, each document fingerprints in place.
+
+    Kept as the reference implementation and differential-test anchor:
+    Catalyst evaluates higher-order-function lambdas INTERPRETED, one
+    boxed call per array element, so this form costs ~3× the Arrow path
+    on the bench corpus (PERF.md round 4) — ``winnow_fingerprints_df``
+    is the production entry point.
     """
     g = df.select(
         F.col(id_col).alias("id"), kgram_hashes(F.col(text_col), k).alias("gh")
     )
     return g.select("id", winnow_select(F.col("gh"), window).alias("fps"))
+
+
+def winnow_fingerprints_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """(id, fps: array<long>) winnowed fingerprints per document —
+    vectorized Arrow path (numpy sliding windows inside mapInPandas).
+
+    Same exact integers as the expression form (hash < 2^45, no
+    overflow; both sides strip everything outside [a-z0-9] after
+    lower(), so unicode lowercasing differences cannot reach the hash —
+    differential-tested including unicode edge cases). Measured 3×
+    faster per-core than the interpreted HOF chain at sf0.1 and scales
+    the same way (narrow, partition-preserving: each batch fingerprints
+    in place, text never moves)."""
+    if not use_arrow:
+        return winnow_fingerprints_expr(df, id_col, text_col, k, window)
+
+    def batches(it):
+        import re as _re
+
+        import numpy as _np
+        import pandas as _pd
+        from numpy.lib.stride_tricks import sliding_window_view as _swv
+
+        norm = _re.compile("[^a-z0-9]")
+        weights = _np.array(
+            [31 ** (k - 1 - j) for j in range(k)], dtype=_np.int64
+        )
+        for pdf in it:
+            ids, fps_list = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                s = norm.sub("", (txt or "").lower())
+                codes = _np.frombuffer(
+                    s.encode("ascii"), dtype=_np.uint8
+                ).astype(_np.int64)
+                if codes.size < k:
+                    fps = _np.empty(0, dtype=_np.int64)
+                else:
+                    gh = _swv(codes, k) @ weights
+                    if gh.size < window:
+                        mins = gh.min(keepdims=True)
+                    else:
+                        mins = _swv(gh, window).min(axis=1)
+                    fps = _np.unique(mins)  # sorted distinct
+                ids.append(i)
+                fps_list.append(fps.tolist())
+            yield _pd.DataFrame({"id": ids, "fps": fps_list})
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema="id long, fps array<long>"
+    )
 
 
 def winnow_neardup_pairs(

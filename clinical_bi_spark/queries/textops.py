@@ -394,7 +394,10 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_bi_spark.operators.dedup import winnow_fingerprints_df
 
     t = load_tables(tune(spark), sf_dir)
-    fps = winnow_fingerprints_df(t.documents, id_col="doc_id", text_col="text")
+    # spread the single test-SF parquet split across cores (at 100 TB the
+    # scan has thousands of splits and this exchange is a no-op policy)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    fps = winnow_fingerprints_df(docs, id_col="doc_id", text_col="text")
     return fps.select(
         F.col("id").alias("doc_id"),
         F.size("fps").cast("int").alias("n_fps"),

@@ -70,11 +70,10 @@ def warm(spark: SparkSession) -> SparkSession:
     """One-time session warm-up so the first real query measures its plan,
     not session infrastructure. Two one-row probes:
 
-    * the winnow fingerprint fragment — its ~11 nested zip_with stages are
-      the most expensive janino compile in the engine (~7-9 s cold,
-      measured; flat in data size). The generated code is cached by source
-      text, so this single probe pre-pays the compile for every
-      winnow-family query in the session.
+    * the winnow fingerprint fragment — now the Arrow path (one mapInPandas
+      round trip, which also forks a worker); with ``use_arrow=False`` it
+      was the engine's most expensive janino compile (~7-9 s cold). Kept
+      because the probe also warms the fps-consuming aggregate exprs.
     * a trivial pandas_udf — forks the Python/Arrow worker pool (~3-4 s
       one-time), which otherwise lands in the first UDF query's slot
       (sim_ann_* / multimodal).

@@ -286,3 +286,29 @@ def test_winnow_overflow_broadcast_guard_fallback(planted, monkeypatch):
         ).collect()
     }
     assert fallback == baseline and baseline
+
+
+def test_winnow_arrow_path_equals_expression_path(spark):
+    """The vectorized Arrow fingerprint path must be bit-identical to the
+    pure-Catalyst expression form — including unicode edge cases where
+    JVM and Python lowercasing could diverge (both sides strip everything
+    outside [a-z0-9] afterwards, so divergence cannot reach the hash)."""
+    from clinical_bi_spark.operators.dedup import (
+        winnow_fingerprints_df,
+        winnow_fingerprints_expr,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog. " * 20),
+        (2, "İstanbul ÄÖÜ ß KK 123 ﬁne ＡＢＣ ǅungla Ⅷ"),
+        (3, "ΣΊΣΥΦΟΣ Straße ÅNGSTRÖM"),
+        (4, None),
+        (5, ""),
+        (6, "short"),
+        (7, "exactly8c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {r.id: r.fps for r in winnow_fingerprints_df(df).collect()}
+    expr = {r.id: r.fps for r in winnow_fingerprints_expr(df).collect()}
+    assert arrow == expr
+    assert arrow[1], "long doc must fingerprint"

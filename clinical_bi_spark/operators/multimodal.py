@@ -251,6 +251,106 @@ def resize_bmp(data: bytes, target_width: int, target_height: int) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# WAV (PCM) — the third REAL codec: RIFF chunk walk + raw little-endian
+# samples, no audio library needed. Gives the audio modality a genuine
+# decode → feature-extract path (sample-exact, oracle-checkable; the
+# lossy-codec formats stay declared stubs).
+# ---------------------------------------------------------------------------
+
+
+def _parse_wav_header(data: bytes) -> tuple[int, int, int, int, int]:
+    """(sample_rate, n_channels, bits_per_sample, data_offset, data_len)
+    of a RIFF/WAVE file — canonical chunk walk (fmt before data; unknown
+    chunks skipped, word-aligned)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    sample_rate = n_channels = bits = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        clen = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        body = i + 8
+        if cid == b"fmt ":
+            if clen < 16 or body + 16 > len(data):
+                raise ValueError("truncated fmt chunk")
+            fmt_tag, n_channels, sample_rate = struct.unpack(
+                "<HHI", data[body : body + 8]
+            )
+            bits = struct.unpack("<H", data[body + 14 : body + 16])[0]
+            if fmt_tag != 1:
+                raise ValueError("only PCM (format 1) WAV supported")
+        elif cid == b"data":
+            if sample_rate is None:
+                raise ValueError("data chunk before fmt")
+            if body + clen > len(data):
+                raise ValueError("truncated data chunk")
+            return sample_rate, n_channels, bits, body, clen
+        i = body + clen + (clen & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def decode_wav_pcm16(data: bytes):
+    """WAV bytes → (samples: int16 array shaped (n_frames, n_channels),
+    sample_rate). Real decode for 16-bit PCM."""
+    import numpy as np
+
+    sample_rate, n_channels, bits, off, dlen = _parse_wav_header(data)
+    if bits != 16:
+        raise ValueError("only 16-bit PCM supported")
+    n = dlen // (2 * n_channels)
+    samples = np.frombuffer(
+        data, dtype="<i2", count=n * n_channels, offset=off
+    ).reshape(n, n_channels)
+    return samples, sample_rate
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "asset_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL audio feature extraction over Arrow-batched mapInPandas:
+    decode PCM16 WAV and compute duration, peak, and RMS energy —
+    sample-exact (integer peak/duration; RMS is one IEEE sqrt over an
+    exact integer sum of squares, so an SQL oracle reproduces it
+    bit-for-bit). Non-WAV or malformed assets yield a NULL feature row
+    rather than failing the job."""
+    schema = (
+        f"{id_col} long, sample_rate int, n_channels int, n_samples long,"
+        " duration_ms double, peak_abs int, rms double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {k: [] for k in (
+                id_col, "sample_rate", "n_channels", "n_samples",
+                "duration_ms", "peak_abs", "rms",
+            )}
+            for i, raw in zip(pdf[id_col], pdf[media_col]):
+                out[id_col].append(i)
+                try:
+                    samples, rate = decode_wav_pcm16(bytes(raw or b""))
+                    s = samples.astype(np.int64)
+                    n = s.shape[0]
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(s.shape[1])
+                    out["n_samples"].append(n)
+                    out["duration_ms"].append(n * 1000.0 / rate)
+                    out["peak_abs"].append(int(np.abs(s).max()) if n else 0)
+                    out["rms"].append(
+                        float(np.sqrt(float((s * s).sum()) / s.size))
+                        if n else 0.0
+                    )
+                except ValueError:
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "duration_ms", "peak_abs", "rms"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=schema)
+
+
 def attach_media_metadata(
     df: DataFrame, id_col: str = "asset_id", media_col: str = "media"
 ) -> DataFrame:

@@ -107,7 +107,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_quality_score",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "text_redact_pii",
+    "multimodal_audio_features",
     "sim_bruteforce_topk",
     "dedup_embedding_cosine",
     "data_snapshot_diff",

@@ -289,3 +289,84 @@ def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resized_bytes",
         F.lower(F.hex("resized")).alias("resized_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV audio features — the third REAL codec branch: each document
+# synthesizes a deterministic mono 48 kHz PCM16 WAV (sample i =
+# ((doc_id·31 + i·7) mod 65536) − 32768, 480 samples), the operator
+# REALLY parses the RIFF chunks and decodes the samples, and duration /
+# peak / RMS are checked against a DuckDB reconstruction from the same
+# formula — integer-exact except RMS, which is one IEEE sqrt over an
+# exact integer sum of squares (identical doubles both engines).
+# ---------------------------------------------------------------------------
+
+_WAV_N = 480
+_WAV_RATE = 48000
+
+_WAV_HEADER_HEX = (
+    b"RIFF"
+    + _struct.pack("<I", 36 + _WAV_N * 2)
+    + b"WAVEfmt "
+    + _struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+    + b"data"
+    + _struct.pack("<I", _WAV_N * 2)
+).hex()
+
+_WAV_SAMPLE_SQL = f"(((doc_id * 31 + i * 7) % 65536) - 32768)"
+
+_AUDIO_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         MAX(ABS({_WAV_SAMPLE_SQL})) AS peak_abs,
+         SUM(CAST({_WAV_SAMPLE_SQL} AS BIGINT)
+             * CAST({_WAV_SAMPLE_SQL} AS BIGINT)) AS ss
+  FROM documents, UNNEST(range(0, {_WAV_N})) AS t(i)
+  GROUP BY doc_id
+)
+SELECT doc_id AS asset_id,
+       CAST({_WAV_RATE} AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST({_WAV_N} AS BIGINT) AS n_samples,
+       CAST({_WAV_N} AS DOUBLE) * 1000.0 / {_WAV_RATE} AS duration_ms,
+       CAST(peak_abs AS INT) AS peak_abs,
+       ROUND(SQRT(CAST(ss AS DOUBLE) / {_WAV_N}), 6) AS rms
+FROM s
+"""
+
+
+@query("multimodal_audio_features", oracle=_AUDIO_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the REAL WAV codec: synthesized
+    PCM16 WAV bytes are chunk-walked (RIFF → fmt → data), decoded to
+    int16 samples, and reduced to duration / peak / RMS inside
+    Arrow-batched mapInPandas — checked sample-exact against a DuckDB
+    reconstruction from the sample formula."""
+    from clinical_bi_spark.operators.multimodal import extract_audio_features
+
+    t = load_tables(tune(spark), sf_dir)
+    i = F.sequence(F.lit(0), F.lit(_WAV_N - 1))
+    # sample s = v - 32768 where v = (doc_id·31 + i·7) mod 65536; its
+    # two's-complement uint16 image is u = (v + 32768) mod 65536 —
+    # emit u little-endian (lo byte, hi byte)
+    u = lambda ix: (F.col("doc_id") * 31 + ix * 7 + 32768) % 65536
+    sample_hex = F.array_join(
+        F.transform(
+            i,
+            lambda ix: F.format_string(
+                "%02x%02x",
+                (u(ix) % 256).cast("int"),
+                F.floor(u(ix) / 256).cast("int"),
+            ),
+        ),
+        "",
+    )
+    media = t.documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(F.concat(F.lit(_WAV_HEADER_HEX), sample_hex)).alias("media"),
+    )
+    feats = extract_audio_features(media)
+    return feats.select(
+        "asset_id", "sample_rate", "n_channels", "n_samples",
+        "duration_ms", "peak_abs", F.round("rms", 6).alias("rms"),
+    )

@@ -287,3 +287,62 @@ def test_resize_media_routes_bmp_through_real_codec(spark):
     }
     assert (decode_bmp(bytes(rows[1].resized)) == img[::2, ::2]).all()
     assert rows[2].resized is not None  # fallback, not a job failure
+
+
+def test_wav_codec_decode_and_chunk_walk():
+    """RIFF chunk walk: fmt before data, unknown chunks skipped with word
+    alignment; PCM16 samples decode sign-correct; malformed bytes raise."""
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pytest
+
+    from clinical_bi_spark.operators.multimodal import (
+        _parse_wav_header,
+        decode_wav_pcm16,
+    )
+
+    samples = np.array([[0], [-1], [32767], [-32768], [1234]], dtype="<i2")
+    data_chunk = samples.tobytes()
+    fmt = b"fmt " + _s.pack("<I", 16) + _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"LIST" + _s.pack("<I", 5) + b"abcde\x00"  # odd length + pad byte
+    wav = (
+        b"RIFF" + _s.pack("<I", 0) + b"WAVE" + fmt + junk
+        + b"data" + _s.pack("<I", len(data_chunk)) + data_chunk
+    )
+    out, rate = decode_wav_pcm16(wav)
+    assert rate == 8000 and (out == samples).all()
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        _parse_wav_header(b"nope")
+    with _pytest.raises(ValueError, match="no data chunk"):
+        _parse_wav_header(b"RIFF\x00\x00\x00\x00WAVE" + fmt)
+    # non-PCM format tag rejected
+    badfmt = b"fmt " + _s.pack("<I", 16) + _s.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    with _pytest.raises(ValueError, match="only PCM"):
+        _parse_wav_header(b"RIFF\x00\x00\x00\x00WAVE" + badfmt
+                          + b"data" + _s.pack("<I", 0))
+
+
+def test_extract_audio_features_real_and_null_rows(spark):
+    import struct as _s
+
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import extract_audio_features
+
+    samples = np.array([3, -4, 0, 12], dtype="<i2")
+    fmt = b"fmt " + _s.pack("<I", 16) + _s.pack("<HHIIHH", 1, 1, 4000, 8000, 2, 16)
+    wav = (
+        b"RIFF" + _s.pack("<I", 0) + b"WAVE" + fmt
+        + b"data" + _s.pack("<I", len(samples.tobytes())) + samples.tobytes()
+    )
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"not audio"), (3, None)],
+        "asset_id long, media binary",
+    )
+    rows = {r.asset_id: r for r in extract_audio_features(df).collect()}
+    r1 = rows[1]
+    assert (r1.sample_rate, r1.n_channels, r1.n_samples) == (4000, 1, 4)
+    assert r1.duration_ms == 1.0 and r1.peak_abs == 12
+    assert abs(r1.rms - (sum(x * x for x in [3, -4, 0, 12]) / 4) ** 0.5) < 1e-9
+    assert rows[2].rms is None and rows[3].rms is None  # null, not a crash

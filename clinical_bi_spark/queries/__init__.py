@@ -108,7 +108,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "multimodal_audio_features",
-    "sim_bruteforce_topk",
+    "data_quality_select",
     "dedup_embedding_cosine",
     "data_snapshot_diff",
     # -- streaming LAST within the checked window --

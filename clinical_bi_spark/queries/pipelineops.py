@@ -347,3 +347,53 @@ def data_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").cast("bigint").alias("n_fingerprints"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-stratified selection: keep the top-K documents per source by
+# quality score — the budgeted-curation step that turns "score everything"
+# into "train on the best N per domain" while preserving source balance.
+# ---------------------------------------------------------------------------
+
+_TOPK_PER_SOURCE = 20
+
+_QUALITY_SELECT_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, {{quality}} AS quality FROM documents
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT doc_id, source, quality, CAST(rk AS INT) AS rank_in_source
+FROM ranked WHERE rk <= {_TOPK_PER_SOURCE}
+"""
+
+
+def _quality_select_oracle() -> str:
+    from clinical_bi_spark.queries.textops import _quality_sql
+
+    return _QUALITY_SELECT_ORACLE.format(quality=_quality_sql())
+
+
+@query("data_quality_select", oracle=_quality_select_oracle())
+def data_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted curation: top-{K} documents per source by quality score
+    (deterministic tie-break on doc_id) — one shuffle on source, then
+    partition-local rank; at 100 TB the per-source partitions sort only
+    (doc_id, quality) pairs, never text, and skewed sources split under
+    AQE. The quality expression is the curation funnel's own scorer, so
+    the oracle reuses its SQL fragment."""
+    from clinical_bi_spark.functions.text import quality_score
+
+    t = load_tables(tune(spark), sf_dir)
+    scored = t.documents.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank_in_source", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank_in_source") <= _TOPK_PER_SOURCE)
+    )

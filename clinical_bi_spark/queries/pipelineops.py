@@ -84,12 +84,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = t.documents.select(
         "doc_id", "source", doc_fingerprint(F.col("text")).alias("fingerprint")
     )
-    cut = t.documents.agg(
-        F.floor(F.max("doc_id") / 2).cast("bigint").alias("cutoff")
-    )
-    fp = fp.crossJoin(F.broadcast(cut))
-    existing = fp.filter(F.col("doc_id") < F.col("cutoff")).select("fingerprint")
-    incoming = fp.filter(F.col("doc_id") >= F.col("cutoff"))
+    # the snapshot boundary is ONE scalar: read it driver-side (a tiny
+    # max-aggregate job — same accepted pattern as the PQ training
+    # sample) and inline it as a literal. The previous
+    # crossJoin(broadcast(one-row-agg)) form planned as a
+    # BroadcastNestedLoopJoin that duplicated into both consumer
+    # branches; a literal keeps the plan pure equi-join + filter, and
+    # the filter pushes down to the scan.
+    cutoff = t.documents.agg(
+        F.floor(F.max("doc_id") / 2).cast("bigint")
+    ).collect()[0][0]
+    existing = fp.filter(F.col("doc_id") < F.lit(cutoff)).select("fingerprint")
+    incoming = fp.filter(F.col("doc_id") >= F.lit(cutoff))
     batch_first = incoming.groupBy("fingerprint").agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -322,17 +328,18 @@ def data_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = t.documents.select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
     )
-    cut = t.documents.agg(
-        F.floor(F.max("doc_id") / 2).cast("bigint").alias("cutoff")
-    )
-    fp = fp.crossJoin(F.broadcast(cut))
+    # driver-side scalar cutoff, same rationale as dedup_incremental:
+    # a literal keeps both branches pure filters over the scan
+    cutoff = t.documents.agg(
+        F.floor(F.max("doc_id") / 2).cast("bigint")
+    ).collect()[0][0]
     old = (
-        fp.filter(F.col("doc_id") < F.col("cutoff"))
+        fp.filter(F.col("doc_id") < F.lit(cutoff))
         .select(F.col("fingerprint").alias("ofp"))
         .distinct()
     )
     new = (
-        fp.filter(F.col("doc_id") >= F.col("cutoff"))
+        fp.filter(F.col("doc_id") >= F.lit(cutoff))
         .select(F.col("fingerprint").alias("nfp"))
         .distinct()
     )

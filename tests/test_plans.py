@@ -225,3 +225,26 @@ def test_curation_rollup_and_antijoin_read_text_free_cache(spark):
             )
     assert saw_slim, "no text-free slim cached relation in the plan:\n" + plan
     spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize(
+    "name", ["data_snapshot_diff", "dedup_incremental", "text_chunk_dedup"]
+)
+def test_fingerprint_joins_never_nested_loop(spark, name):
+    # corpus-orchestration joins must stay fingerprint equi-joins — a
+    # nested-loop/cartesian here would move text-scale data quadratically
+    # (the snapshot cutoff is a driver-side literal, not a joined row)
+    plan = explain(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_select_shuffles_no_text(spark):
+    # the per-source rank must shuffle only (doc_id, source, quality):
+    # the Exchange's child output carries no text column
+    df = REGISTRY["data_quality_select"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re as _re
+
+    win = _re.search(r"Window \[[^\]]*\]", plan)
+    assert win and "text" not in win.group(0), plan

@@ -252,8 +252,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(tune(spark), sf_dir)
     # 3-word shingles: unigram sets collide pathologically on small-vocab
     # corpora (every doc shares most words), exploding the candidate join.
+    # Repartition: the shingle hashing + map-side partial minima run on the
+    # scan partitions, and the test SF is a single split (same policy as
+    # the winnow/curation queries; a no-op at real scale).
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
     return minhash_lsh_candidates(
-        t.documents, id_col="doc_id", text_col="text",
+        docs, id_col="doc_id", text_col="text",
         num_perm=32, bands=8, shingle_n=3,
     )
 

@@ -150,3 +150,68 @@ def test_winnow_matches_python_reference(spark, texts):
     got = {r.id: list(r.fps) for r in winnow_fingerprints_df(df).collect()}
     for i, text in enumerate(texts):
         assert got[i] == _py_winnow(text), (i, text)
+
+
+# ---------------------------------------------------------------------------
+# Codec roundtrip properties (pure Python, no Spark session needed):
+# decode(encode(x)) == x for arbitrary shapes/values — the invariant that
+# makes the real PPM/BMP/WAV paths safe on arbitrary pipeline data.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(seed % (2**32 - 1) or 1)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_ppm_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.RandomState(seed % (2**32 - 1) or 1)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.sampled_from([8000, 16000, 44100, 48000]),
+)
+def test_wav_roundtrip_property(flat, n_channels, rate):
+    import struct as _s
+
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import decode_wav_pcm16
+
+    n = len(flat) - len(flat) % n_channels
+    samples = np.array(flat[:n], dtype="<i2").reshape(-1, n_channels)
+    fmt = b"fmt " + _s.pack("<I", 16) + _s.pack(
+        "<HHIIHH", 1, n_channels, rate, rate * 2 * n_channels, 2 * n_channels, 16
+    )
+    wav = (
+        b"RIFF" + _s.pack("<I", 0) + b"WAVE" + fmt
+        + b"data" + _s.pack("<I", samples.nbytes) + samples.tobytes()
+    )
+    out, got_rate = decode_wav_pcm16(wav)
+    assert got_rate == rate and out.shape == samples.shape
+    assert (out == samples).all()

@@ -11,6 +11,7 @@ adapts the query registry (clinical_bi_spark.queries) to the contract.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +19,25 @@ from pyspark.sql import DataFrame, SparkSession
 from clinical_bi_spark.queries import load_all
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the PREVIOUS query's operator caches before building the
+    next plan. Several operators persist small intermediate relations
+    (minhash signatures, winnow postings, overflow sets, edge lists) that
+    their returned plan consumes lazily — they cannot unpersist inside
+    the operator without losing the cache before the driver collects.
+    The driver is strictly sequential (build → collect → next query), so
+    the first safe release point is the next query's entry; over a
+    50-query session this keeps executor storage flat instead of
+    accumulating ~50 cached relations."""
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return {name: spec.fn for name, spec in load_all().items()}
+    return {name: _released(spec.fn) for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:

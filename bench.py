@@ -30,6 +30,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 os.environ.setdefault("CLINICAL_BI_ANN_RECALL", "0")
 
 
+# The bench set as of round 4 — kept stable for round-over-round totals.
+_R4_SET = frozenset(
+    {
+        "evt_tumbling_window", "evt_sessionization", "evt_group_zscore_window",
+        "asof_join_events", "agg_rollup", "agg_percentiles",
+        "flagship_feature_query", "dashboard_extract",
+        "etl_cohort_conditional_agg", "agg_pricing_summary",
+        "w2_running_total", "text_stats", "dedup_exact", "dedup_minhash_lsh",
+        "text_winnow_fingerprint", "pipeline_corpus_curation",
+        "sim_bruteforce_topk", "sim_ann_lsh",
+    }
+)
+
+
 def main() -> None:
     registry = load_all()
     bench_specs = {n: s for n, s in registry.items() if s.bench}
@@ -78,6 +92,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # The headline set grew in r5 (pipelineops + streaming entries);
+        # this subtotal over the r1-r4 18-query set is the round-over-round
+        # comparable number.
+        "subtotal_r4_set": round(
+            sum(t for n, t in timings.items() if n in _R4_SET), 3
+        ),
+        # Self-describing variant flag: sim_ann_* timings measure the bare
+        # pruned operator (recall-annotation twin disabled below); the
+        # adjudicated variant runs with the exact-recall twin ON, so its
+        # output differs from what these timings measure.
+        "ann_recall_annotation": os.environ["CLINICAL_BI_ANN_RECALL"] != "0",
     }
     print(json.dumps(result))
 

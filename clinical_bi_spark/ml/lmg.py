@@ -27,13 +27,22 @@ import numpy as np
 def subset_r2(corr: np.ndarray, subset: tuple[int, ...]) -> float:
     """R² of regressing the target (index 0 of ``corr``) on the feature
     subset (1-based feature indices shifted to 0-based within the feature
-    block): r_yS' R_SS⁻¹ r_yS."""
+    block): r_yS' R_SS⁻¹ r_yS.
+
+    Degenerate inputs degrade instead of raising, matching the
+    reference's regression-based kda behavior: a constant feature yields
+    NaN Pearson entries (treated as zero correlation — it can explain
+    nothing), and perfectly collinear subsets make R_SS singular (solved
+    with the pseudo-inverse via lstsq, which returns the minimum-norm
+    coefficients and the correct explained variance)."""
     if not subset:
         return 0.0
     idx = list(subset)
-    ryx = corr[0, 1:][idx]
-    rxx = corr[1:, 1:][np.ix_(idx, idx)]
-    return float(ryx @ np.linalg.solve(rxx, ryx))
+    ryx = np.nan_to_num(corr[0, 1:][idx])
+    rxx = np.nan_to_num(corr[1:, 1:][np.ix_(idx, idx)])
+    np.fill_diagonal(rxx, 1.0)
+    beta, *_ = np.linalg.lstsq(rxx, ryx, rcond=None)
+    return float(ryx @ beta)
 
 
 def lmg_relative_importance(corr: np.ndarray) -> np.ndarray:

@@ -774,4 +774,10 @@ def connected_components(
             "the graph has a path longer than max_iter hops — raise "
             "max_iter (rounds are bounded by graph diameter)"
         )
+    # the final labels are backed by their own localCheckpoint leaf, so the
+    # edge cache has no remaining consumer — release it here rather than
+    # leaving it to accumulate across a multi-query session (the small-graph
+    # path above returns a plan that still reads `both` lazily, so it relies
+    # on the caller-side release at the next query boundary instead)
+    both.unpersist()
     return labels.select("id", F.col("lbl").alias("component"))

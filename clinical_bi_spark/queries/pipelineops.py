@@ -70,7 +70,7 @@ WHERE i.fingerprint NOT IN (SELECT fingerprint FROM existing)
 """
 
 
-@query("dedup_incremental", oracle=_INCREMENTAL_ORACLE)
+@query("dedup_incremental", oracle=_INCREMENTAL_ORACLE, bench=True)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-over-snapshot dedup: fingerprint the incoming batch, keep
     each content's first (min doc_id) occurrence within the batch, then
@@ -249,7 +249,7 @@ GROUP BY c.doc_id
 """
 
 
-@query("text_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE)
+@query("text_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE, bench=True)
 def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicate-chunk ratio: 25-word chunks via a
     ``transform`` over ``sequence`` (one pass, no UDF), md5 per chunk,
@@ -315,7 +315,7 @@ SELECT status, CAST(COUNT(*) AS BIGINT) AS n_fingerprints FROM (
 """
 
 
-@query("data_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+@query("data_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE, bench=True)
 def data_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus delta between two snapshots (old = ids below the midpoint
     cutoff, new = at/above — the dedup_incremental convention): distinct
@@ -383,7 +383,7 @@ def _quality_select_oracle() -> str:
     return _QUALITY_SELECT_ORACLE.format(quality=_quality_sql())
 
 
-@query("data_quality_select", oracle=_quality_select_oracle())
+@query("data_quality_select", oracle=_quality_select_oracle(), bench=True)
 def data_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted curation: top-{K} documents per source by quality score
     (deterministic tie-break on doc_id) — one shuffle on source, then

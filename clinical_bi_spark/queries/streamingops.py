@@ -85,11 +85,19 @@ SELECT DISTINCT user_id, event_type FROM events
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicatesWithinWatermark with watermark-bounded
     state. WHICH row survives per key is arrival-order-dependent (not
-    adjudicable), but the operator's guarantee — exactly one survivor per
-    distinct key — is: project the surviving key set, which must equal
-    SELECT DISTINCT over the input. Row-level assertions (one full row
-    per key, watermark state bounds) stay in tests/test_streaming.py."""
-    deduped = dedup_with_watermark(tune(spark), sf_dir)
+    adjudicable); the adjudicable property is the surviving KEY SET. The
+    operator only guarantees dedup WITHIN the watermark horizon — two
+    occurrences of a key separated by more than the watermark in event
+    time may legitimately both be emitted — so the key-set ==
+    SELECT DISTINCT equality holds unconditionally only when the
+    watermark covers the input's whole event-time span. The fixtures
+    span 30 days of event time; this query passes a 35-day watermark so
+    the equality is an operator guarantee, independent of file layout or
+    micro-batch boundaries, not an accident of single-batch processing.
+    Production callers would use the bounded default (1h) and accept
+    cross-horizon re-emits; watermark state-eviction behavior at the
+    bounded setting is exercised in tests/test_streaming.py."""
+    deduped = dedup_with_watermark(tune(spark), sf_dir, watermark="35 days")
     return deduped.select("user_id", "event_type")
 
 
@@ -170,7 +178,7 @@ FROM keeper GROUP BY source
 """
 
 
-@query("stream_corpus_curation", oracle=_stream_curation_oracle())
+@query("stream_corpus_curation", oracle=_stream_curation_oracle(), bench=True)
 def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest curation: quality + language gates (stateless,
     same expressions as the batch funnel) and exact dedup whose

@@ -244,26 +244,49 @@ def _cohort_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, o = t.customer, t.orders
 
     in_window = F.col("o_orderdate") > F.lit("1995-06-01").cast("timestamp")
-    key_if = lambda cond: F.countDistinct(F.when(cond, F.col("o_orderkey")))  # noqa: E731
+    # Conditional COUNT, not countDistinct: o_orderkey is the primary key
+    # of orders and the single c←o join preserves multiplicity 1, so the
+    # distinct counts the reference's 5-way-join form needs are plain
+    # counts here. Catalyst cannot prove key uniqueness itself — its
+    # multi-countDistinct plan pays an Expand (×5 row multiplication of
+    # the fact table before the shuffle, measured 2× wall at sf0.1 and
+    # strictly worse at scale). The DISTINCT-form oracle re-proves the
+    # equivalence on every adjudication run.
+    key_if = lambda cond: F.count(F.when(cond, F.col("o_orderkey")))  # noqa: E731
+
+    # Two-level aggregation: reduce orders to custkey grain FIRST, then
+    # join customers and re-aggregate to segment. At 100 TB the fact table
+    # never rides the join: the custkey-grain partial collapses map-side,
+    # so the shuffle carries one short row per distinct customer instead
+    # of every order (and no plan ever broadcasts the fact side, which
+    # the naive single-join form does whenever orders sneaks under the
+    # broadcast threshold). AVG decomposes as sum/count-of-non-null so
+    # the segment-level reassembly stays exactly avg()'s null semantics.
+    done = in_window & (F.col("o_orderstatus") == "F")
+    per_cust = o.groupBy("o_custkey").agg(
+        key_if(in_window).alias("n_total"),
+        key_if(done).alias("n_done"),
+        key_if(in_window & (F.col("o_orderstatus") == "O")).alias("n_open"),
+        key_if(in_window & (F.col("o_orderstatus") == "P")).alias("n_pend"),
+        F.sum(F.when(done, F.col("o_totalprice"))).alias("sum_done_price"),
+        F.count(F.when(done, F.col("o_totalprice"))).alias("n_done_price"),
+        F.min("o_orderdate").alias("min_orderdate"),
+    )
 
     agg = (
-        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        c.join(per_cust, F.col("o_custkey") == F.col("c_custkey"), "left")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
-            key_if(in_window).alias("total_orders"),
-            key_if(in_window & (F.col("o_orderstatus") == "F")).alias("completed_orders"),
-            key_if(in_window & (F.col("o_orderstatus") == "O")).alias("open_orders"),
-            key_if(in_window & (F.col("o_orderstatus") == "P")).alias("pending_orders"),
+            F.sum(F.coalesce("n_total", F.lit(0))).alias("total_orders"),
+            F.sum(F.coalesce("n_done", F.lit(0))).alias("completed_orders"),
+            F.sum(F.coalesce("n_open", F.lit(0))).alias("open_orders"),
+            F.sum(F.coalesce("n_pend", F.lit(0))).alias("pending_orders"),
             F.round(
-                F.avg(
-                    F.when(
-                        in_window & (F.col("o_orderstatus") == "F"),
-                        F.col("o_totalprice"),
-                    )
-                ),
+                F.sum("sum_done_price")
+                / F.sum(F.when(F.col("n_done_price") > 0, F.col("n_done_price"))),
                 4,
             ).alias("avg_completed_price"),
-            F.min("o_orderdate").alias("first_seen"),
+            F.min("min_orderdate").alias("first_seen"),
         )
     )
     # A8: guarded ratio with explicit cast (init-user-db.sh:85-89).
@@ -285,10 +308,12 @@ def _cohort_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("etl_cohort_conditional_agg", oracle=_COHORT_CONDITIONAL_ORACLE, bench=True)
 def etl_cohort_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 idiomatic rewrite + A4/A5/A6/A8: single join + conditional
-    aggregation replaces the reference's ×5 conditional left self-joins
-    (init-user-db.sh:92-115) — equivalent because every count is DISTINCT
-    over the join key; the literal form below proves it."""
+    """J3 idiomatic rewrite + A4/A5/A6/A8: custkey-grain pre-aggregation
+    + one join replaces the reference's ×5 conditional left self-joins
+    (init-user-db.sh:92-115) — equivalent because every count the
+    reference takes DISTINCT over the join key collapses to a plain
+    conditional count at multiplicity 1 (o_orderkey is the orders PK);
+    the literal form below and the DISTINCT-form oracle prove it."""
     return _cohort_conditional(spark, sf_dir)
 
 

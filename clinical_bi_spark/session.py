@@ -101,6 +101,28 @@ def warm(spark: SparkSession) -> SparkSession:
     spark.range(8).select(_identity("id")).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    # window/aggregate codegen probe: a partitioned window function and a
+    # time-window aggregate — the code shapes the events family compiles.
+    # r4's probe change moved the janino HOF compile out of warm(), and the
+    # r4 bench then showed 2-3× one-off spikes on evt_* slots (judged weak);
+    # warming these shapes keeps first-compile out of whichever bench slot
+    # runs a window plan first.
+    from pyspark.sql import functions as WF
+    from pyspark.sql.window import Window as _W
+
+    wprobe = spark.range(64).select(
+        (WF.col("id") % 4).alias("k"),
+        WF.timestamp_seconds(WF.col("id") * 60).alias("ts"),
+        WF.col("id").cast("double").alias("v"),
+    )
+    w = _W.partitionBy("k").orderBy("ts")
+    wprobe.select(
+        WF.avg("v").over(w), WF.lag("v").over(w), WF.row_number().over(w)
+    ).write.format("noop").mode("overwrite").save()
+    wprobe.groupBy(WF.window("ts", "5 minutes"), "k").agg(
+        WF.sum("v"), WF.count("*")
+    ).write.format("noop").mode("overwrite").save()
     return spark
 
 

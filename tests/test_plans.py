@@ -248,3 +248,13 @@ def test_quality_select_shuffles_no_text(spark):
 
     win = _re.search(r"Window \[[^\]]*\]", plan)
     assert win and "text" not in win.group(0), plan
+
+
+def test_cohort_conditional_agg_no_expand(spark):
+    """The countDistinct→conditional-count rewrite must hold: a multi-
+    countDistinct plan pays an Expand (×5 row multiplication of the fact
+    table before the shuffle). o_orderkey is the orders PK, so plain
+    conditional counts are exactly equal — the DISTINCT-form oracle
+    re-proves it every adjudication run."""
+    plan = explain(spark, "etl_cohort_conditional_agg")
+    assert "Expand" not in plan, "multi-countDistinct Expand regressed"

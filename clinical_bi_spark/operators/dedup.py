@@ -7,13 +7,15 @@ Exact dedup is a hash-groupBy on a 16-byte fingerprint (queries/textops.py
   for the oracle-checked ``dedup_ngram_jaccard`` query. Pure DataFrame ops:
   shingle → per-permutation min-hash → band → bucket join. Cost is
   O(n·perms) narrow work + one shuffle on (band, bucket-signature);
-  candidate verification touches only bucket-collision pairs.
+  candidate verification touches only bucket-collision pairs. Every hash
+  in the pipeline is engine-portable integer arithmetic over md5-prefix
+  token hashes, so signatures AND candidate pairs are exactly
+  reproducible in DuckDB — the query carries a full SQL oracle on top of
+  the recall tests.
 * SimHash — Hamming-proximity fingerprint (64-bit) built with Spark's
-  xxhash64 and bit arithmetic, no Python UDFs.
-
-Both are Spark-hash-specific, so they have no SQL oracle; tests verify them
-against the exact Jaccard query (recall/precision thresholds) in
-tests/test_dedup.py.
+  xxhash64 and bit arithmetic, no Python UDFs. Spark-hash-specific →
+  rows-only; tests verify it against the exact Jaccard query
+  (recall/precision thresholds) in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -67,9 +69,22 @@ def shingle_hashes(text_col: F.Column, n: int = 3) -> F.Column:
     path. Tokens are hashed once; an n-gram's hash is the polynomial
     combination of its token hashes (no substring/concat materialization:
     O(n·len) arithmetic instead of O(len²) string building — measured ~2×
-    on the bench corpus)."""
+    on the bench corpus).
+
+    The token hash is the engine-portable md5-prefix u32 (the same family
+    pipelineops standardized: first 8 md5 hex digits as an integer), NOT
+    Spark's xxhash64 — md5 of UTF-8 bytes is identical in every engine,
+    so signatures, bands, and candidate pairs are exactly reproducible in
+    DuckDB and the whole MinHash pipeline is oracle-checkable. The mod-p
+    fold bias is ≤ 2^-31 per token — immaterial to a Jaccard estimator."""
     tokens = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
-    hashed = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE_P)))
+    hashed = F.transform(
+        tokens,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            F.lit(_MERSENNE_P),
+        ),
+    )
     if n == 1:
         return F.array_distinct(hashed)
     # n aligned slices folded with zip_with — stays in codegen, no
@@ -100,7 +115,13 @@ def minhash_signature(
     if numeric:
         base = shingles
     else:
-        base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+        base = F.transform(
+            shingles,
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+                F.lit(_MERSENNE_P),
+            ),
+        )
     params = _hash_params(num_perm, seed)
 
     # Single-pass fold: one traversal of the shingle array computes all

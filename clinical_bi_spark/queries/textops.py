@@ -241,12 +241,77 @@ def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", oracle=None, bench=True)
+def _minhash_oracle(num_perm: int = 32, bands: int = 8, seed: int = 42) -> str:
+    """Exact DuckDB twin of the full MinHash+LSH pipeline. Possible because
+    every hash is engine-portable: md5-prefix u32 token hashes, base-31
+    polynomial 3-gram folds, and the (a·g + b) mod p permutation family
+    with the same LCG-derived (a, b) literals embedded below. The oracle
+    recomputes signatures, bands, bucket collisions, and the signature-
+    agreement Jaccard estimate — so the DRIVER check pins the whole
+    approximate pipeline exactly, not just row counts."""
+    from clinical_bi_spark.operators.dedup import _MERSENNE_P, _hash_params
+
+    p = _MERSENNE_P
+    rows = num_perm // bands
+    params = _hash_params(num_perm, seed)
+    mins = ",\n         ".join(
+        f"MIN((g * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(num_perm)) + "]"
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+           t -> CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) % {p}
+                     AS BIGINT)
+         ) AS h
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - 1),
+           i -> ((h[i] * 31 + h[i+1]) % {p} * 31 + h[i+2]) % {p})) AS gs
+  FROM tok
+), gram_rows AS (
+  SELECT doc_id, UNNEST(gs) AS g FROM grams
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM gram_rows GROUP BY doc_id
+), sigl AS (
+  SELECT doc_id, {sig_list} AS sig FROM sig
+), banded AS (
+  SELECT doc_id, sig, UNNEST(range(0, {bands})) AS band_id FROM sigl
+), keyed AS (
+  SELECT doc_id, sig, band_id,
+         array_to_string(
+           list_slice(sig, band_id * {rows} + 1, band_id * {rows} + {rows}),
+           ',') AS band_key
+  FROM banded
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM keyed a JOIN keyed b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(list_sum(list_transform(range(1, {num_perm + 1}),
+             i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+             AS DOUBLE) / {num_perm}, 6) AS est_jaccard
+FROM pairs
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(), bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle → 32-perm signature → 8
     bands → bucket join): the scale path approximating dedup_ngram_jaccard.
-    Approximate by construction → rows-only here; tests/test_dedup.py
-    verifies recall against the exact Jaccard pairs."""
+    The estimator is approximate w.r.t. true Jaccard (tests/test_dedup.py
+    pins recall against the exact pairs), but the PIPELINE is exactly
+    deterministic: every hash is engine-portable integer arithmetic over
+    md5-prefix token hashes, so the DuckDB oracle reproduces signatures,
+    bucket collisions, and est_jaccard value-exactly."""
     from clinical_bi_spark.operators.dedup import minhash_lsh_candidates
 
     t = load_tables(tune(spark), sf_dir)

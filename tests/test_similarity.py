@@ -172,3 +172,81 @@ def test_registry_ann_recall_column_floor(spark, name, floor):
     per_q = {r.q_id: r.recall_at_k for r in rows}
     mean_recall = sum(per_q.values()) / len(per_q)
     assert mean_recall >= floor, f"{name} mean recall {mean_recall}"
+
+
+# ---------------------------------------------------------------------------
+# Clustered (adversarial) fixture: mixture of gaussians with overlapping
+# tails + queries at cluster-boundary midpoints. The uniform fixture above
+# never stresses cell pruning (near-random vectors spread evenly); here a
+# query's true top-5 can span two cells, so IVF with nprobe=1 measurably
+# misses (0.70 measured) and multi-probe recovers (1.0 at nprobe>=2) —
+# the knob a 100 TB deployment would tune. PQ quantization error is also
+# real here (0.70 measured vs 0.9+ on uniform).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """(corpus_df, query_df, truth) — 16 gaussians (std 0.35, overlapping
+    tails) in 64-d, 60 points each; 8 queries at adjacent-center midpoints;
+    truth = exact float64 cosine top-5 per query (numpy ground truth)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1.0, (16, 64))
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.35, (60, 64)) for c in centers]
+    ).astype(np.float32)
+    mids = np.array(
+        [(centers[i] + centers[(i + 1) % 16]) / 2 for i in range(8)],
+        dtype=np.float32,
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in p], int(i // 60)) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<float>, label int",
+    ).cache()
+    queries = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in m], -1) for i, m in enumerate(mids)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    X = pts.astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    M = mids.astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    truth = set()
+    for i in range(8):
+        for n in np.argsort(-(Xn @ Mn[i]))[:5]:
+            truth.add((10_000 + i, int(n)))
+    return corpus, queries, truth
+
+
+def test_clustered_lsh_recall(clustered):
+    corpus, queries, truth = clustered
+    out = lsh_bucket_topk(corpus, queries, k=5, nbits=8, max_hamming=3).collect()
+    r = _recall(out, truth)
+    assert r >= 0.9, f"clustered LSH recall {r}"  # measured 0.975
+
+
+def test_clustered_ivf_nprobe_stress(clustered):
+    """nprobe=1 must measurably miss on boundary queries (the stress is
+    real) and nprobe=4 must recover — pruning error is a budget knob, not
+    a correctness cliff."""
+    corpus, queries, truth = clustered
+    r1 = _recall(
+        ivf_topk(corpus, queries, k=5, n_cells=16, nprobe=1,
+                 kmeans_centroids=True).collect(), truth)
+    r4 = _recall(
+        ivf_topk(corpus, queries, k=5, n_cells=16, nprobe=4,
+                 kmeans_centroids=True).collect(), truth)
+    assert r1 >= 0.55, f"clustered IVF nprobe=1 recall {r1}"  # measured 0.70
+    assert r4 >= 0.9, f"clustered IVF nprobe=4 recall {r4}"  # measured 1.0
+    assert r4 >= r1, "multi-probe must not reduce recall"
+
+
+def test_clustered_pq_recall(clustered):
+    from clinical_bi_spark.operators.similarity import pq_topk
+
+    corpus, queries, truth = clustered
+    out = pq_topk(corpus, queries, k=5).collect()
+    r = _recall(out, truth)
+    assert r >= 0.55, f"clustered PQ recall {r}"  # measured 0.70

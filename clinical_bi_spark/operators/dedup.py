@@ -250,18 +250,39 @@ def minhash_lsh_candidates(
     )
 
 
+def _md5_word(col: F.Column, offset: int) -> F.Column:
+    """One 32-bit word of md5(col) as a bigint — the engine-portable token
+    hash family (md5 of UTF-8 bytes is identical in every engine; hex
+    digits [offset, offset+8) read as an integer). offset=1 → high word,
+    offset=9 → low word; together they give a portable 64-bit hash."""
+    return F.conv(F.substring(F.md5(col), offset, 8), 16, 10).cast("long")
+
+
+def _token_bit(hi: F.Column, lo: F.Column, i: int) -> F.Column:
+    """Bit i (0..63) of the two-word portable token hash."""
+    word, shift = (lo, i) if i < 32 else (hi, i - 32)
+    return F.shiftrightunsigned(word, shift).bitwiseAND(F.lit(1))
+
+
 def simhash64(text_col: F.Column) -> F.Column:
     """64-bit SimHash of the word set, entirely in Catalyst expressions.
 
     For each of the 64 bit positions, sum +1/-1 votes from every token's
-    xxhash64 bit; the sign of the sum is the output bit. Near-identical
-    texts differ in few bits (Hamming distance), enabling radius search via
-    bit_count(a XOR b).
+    hash bit; the sign of the sum is the output bit. Near-identical texts
+    differ in few bits (Hamming distance), enabling radius search via
+    bit_count(a XOR b). Token hashes are the engine-portable md5 two-word
+    family (see :func:`_md5_word`), so fingerprints — and therefore pair
+    sets — are exactly reproducible in DuckDB.
     """
     tokens = F.array_distinct(
         F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
     )
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(
+        tokens,
+        lambda t: F.struct(
+            _md5_word(t, 1).alias("hi"), _md5_word(t, 9).alias("lo")
+        ),
+    )
 
     def _vote(i: int) -> F.Column:
         # closure keeps the aggregate lambda two-arg (acc, h)
@@ -269,9 +290,7 @@ def simhash64(text_col: F.Column) -> F.Column:
             hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(
-                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
+            + F.when(_token_bit(h["hi"], h["lo"], i) == 1, 1).otherwise(-1),
         )
 
     bits = []
@@ -388,15 +407,18 @@ def simhash64_df(
 ) -> DataFrame:
     """(id, sh) SimHash via the relational formulation (same lesson as
     minhash_signatures_df: HOF lambdas are interpreted — explode tokens and
-    let codegen'd conditional sums compute the 64 bit votes)."""
+    let codegen'd conditional sums compute the 64 bit votes). Token hashes
+    are the engine-portable md5 two-word family, so the fingerprints are
+    exactly reproducible in DuckDB and the simhash queries carry full SQL
+    oracles."""
     tokens = F.array_distinct(
         F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
     )
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("tok"))
-    h = F.xxhash64(F.col("tok"))
+    hi, lo = _md5_word(F.col("tok"), 1), _md5_word(F.col("tok"), 9)
     votes = [
         F.sum(
-            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(_token_bit(hi, lo, i) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(64)
     ]

@@ -327,11 +327,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)
+def _simhash_fp_cte() -> str:
+    """Shared DuckDB CTEs computing the exact SimHash fingerprint per doc:
+    md5 two-u32-word token hashes (the engine-portable family simhash64_df
+    uses), 64 conditional-sum bit votes, two's-complement assembly (the
+    bit-63 term is the -2^63 literal — DuckDB raises on 1<<63). The
+    disjoint-bit sum equals Spark's shiftleft/bitwiseOR assembly exactly."""
+    votes = ",\n         ".join(
+        "SUM(CASE WHEN ({w} >> {s}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}".format(
+            w="lo" if i < 32 else "hi", s=i if i < 32 else i - 32, i=i
+        )
+        for i in range(64)
+    )
+    terms = []
+    for i in range(64):
+        if i == 63:
+            terms.append(
+                "CASE WHEN v63 > 0 THEN 0::BIGINT - 9223372036854775807 - 1 "
+                "ELSE 0::BIGINT END"
+            )
+        else:
+            terms.append(
+                f"CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+            )
+    assemble = "\n           + ".join(terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         UNNEST(list_distinct(list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, source,
+         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS BIGINT) AS hi,
+         CAST(CAST('0x' || substr(md5(tok), 9, 8) AS UBIGINT) AS BIGINT) AS lo
+  FROM tok
+), votes AS (
+  SELECT doc_id, source,
+         {votes}
+  FROM th GROUP BY doc_id, source
+), sh AS (
+  SELECT doc_id, source,
+         CAST({assemble} AS BIGINT) AS sh
+  FROM votes
+)"""
+
+
+def _simhash_oracle(max_hamming: int, blocked_by_source: bool) -> str:
+    block = "a.source = b.source AND " if blocked_by_source else ""
+    return f"""{_simhash_fp_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sh a JOIN sh b ON {block}a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(12, blocked_by_source=True))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit sign fingerprint, Hamming ≤ 12,
-    blocked by source). Spark-hash-specific → rows-only; pytest checks
-    agreement with exact Jaccard on planted duplicates."""
+    blocked by source). The fingerprint is built from engine-portable md5
+    two-word token hashes, so the DuckDB oracle recomputes the exact
+    fingerprints and pair set; pytest additionally checks agreement with
+    exact Jaccard on planted duplicates."""
     from clinical_bi_spark.operators.dedup import simhash_neardup_pairs
 
     t = load_tables(tune(spark), sf_dir)
@@ -341,13 +399,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash_blocked", oracle=None)
+@query("dedup_simhash_blocked", oracle=_simhash_oracle(6, blocked_by_source=False))
 def dedup_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the UNBLOCKED corpus via fingerprint-
     segment blocking (pigeonhole-exact, equi-join on segment keys — the
-    production path; no attribute block column needed). Spark-hash-
-    specific fingerprints → rows-only; tests prove exact equivalence to
-    the all-pairs scan and planted-dup recall."""
+    production path; no attribute block column needed). The oracle is the
+    NAIVE all-pairs form over the exact portable fingerprints — so the
+    driver check also proves the pigeonhole blocking loses no pair; tests
+    additionally pin planted-dup recall."""
     from clinical_bi_spark.operators.dedup import simhash_blocked_pairs
 
     t = load_tables(tune(spark), sf_dir)

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from clinical_bi_spark.functions.vectors import cosine_pandas
+from clinical_bi_spark.functions.vectors import cosine_pandas, cosine_similarity
 
 
 def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
@@ -274,10 +274,19 @@ def embedding_neardup_pairs(
     min_cosine: float = 0.8,
     dim: int = 64,
     seed: int = 42,
+    exact_arithmetic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at corpus scale — the unblocked LSH
     path for the oracle-checked ``dedup_embedding_cosine`` (which bounds
     its pair space with an attribute block instead).
+
+    ``exact_arithmetic=True`` computes signatures and the cosine verify
+    with the sequential-order Catalyst forms (signature_col /
+    cosine_similarity) instead of the numpy batch forms — bit-reproducible
+    against DuckDB, which is what lets the registry query carry an exact
+    SQL oracle. The two arithmetics can only disagree where a dot product
+    sits within float rounding of zero (sign flip) — tests assert the
+    paths produce identical output on the fixtures.
 
     Pigeonhole bucketing (same scheme as SimHash's
     ``simhash_blocked_pairs``): the ``nbits`` sign-LSH signature splits
@@ -294,10 +303,15 @@ def embedding_neardup_pairs(
     sizes (and the candidate join) bounded on real, clustered corpora.
     """
     planes = _hyperplanes(dim, nbits, seed)
+    sig_expr = (
+        signature_col(F.col(emb_col), planes)
+        if exact_arithmetic
+        else signature_pandas(F.col(emb_col), planes)
+    )
     sig = df.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
-        signature_pandas(F.col(emb_col), planes).alias("sig"),
+        sig_expr.alias("sig"),
     ).persist()  # one UDF pass; segments, both join sides, and verify reuse it
     b = max_hamming + 1
     base, extra = divmod(nbits, b)
@@ -328,7 +342,8 @@ def embedding_neardup_pairs(
     )
     ea = sig.select(F.col("id").alias("id_a"), F.col("emb").alias("emb_a"))
     eb = sig.select(F.col("id").alias("id_b"), F.col("emb").alias("emb_b"))
-    cos = F.round(cosine_pandas(F.col("emb_a"), F.col("emb_b")), 6)
+    cos_fn = cosine_similarity if exact_arithmetic else cosine_pandas
+    cos = F.round(cos_fn(F.col("emb_a"), F.col("emb_b")), 6)
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")

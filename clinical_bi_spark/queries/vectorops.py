@@ -230,22 +230,70 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_recall_at_k(ann, _exact_topk(emb, k=5))
 
 
-@query("dedup_embedding_lsh", oracle=None)
+def _embedding_lsh_oracle(
+    nbits: int = 32, max_hamming: int = 10, min_cosine: float = 0.4,
+    dim: int = 64, seed: int = 42,
+) -> str:
+    """Exact DuckDB twin of the sign-LSH near-dup pipeline. The hyperplanes
+    are deterministic dyadic rationals (LCG sums of k/2^31 terms — exactly
+    representable in float64), embedded below as repr-roundtrip literals;
+    the Spark query computes signatures and the cosine verify with the
+    SEQUENTIAL-order Catalyst forms, which match DuckDB's list arithmetic
+    bit-for-bit (the property sim_bruteforce_topk's oracle already pins).
+    The oracle is the naive all-pairs form over exact signatures — the
+    pigeonhole segment join provably loses no pair within the Hamming
+    radius, so the driver check also proves the bucketing exact."""
+    from clinical_bi_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, nbits, seed)
+    plane_rows = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in row))
+        for i, row in enumerate(planes)
+    )
+    return f"""
+WITH pl(i, plane) AS (VALUES
+    {plane_rows}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), dots AS (
+  SELECT e.vec_id, pl.i,
+         list_sum(list_transform(range(1, {dim + 1}),
+                                 j -> emb[j] * plane[j])) AS dot
+  FROM e, pl
+), sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN 1::BIGINT << i ELSE 0::BIGINT END) AS sig
+  FROM dots GROUP BY vec_id
+), es AS (
+  SELECT s.vec_id, s.sig, e.emb FROM sig s JOIN e ON e.vec_id = s.vec_id
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+FROM es a JOIN es b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+  AND ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {min_cosine}
+"""
+
+
+@query("dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over the UNBLOCKED corpus via
     sign-LSH pigeonhole bucketing + exact-cosine verify — the 100 TB path
-    for dedup_embedding_cosine (which blocks by label instead). Approximate
-    candidate generation → rows-only; tests/test_similarity.py verifies
-    planted-duplicate recall and that every emitted pair is exact-verified.
-    The 0.4 threshold sits where the fixture has pairs at all (max pairwise
-    cosine ≈ 0.51 on near-random vectors; real embedding corpora cluster
-    far above it, where per-pair recall also rises steeply)."""
+    for dedup_embedding_cosine (which blocks by label instead). The
+    candidate generation is RECALL-approximate in general, but within the
+    Hamming radius the pigeonhole segment join is exact, so the output
+    equals the all-pairs form — and with sequential-arithmetic signatures
+    (exact_arithmetic=True) the DuckDB oracle reproduces it value-exactly.
+    tests/test_similarity.py additionally verifies planted-duplicate
+    recall and that the numpy production path emits identical output.
+    The 0.4 threshold sits where the fixture has pairs at all (max
+    pairwise cosine ≈ 0.51 on near-random vectors)."""
     from clinical_bi_spark.operators.similarity import embedding_neardup_pairs
 
     t = load_tables(tune(spark), sf_dir)
     return embedding_neardup_pairs(
         t.embeddings, id_col="vec_id", emb_col="embedding",
-        nbits=32, max_hamming=10, min_cosine=0.4,
+        nbits=32, max_hamming=10, min_cosine=0.4, exact_arithmetic=True,
     )
 
 

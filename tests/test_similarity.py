@@ -250,3 +250,20 @@ def test_clustered_pq_recall(clustered):
     out = pq_topk(corpus, queries, k=5).collect()
     r = _recall(out, truth)
     assert r >= 0.55, f"clustered PQ recall {r}"  # measured 0.70
+
+
+def test_embedding_lsh_exact_arithmetic_matches_fast_path(spark, embeddings):
+    """The registry query runs exact_arithmetic=True (sequential Catalyst
+    signatures + cosine — bit-reproducible vs the DuckDB oracle); the
+    production path uses numpy batch arithmetic. They can only diverge
+    where a plane dot product sits within float rounding of zero; this
+    pins that the fixture result is identical, so the adjudicated output
+    speaks for the production path too."""
+    from clinical_bi_spark.operators.similarity import embedding_neardup_pairs
+
+    kw = dict(id_col="vec_id", emb_col="embedding",
+              nbits=32, max_hamming=10, min_cosine=0.4)
+    fast = embedding_neardup_pairs(embeddings, **kw).collect()
+    exact = embedding_neardup_pairs(
+        embeddings, exact_arithmetic=True, **kw).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, exact))

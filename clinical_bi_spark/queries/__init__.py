@@ -48,69 +48,71 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 
 #: The driver records correctness rows for registry[:50] only, so ordering
-#: decides which queries get a driver verdict each round. Round-4 priority:
-#: every query whose implementation or oracle changed this round (newly
-#: oracled m8/multimodal_features/streaming trio, the curation cache
-#: restructure, the winnow/CC hardening, the LMG rewrite), the whole
-#: events family (the parquet nanos column now infers as TIMESTAMP_NTZ —
-#: normalize_events changed, so every ts-carrying output needs a
-#: current-round row), and the four entries that ceded their r3 slots
-#: (agg_pivot/agg_cube/unpivot_long/w3). Streaming sits at the window's
-#: TAIL: a wedged stateful stream must only ever cost later *streaming*
-#: rows, never a batch family (round-1 lesson). Entries not named here
-#: keep module import order after the priority block — all have green
-#: r1∪r2∪r3 rows on unchanged code.
+#: decides which queries get a driver verdict each round. Round-5 priority:
+#: (1) every query whose implementation or oracle changed this round (the
+#: newly-oracled portable-hash family minhash/simhash×2/embedding-lsh, the
+#: cohort Expand-removal rewrite, the LMG lstsq hardening, the
+#: connected-components cache-release change feeding dedup_cluster_winnow);
+#: (2) the two r4-changed queries the r4 window missed
+#: (text_winnow_fingerprint, dedup_decontaminate — builder policy: changed
+#: code gets a current-round row); (3) headliners; (4) the entire r2-era
+#: block, now 3 rounds stale — the staleness ceiling; (5) the oldest
+#: r3-green entries. Streaming sits at the window's TAIL: a wedged
+#: stateful stream must only ever cost later *streaming* rows, never a
+#: batch family (round-1 lesson; stream_dedup_watermark changed this
+#: round, so streaming is inside the window but still last). Entries not
+#: named here keep module import order after the priority block — all
+#: have green r4 (or r3 rows-only) verdicts on code unchanged since.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- implementation / oracle changed this round --
-    "pipeline_corpus_curation",
-    "dedup_winnow_pairs",
-    "dedup_cluster_winnow",
-    "m8_vocab_embedding",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_resize_bmp",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_blocked",
+    "dedup_embedding_lsh",
+    "etl_cohort_conditional_agg",
     "m3_feature_importance",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_pq",
-    # -- events family: normalize_events changed (NTZ inference drift) --
-    "evt_tumbling_window",
-    "evt_sliding_window",
-    "evt_sessionization",
-    "evt_json_extract",
-    "evt_dedup_window",
-    "evt_group_zscore_window",
-    "evt_group_zscore",
-    "evt_funnel_conversion",
-    "evt_retention_cohorts",
-    "asof_join_events",
-    # -- ceded their r3 slots; re-confirm the r1-green rows --
-    "agg_pivot",
-    "agg_cube",
-    "unpivot_long",
-    "w3_lag_lead_first",
+    "dedup_cluster_winnow",
+    # -- changed in r4 but missed the r4 window (stated policy) --
+    "text_winnow_fingerprint",
+    "dedup_decontaminate",
     # -- headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- rotation padding to exactly 50: r1/r2-green entries whose last
-    # driver row predates r3, oldest families first --
-    "etl_cohort_conditional_agg",
-    "etl_cohort_literal_joins",
-    "etl_name_keyed_rollup",
-    "etl_interventions_conditions",
-    "etl_calculated_values_rebuild",
-    "agg_pricing_summary",
-    "a3_multi_count_distinct",
-    "p_filter_conjunction",
-    "f_scalar_battery",
-    "text_stats",
-    "text_quality_score",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "multimodal_audio_features",
-    "data_quality_select",
-    "dedup_embedding_cosine",
-    "data_snapshot_diff",
+    # -- the whole r2-era block: last driver rows are r2, 3 rounds stale --
+    "j2_selfjoin_fanout",
+    "f3_pattern_classifier",
+    "f6_f7_date_functions",
+    "f10_sed_cleanse",
+    "m1_keyed_split",
+    "m2_encoder_chain",
+    "w1_topk_per_group",
+    "w2_running_total",
+    "set_ops",
+    "sort_limit_topn",
+    "j7_frequency_enrichment",
+    "j_semi_anti_exists",
+    "m12_stratified_sample",
+    "w4_rank_battery",
+    "m13_auc_rank",
+    "text_language_id",
+    "dedup_ngram_jaccard",
+    "text_corpus_rollup",
+    "text_repetition",
+    "text_redact_pii",
+    "text_tfidf_topk",
+    "sim_bruteforce_topk",
+    "vec_norm_rollup",
+    # -- oldest r3-green entries (the rest of the r3 block rotates in r6) --
+    "text_sequence_packing",
+    "dedup_incremental",
+    "data_mixture_sample",
+    "data_global_shuffle",
+    "text_chunk_dedup",
+    "agg_rollup",
+    "merge_upsert_emulation",
+    "agg_salted_count",
+    "agg_percentiles",
+    "agg_grouping_sets",
     # -- streaming LAST within the checked window --
     "stream_tumbling_window",
     "stream_stream_join",

@@ -34,6 +34,57 @@ def _seeded_vector(token: str, dim: int) -> list[float]:
     return out
 
 
+def trained_vocabulary_embedding(
+    df: DataFrame,
+    col: str,
+    text_col: str = "text",
+    dim: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """The LEARNED drop-in for :func:`vocabulary_embedding`'s deterministic
+    table — closes the reference's disabled ``embedding_column`` intent
+    (ct_estimator.py:106-114) with an actually trained matrix.
+
+    Word2Vec (Spark ML, skip-gram) trains token vectors on the category's
+    own corpus; each category's embedding is the mean of its documents'
+    Word2Vec doc-vectors (``model.transform`` natively averages token
+    vectors per document; ``Summarizer.mean`` aggregates per category,
+    distributed). The lookup plumbing — StringIndexer vocabulary +
+    broadcast table join, no shuffle of the fact side — is byte-identical
+    to the deterministic path, demonstrating that a trained matrix swaps
+    in without touching the pipeline. ``numPartitions=1`` + fixed seed
+    keeps the fit reproducible run-to-run (Word2Vec's negative sampling
+    is partition-order dependent); at real scale trade determinism for
+    parallel fit or train offline and ship the table, exactly as a
+    production pipeline would."""
+    from pyspark.ml.feature import StringIndexer, Word2Vec
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    toks = df.select(
+        col,
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        ).alias("words"),
+    )
+    w2v = Word2Vec(
+        vectorSize=dim, minCount=2, seed=seed, maxIter=1, numPartitions=1,
+        inputCol="words", outputCol="__dvec",
+    )
+    model = w2v.fit(toks)
+    table = (
+        model.transform(toks)
+        .groupBy(col)
+        .agg(Summarizer.mean(F.col("__dvec")).alias("__mvec"))
+        .select(col, vector_to_array("__mvec").alias(f"{col}_embedding"))
+    )
+    indexer = StringIndexer(
+        inputCol=col, outputCol=f"{col}_idx", handleInvalid="keep"
+    )
+    out = indexer.fit(df).transform(df)
+    return out.join(F.broadcast(table), col, "left")
+
+
 def vocabulary_embedding(
     df: DataFrame, col: str, dim: int = 10
 ) -> DataFrame:

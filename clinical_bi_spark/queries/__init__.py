@@ -112,7 +112,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "merge_upsert_emulation",
     "agg_salted_count",
     "agg_percentiles",
-    "agg_grouping_sets",
+    # -- new this round (rows-only; learned-weights query) --
+    "m8_vocab_embedding_trained",
     # -- streaming LAST within the checked window --
     "stream_tumbling_window",
     "stream_stream_join",

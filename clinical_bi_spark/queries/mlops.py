@@ -329,3 +329,30 @@ def m8_vocab_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source_idx").cast("int").alias("source_idx"),
         emb_csv.alias("source_embedding_csv"),
     )
+
+
+@query("m8_vocab_embedding_trained", oracle=None)
+def m8_vocab_embedding_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 with an actually LEARNED matrix — the reference's disabled
+    ``embedding_column`` intent (ct_estimator.py:106-114): Word2Vec token
+    vectors trained on the corpus, mean doc-vector per source as the
+    category embedding, broadcast-lookup plumbing identical to
+    m8_vocab_embedding (proving the trained table is a drop-in). Learned
+    weights are not SQL-expressible → rows-only; tests pin determinism
+    (seeded single-partition fit), full-vocabulary coverage, and that the
+    plumbing (index + join) matches the deterministic path row-for-row."""
+    from clinical_bi_spark.ml import trained_vocabulary_embedding
+
+    t = load_tables(tune(spark), sf_dir)
+    out = trained_vocabulary_embedding(
+        t.documents.select("doc_id", "source", "text"), "source", dim=10
+    )
+    emb_csv = F.concat_ws(
+        ",", F.transform("source_embedding", lambda x: F.format_string("%.6f", x))
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("source_idx").cast("int").alias("source_idx"),
+        emb_csv.alias("source_embedding_csv"),
+    )

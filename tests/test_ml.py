@@ -195,3 +195,46 @@ def test_lmg_matches_independent_permutation_implementation():
     assert np.allclose(shares, brute, atol=1e-6), (shares, brute)
     # Shapley efficiency: shares sum to the full-model R²
     assert float(shares.sum()) == pytest.approx(r2_raw(tuple(range(p))), abs=1e-9)
+
+
+def test_trained_embedding_drop_in(spark):
+    """The learned (Word2Vec) embedding table swaps into the SAME lookup
+    plumbing as the deterministic md5 table: identical (doc_id, source,
+    source_idx) rows, one dim-wide finite vector per in-vocabulary source,
+    and a seeded single-partition fit is reproducible run-to-run."""
+    import math
+
+    from clinical_bi_spark.ml import (
+        trained_vocabulary_embedding,
+        vocabulary_embedding,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    learned = trained_vocabulary_embedding(docs, "source", dim=10)
+    det = vocabulary_embedding(docs.select("doc_id", "source"), "source", dim=10)
+
+    # plumbing parity: identical index assignment + row multiplicity
+    a = sorted((r.doc_id, r.source, r.source_idx) for r in learned.collect())
+    b = sorted((r.doc_id, r.source, r.source_idx) for r in det.collect())
+    assert a == b
+
+    # every source gets one finite 10-d learned vector
+    vecs = {r.source: r.source_embedding
+            for r in learned.select("source", "source_embedding").distinct().collect()}
+    n_sources = docs.select("source").distinct().count()
+    assert len(vecs) == n_sources
+    for v in vecs.values():
+        assert v is not None and len(v) == 10
+        assert all(math.isfinite(x) for x in v)
+    # learned, not degenerate: vectors differ across sources
+    assert len({tuple(round(x, 9) for x in v) for v in vecs.values()}) > 1
+
+    # seeded fit reproducibility
+    again = trained_vocabulary_embedding(docs, "source", dim=10)
+    v2 = {r.source: r.source_embedding
+          for r in again.select("source", "source_embedding").distinct().collect()}
+    for s in vecs:
+        assert vecs[s] == pytest.approx(v2[s], abs=0.0), s

@@ -83,6 +83,12 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    # the round-over-round subtotal is only comparable if every r4-set
+    # query was actually timed — a dropped bench flag or an errored query
+    # would silently shrink it and read as a perf improvement
+    missing_r4 = _R4_SET - set(timings)
+    assert not missing_r4, f"r4-set queries missing from bench: {missing_r4}"
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline query wall-clock (min of {} runs), local[{}]".format(

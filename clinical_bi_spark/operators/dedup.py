@@ -79,11 +79,7 @@ def shingle_hashes(text_col: F.Column, n: int = 3) -> F.Column:
     fold bias is ≤ 2^-31 per token — immaterial to a Jaccard estimator."""
     tokens = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
     hashed = F.transform(
-        tokens,
-        lambda t: F.pmod(
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-            F.lit(_MERSENNE_P),
-        ),
+        tokens, lambda t: F.pmod(_md5_word(t, 1), F.lit(_MERSENNE_P))
     )
     if n == 1:
         return F.array_distinct(hashed)
@@ -116,11 +112,7 @@ def minhash_signature(
         base = shingles
     else:
         base = F.transform(
-            shingles,
-            lambda s: F.pmod(
-                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-                F.lit(_MERSENNE_P),
-            ),
+            shingles, lambda s: F.pmod(_md5_word(s, 1), F.lit(_MERSENNE_P))
         )
     params = _hash_params(num_perm, seed)
 
@@ -811,16 +803,19 @@ def connected_components(
         labels = updated.select("id", "lbl")
         if not changed:
             break
+    # the final labels are backed by their own localCheckpoint leaf, so the
+    # edge cache has no remaining consumer — release it here (on the error
+    # path too: a caller that catches and retries with a larger max_iter
+    # would otherwise pin a second edge cache next to the first) rather
+    # than leaving it to accumulate across a multi-query session (the
+    # small-graph path above returns a plan that still reads `both`
+    # lazily, so it relies on the caller-side release at the next query
+    # boundary instead)
+    both.unpersist()
     if changed:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "the graph has a path longer than max_iter hops — raise "
             "max_iter (rounds are bounded by graph diameter)"
         )
-    # the final labels are backed by their own localCheckpoint leaf, so the
-    # edge cache has no remaining consumer — release it here rather than
-    # leaving it to accumulate across a multi-query session (the small-graph
-    # path above returns a plan that still reads `both` lazily, so it relies
-    # on the caller-side release at the next query boundary instead)
-    both.unpersist()
     return labels.select("id", F.col("lbl").alias("component"))

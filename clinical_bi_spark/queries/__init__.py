@@ -141,10 +141,18 @@ def load_all() -> dict[str, QuerySpec]:
         streamingops,
     )
 
+    # fail LOUDLY on a priority name that doesn't resolve: a silent skip
+    # would compact the 50-slot adjudication window and slide an unintended
+    # entry in while a changed query falls out — defeating the "changed
+    # code gets a current-round row" policy with no failing signal
+    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in REGISTRY]
+    if missing:
+        raise ValueError(
+            f"_DRIVER_WINDOW_PRIORITY names not in registry: {missing}"
+        )
     ordered: dict[str, QuerySpec] = {}
     for name in _DRIVER_WINDOW_PRIORITY:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
+        ordered[name] = REGISTRY[name]
     for name, spec in REGISTRY.items():
         if name not in ordered:
             ordered[name] = spec

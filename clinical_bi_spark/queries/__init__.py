@@ -111,8 +111,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "merge_upsert_emulation",
     "agg_salted_count",
-    "agg_percentiles",
-    # -- new this round (rows-only; learned-weights query) --
+    # -- new this round (exact-oracled LM scorer; learned-weights query) --
+    "text_lm_score",
     "m8_vocab_embedding_trained",
     # -- streaming LAST within the checked window --
     "stream_tumbling_window",

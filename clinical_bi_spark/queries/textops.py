@@ -1039,3 +1039,117 @@ def dedup_cluster_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-perplexity quality scoring (the CCNet-style filter): train a
+# Laplace-smoothed bigram LM on the corpus itself, score every document by
+# its average per-bigram negative log-probability. High score = the
+# document's word transitions are unusual for the corpus — the standard
+# signal for boilerplate/garbled/outlier text in pretraining pipelines.
+#
+# Exactness design: P(w2|w1) = (c12 + 1) / (c1 + V) is a ratio of small
+# integers, so each bigram's neg-log-prob ln(c1 + V) - ln(c12 + 1) is a
+# difference of logs OF INTEGERS — computed identically by JVM and DuckDB
+# libm on the fixture's value domain — and is rounded to integer
+# MICRO-NATS per bigram before summing. BIGINT sums are order-independent
+# (unlike float sums, whose partition-order nondeterminism would make the
+# value unstable even within Spark), so the per-doc total is exact and
+# engine-portable; the final average is one IEEE division per doc.
+# ---------------------------------------------------------------------------
+
+_LM_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+_LM_SCORE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_LM_TOKENS} AS t FROM documents
+), tokr AS (
+  SELECT doc_id, UNNEST(t) AS w FROM tok
+), uni AS (
+  SELECT w, COUNT(*) AS c1 FROM tokr GROUP BY w
+), v AS (
+  SELECT COUNT(*) AS v FROM uni
+), bigr AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tok, UNNEST(range(1, len(t))) AS r(i)
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY w1, w2
+), scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(1000000.0 * (ln(u.c1 + v.v) - ln(bc.c12 + 1)))
+              AS BIGINT) AS micro
+  FROM bigr b
+  JOIN bc USING (w1, w2)
+  JOIN uni u ON u.w = b.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(micro) AS BIGINT) AS nll_micro,
+       -- integer floor-division to micro-nat precision, then ONE exact
+       -- IEEE division: no float rounding step anywhere, so no .5-tie for
+       -- the engines to break differently (a ROUND(x, 6) here hit an
+       -- exact half-way case at sf0.1: 327752592/96 micro-nats)
+       (CAST(SUM(micro) AS BIGINT) // COUNT(*)) / 1000000.0 AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_lm_score", oracle=_LM_SCORE_ORACLE)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality score (avg negative log-prob per
+    bigram, Laplace smoothing) — the CCNet-style perplexity filter.
+
+    Scale shape: bigram construction is NARROW (zip_with over shifted
+    slices of the token array — text never shuffles); the count tables
+    shuffle (w1, w2)/(w1) keys with map-side partial aggregation; scoring
+    is two equi-joins against those tables (broadcastable when the vocab
+    is small, AQE decides) + one integer-sum groupBy on doc_id. V is one
+    driver-side scalar (the accepted literal pattern — a crossJoin of a
+    one-row aggregate would plan a BroadcastNestedLoopJoin into both
+    consumers). Micro-nat integers make the per-doc sum order-independent,
+    hence the exact oracle; docs with < 2 tokens have no bigrams and are
+    absent, as in the SQL."""
+    t = load_tables(tune(spark), sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = t.documents.select("doc_id", toks.alias("t"))
+    n = F.size("t")
+    big = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    unigrams = base.select(F.explode("t").alias("w"))
+    uni = unigrams.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab_size = uni.count()  # one scalar, driver-side literal
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    micro = F.round(
+        F.lit(1_000_000.0)
+        * (F.log(F.col("c1") + F.lit(vocab_size)) - F.log(F.col("c12") + 1))
+    ).cast("bigint")
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("w"))
+        .select("doc_id", micro.alias("micro"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("micro").cast("bigint").alias("nll_micro"),
+    )
+    # integer floor-division then one IEEE division — no float rounding
+    # step, so no half-way tie for the engines to break differently
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_micro",
+        (F.expr("nll_micro DIV n_bigrams") / F.lit(1_000_000.0)).alias(
+            "avg_nll"
+        ),
+    )

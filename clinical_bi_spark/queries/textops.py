@@ -248,7 +248,13 @@ def _minhash_oracle(num_perm: int = 32, bands: int = 8, seed: int = 42) -> str:
     with the same LCG-derived (a, b) literals embedded below. The oracle
     recomputes signatures, bands, bucket collisions, and the signature-
     agreement Jaccard estimate — so the DRIVER check pins the whole
-    approximate pipeline exactly, not just row counts."""
+    approximate pipeline exactly, not just row counts.
+
+    Scope note: md5-of-UTF-8-bytes is unicode-safe, but the lower() and
+    \\s+-split steps upstream have engine-specific unicode semantics
+    (JVM toLowerCase vs utf8proc on e.g. İ/ß); the document fixtures are
+    verified pure-ASCII, and tests/test_properties.py pins the hash chain
+    against a pure-Python twin over the full printable-ASCII domain."""
     from clinical_bi_spark.operators.dedup import _MERSENNE_P, _hash_params
 
     p = _MERSENNE_P

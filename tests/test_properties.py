@@ -215,3 +215,58 @@ def test_wav_roundtrip_property(flat, n_channels, rate):
     out, got_rate = decode_wav_pcm16(wav)
     assert got_rate == rate and out.shape == samples.shape
     assert (out == samples).all()
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash differential: the md5-u32 MinHash chain (token hash →
+# 3-gram polynomial fold → per-permutation minima) against an independent
+# pure-Python twin, beyond the fixture corpus. ASCII domain on purpose:
+# the engine-portability contract is over md5 of UTF-8 BYTES (unicode-
+# safe), but the full pipelines also lower() and \s+-split, whose unicode
+# semantics differ by engine — the fixtures are verified pure-ASCII, and
+# the oracle docstrings state the caveat.
+# ---------------------------------------------------------------------------
+
+ASCII_TEXT = st.text(
+    st.characters(min_codepoint=32, max_codepoint=126), max_size=200
+)
+
+
+def _py_minhash(text: str, num_perm: int = 8, seed: int = 42) -> list[int]:
+    import hashlib
+
+    from clinical_bi_spark.operators.dedup import _MERSENNE_P, _hash_params
+
+    toks = [t for t in re.split(r"\s+", text.lower()) if t != ""]
+    hs = [
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _MERSENNE_P
+        for t in toks
+    ]
+    grams = {
+        ((hs[i] * 31 + hs[i + 1]) % _MERSENNE_P * 31 + hs[i + 2]) % _MERSENNE_P
+        for i in range(len(hs) - 2)
+    }
+    if not grams:
+        return None
+    return [
+        min((g * a + b) % _MERSENNE_P for g in grams)
+        for a, b in _hash_params(num_perm, seed)
+    ]
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=8))
+def test_minhash_signatures_match_python_twin(spark, texts):
+    from clinical_bi_spark.operators.dedup import minhash_signatures_df
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.id: list(r.sig)
+        for r in minhash_signatures_df(df, num_perm=8).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = _py_minhash(t, num_perm=8)
+        assert got.get(i) == expect, (i, t)

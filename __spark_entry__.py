@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from clinical_bi_spark import caching
 from clinical_bi_spark.queries import load_all
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -30,11 +31,17 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]):
     The driver is strictly sequential (build → collect → next query), so
     the first safe release point is the next query's entry; over a
     50-query session this keeps executor storage flat instead of
-    accumulating ~50 cached relations."""
+    accumulating ~50 cached relations.
+
+    The release is TARGETED (clinical_bi_spark.caching): operators
+    register every persist/localCheckpoint they create, and exactly those
+    are unpersisted here — caches the harness itself may have established
+    survive, and connected_components' localCheckpoint blocks (which
+    ``spark.catalog.clearCache()`` never reclaimed) are released too."""
 
     @functools.wraps(fn)
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.catalog.clearCache()
+        caching.release_all(spark)
         return fn(spark, sf_dir)
 
     return run

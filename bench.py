@@ -18,6 +18,7 @@ import os
 import sys
 import time
 
+from clinical_bi_spark import caching
 from clinical_bi_spark.queries import load_all
 from clinical_bi_spark.session import get_spark, warm
 
@@ -79,7 +80,11 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
             # queries persist() intermediates (signatures, postings,
             # curated slices); drop them so repeats — and the next entry —
-            # never read a prior run's cache.
+            # never read a prior run's cache. release_all also reclaims
+            # localCheckpoint blocks (connected_components) that
+            # clearCache leaves behind; the extra clearCache is belt and
+            # suspenders on a session the bench owns outright.
+            caching.release_all(spark)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 

@@ -12,16 +12,31 @@ Exact dedup is a hash-groupBy on a 16-byte fingerprint (queries/textops.py
   token hashes, so signatures AND candidate pairs are exactly
   reproducible in DuckDB — the query carries a full SQL oracle on top of
   the recall tests.
-* SimHash — Hamming-proximity fingerprint (64-bit) built with Spark's
-  xxhash64 and bit arithmetic, no Python UDFs. Spark-hash-specific →
-  rows-only; tests verify it against the exact Jaccard query
-  (recall/precision thresholds) in tests/test_dedup.py.
+* SimHash — Hamming-proximity fingerprint (64-bit) assembled from two
+  md5-prefix u32 words with bit arithmetic, no Python UDFs. Like MinHash,
+  the hash family is engine-portable (md5 of UTF-8 bytes is identical in
+  every engine), so fingerprints AND near-pairs are exactly reproducible
+  in DuckDB — both simhash queries carry full SQL oracles, and tests also
+  verify recall/precision against the exact Jaccard query
+  (tests/test_dedup.py).
+
+Oracle-portability contract: every hash used for signatures, bands,
+buckets, or fingerprints in this module must be expressible as integer
+arithmetic over md5 hex prefixes (see ``_md5_word``) so the DuckDB
+oracles stay value-exact. Engine-specific hashes (xxhash64, murmur3)
+are banned from any oracle-checked path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from clinical_bi_spark.caching import (
+    local_checkpoint_tracked,
+    persist_tracked,
+    release_rdd_ids,
+)
 
 # Mersenne prime 2^31-1 for the universal-hash family h_i(x) = (a_i·x + b_i) mod p.
 # Kept at 31 bits so a·x + b stays well inside int64 — Spark 4 runs in ANSI
@@ -101,8 +116,9 @@ def minhash_signature(
 ) -> F.Column:
     """num_perm-wide MinHash signature as array<bigint>.
 
-    Each shingle is hashed once (xxhash64), then pushed through num_perm
-    universal-hash permutations; min per permutation. All Catalyst
+    Each shingle is hashed once (engine-portable md5-prefix u32, see
+    ``_md5_word``), then pushed through num_perm universal-hash
+    permutations; min per permutation. All Catalyst
     higher-order functions — the JVM evaluates the whole signature inside
     codegen, no Python. With ``numeric=True`` the input is already an
     array of hashes in [0, p) (from :func:`shingle_hashes`).
@@ -196,10 +212,12 @@ def minhash_lsh_candidates(
     # without a materialization barrier CollapseProject would inline (and
     # re-evaluate) the signature expression into every consumer. At real
     # scale, write signatures to parquet instead and reuse across runs.
-    with_sig = minhash_signatures_df(
-        df, id_col=id_col, text_col=text_col,
-        num_perm=num_perm, shingle_n=shingle_n, seed=seed,
-    ).persist()
+    with_sig = persist_tracked(
+        minhash_signatures_df(
+            df, id_col=id_col, text_col=text_col,
+            num_perm=num_perm, shingle_n=shingle_n, seed=seed,
+        )
+    )
     # explode into (band_id, band_slice) keys
     banded = with_sig.select(
         "id",
@@ -361,7 +379,7 @@ def simhash_blocked_pairs(
     sh = simhash64_df(df, id_col=id_col, text_col=text_col)
     # persist: the fingerprint aggregate feeds both self-join sides — the
     # barrier stops Catalyst recomputing the 64 bit-vote sums twice
-    sh = sh.persist()
+    sh = persist_tracked(sh)
     base, extra = divmod(64, b)
     segs, shift = [], 0
     for i in range(b):
@@ -625,14 +643,13 @@ def winnow_neardup_pairs(
     # computation at sf0.1) — and the postings then feed four DAG branches
     # (df-cap, sizes, both join sides), multiplying it. Cached (id, fps)
     # rows are a tiny fraction of corpus size even at 100 TB.
-    fp = winnow_fingerprints_df(df, id_col, text_col, k, window).persist()
+    fp = persist_tracked(winnow_fingerprints_df(df, id_col, text_col, k, window))
     e = fp.select("id", F.explode("fps").alias("fp"))
-    overflow = (
+    overflow = persist_tracked(
         e.groupBy("fp")
         .agg(F.count("*").alias("dfreq"))
         .filter(F.col("dfreq") > max_df)
         .select("fp")
-        .persist()
     )
     # "Boilerplate fps are rare" is an expectation, not an invariant: a
     # template-heavy corpus or a tiny max_df can make the overflow set
@@ -747,13 +764,12 @@ def connected_components(
     (dedup_cluster_winnow oracle), and both paths are differential-tested
     against each other (tests/test_dedup.py).
     """
-    both = (
+    both = persist_tracked(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
             edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
         )
         .distinct()
-        .persist()
     )
     # the count also materializes the persist, so downstream consumers
     # (either path) read the edge cache instead of re-mining pairs.
@@ -772,11 +788,16 @@ def connected_components(
     # Checkpointing truncates lineage to a leaf per round, keeping every
     # plan constant-size. On a cluster use checkpoint() to HDFS instead of
     # the executor-local variant for fault tolerance.
-    labels = (
+    # Checkpoint blocks are tracked (caching.local_checkpoint_tracked) and
+    # the superseded round's leaf is released as soon as the next round's
+    # checkpoint materializes, so in-flight state is bounded at TWO leaves
+    # regardless of round count; the final leaf is released at the next
+    # query boundary after the caller collects.
+    spark = edges.sparkSession
+    labels, live_ids = local_checkpoint_tracked(
         both.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     # max_iter + 1 rounds: convergence is only observable as a round that
     # changes nothing, so a graph whose labels settle exactly at round
@@ -791,14 +812,18 @@ def connected_components(
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        updated = (
+        updated, new_ids = local_checkpoint_tracked(
             labels.join(neigh, "id", "left")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
                 (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("chg"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        # the eager checkpoint above materialized `updated`, so the
+        # previous round's leaf has no remaining consumer — free it now
+        release_rdd_ids(spark, live_ids)
+        live_ids = new_ids
         changed = updated.agg(F.max(F.col("chg").cast("int"))).first()[0]
         labels = updated.select("id", "lbl")
         if not changed:

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from clinical_bi_spark.caching import persist_tracked
 from pyspark.sql.window import Window
 
 
@@ -92,7 +94,7 @@ def pack_assignments_distributed(
         list(ranged.schema.fields) + [StructField("__local_end", LongType())]
     )
     # persist: the totals job and the final job must see one partition layout
-    local = ranged.mapInPandas(local_cumsum, schema=schema).persist()
+    local = persist_tracked(ranged.mapInPandas(local_cumsum, schema=schema))
 
     totals = {
         r["__pid"]: r["t"]

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
+
+from clinical_bi_spark.caching import persist_tracked
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
@@ -308,11 +310,14 @@ def embedding_neardup_pairs(
         if exact_arithmetic
         else signature_pandas(F.col(emb_col), planes)
     )
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(emb_col).alias("emb"),
-        sig_expr.alias("sig"),
-    ).persist()  # one UDF pass; segments, both join sides, and verify reuse it
+    # one UDF pass; segments, both join sides, and verify reuse it
+    sig = persist_tracked(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).alias("emb"),
+            sig_expr.alias("sig"),
+        )
+    )
     b = max_hamming + 1
     base, extra = divmod(nbits, b)
     segs, shift = [], 0
@@ -448,9 +453,9 @@ def pq_topk(
     carries (id, codes), and the embedding table is re-joined against the
     broadcast ≤ queries×rerank survivor set."""
     books = _pq_codebooks(corpus, id_col, emb_col, m, ksub, dim)
-    codes = pq_encode(corpus, books, id_col, emb_col).select(
-        "id", "codes"
-    ).persist()
+    codes = persist_tracked(
+        pq_encode(corpus, books, id_col, emb_col).select("id", "codes")
+    )
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
     )

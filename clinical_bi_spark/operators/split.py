@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from clinical_bi_spark.caching import persist_tracked
 from pyspark.sql.window import Window
 
 
@@ -145,7 +147,7 @@ def exact_size_seeded_split_distributed(
     )
     # persist: the count-per-partition job and the final job must see the
     # same rand() draw / partition layout
-    ranked = ranged.mapInPandas(add_local_rank, schema=schema).persist()
+    ranked = persist_tracked(ranged.mapInPandas(add_local_rank, schema=schema))
 
     counts = {
         r["__pid"]: r["cnt"]

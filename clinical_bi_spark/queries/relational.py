@@ -281,6 +281,18 @@ def _cohort_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("n_done", F.lit(0))).alias("completed_orders"),
             F.sum(F.coalesce("n_open", F.lit(0))).alias("open_orders"),
             F.sum(F.coalesce("n_pend", F.lit(0))).alias("pending_orders"),
+            # Float tolerance: this reassembles AVG as a sum of per-custkey
+            # partial sums — double addition is not associative, so at high
+            # partition counts the pre-ROUND value can drift within ~1 ulp
+            # of the oracle's single-level AVG. ROUND(4) absorbs that
+            # (prices are O(1e5), 1 ulp ≈ 1e-11 ≪ 5e-5 rounding granule),
+            # and a .49999.../.50000... boundary landing inside 1 ulp of a
+            # half-way point is the only failure mode — not observed at any
+            # tested SF. The integer micro-unit pattern (text_lm_score) is
+            # NOT used here because o_totalprice is a binary double whose
+            # cent values are already inexact: converting to integer cents
+            # would change the computed average vs the reference's AVG()
+            # semantics rather than make it exact.
             F.round(
                 F.sum("sum_done_price")
                 / F.sum(F.when(F.col("n_done_price") > 0, F.col("n_done_price"))),

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from clinical_bi_spark.caching import persist_tracked
 from clinical_bi_spark.functions.text import (
     STOPWORDS,
     doc_fingerprint,
@@ -682,8 +683,8 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         t.documents.select("doc_id", "source", "text")  # prune before caching
         .repartition(spark.sparkContext.defaultParallelism)
-        .persist(StorageLevel.DISK_ONLY)
     )
+    docs = persist_tracked(docs, StorageLevel.DISK_ONLY)
     scored = docs.withColumn("quality", quality_score(text)).withColumn(
         "glang", language_guess(text)
     )
@@ -717,10 +718,12 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             token_count(text).cast("bigint").alias("n_tokens"),
             "text",
         )
-        .persist(StorageLevel.DISK_ONLY)
     )
+    kept1_all = persist_tracked(kept1_all, StorageLevel.DISK_ONLY)
     kept1_text = kept1_all.select("doc_id", "text")
-    kept1 = kept1_all.select("doc_id", "source", "quality", "n_tokens").persist()
+    kept1 = persist_tracked(
+        kept1_all.select("doc_id", "source", "quality", "n_tokens")
+    )
     # near-dup drop: anti-join the higher id of each winnowed pair
     pairs = winnow_neardup_pairs(
         kept1_text, id_col="doc_id", text_col="text",
@@ -973,7 +976,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(tune(spark), sf_dir)
     docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
-    fps = winnow_fingerprints_df(docs).persist()
+    fps = persist_tracked(winnow_fingerprints_df(docs))
     e = (
         fps.select("id", F.explode("fps").alias("fp"))
         .join(t.documents.select(F.col("doc_id").alias("id"), "source"), "id")

@@ -1,0 +1,84 @@
+"""The targeted cache registry (clinical_bi_spark.caching): operators
+register persists/localCheckpoints, the query boundary releases exactly
+those — and ONLY those (the round-5 advisor's objection to the old
+global clearCache was precisely that it wiped caches the harness itself
+established).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clinical_bi_spark import caching
+from clinical_bi_spark.operators.dedup import (
+    connected_components,
+    winnow_neardup_pairs,
+)
+
+from .conftest import SF_SMALL
+
+
+def _persistent_rdd_count(spark) -> int:
+    return int(spark.sparkContext._jsc.getPersistentRDDs().size())
+
+
+def test_release_all_reclaims_persists_and_checkpoints(spark):
+    """After a query that persists AND localCheckpoints (the winnow →
+    connected-components chain), release_all leaves zero persistent RDDs
+    from the engine behind — including checkpoint blocks, which
+    spark.catalog.clearCache() never touched."""
+    caching.release_all(spark)
+    spark.catalog.clearCache()
+    baseline = _persistent_rdd_count(spark)
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pairs = winnow_neardup_pairs(docs, id_col="doc_id", text_col="text")
+    comps = connected_components(pairs)
+    n = comps.count()  # drive the whole chain like the adjudication driver
+    assert n >= 0
+    # the chain registered at least one cache while running
+    assert len(caching._PERSISTED) > 0
+
+    n_df, _n_ck = caching.release_all(spark)
+    assert n_df > 0
+    assert len(caching._PERSISTED) == 0
+    assert len(caching._CHECKPOINT_RDD_IDS) == 0
+    assert _persistent_rdd_count(spark) == baseline
+
+
+def test_release_all_spares_foreign_caches(spark):
+    """A cache the HOST established (untracked) must survive release_all —
+    the exact behavior the old clearCache() violated."""
+    foreign = spark.range(100).select(F.col("id") * 2)
+    foreign.persist()
+    try:
+        foreign.count()
+        assert foreign.storageLevel.useMemory
+
+        caching.release_all(spark)
+        # still cached: release only touches tracked state
+        assert foreign.storageLevel.useMemory
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        assert jmap.size() >= 1
+    finally:
+        foreign.unpersist()
+
+
+def test_connected_components_bounds_checkpoint_leaves(spark):
+    """The iterative CC path frees each superseded round's checkpoint
+    immediately: after the run, tracked checkpoint ids hold only the
+    FINAL leaf (1 id), not one per round."""
+    caching.release_all(spark)
+    # a 6-vertex path graph forces several label-propagation rounds on
+    # the distributed path (small_graph_edges=0 disables union-find)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a bigint, id_b bigint"
+    )
+    comps = connected_components(edges, small_graph_edges=0)
+    rows = comps.collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(caching._CHECKPOINT_RDD_IDS) == 1
+    caching.release_all(spark)
+    assert len(caching._CHECKPOINT_RDD_IDS) == 0

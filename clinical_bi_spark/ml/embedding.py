@@ -56,7 +56,21 @@ def trained_vocabulary_embedding(
     keeps the fit reproducible run-to-run (Word2Vec's negative sampling
     is partition-order dependent); at real scale trade determinism for
     parallel fit or train offline and ship the table, exactly as a
-    production pipeline would."""
+    production pipeline would.
+
+    Degenerate-corpus guard: ``minCount=2`` means a corpus where no
+    token repeats yields an EMPTY Word2Vec vocabulary (Spark raises);
+    this falls back to the deterministic md5-seeded table
+    (:func:`vocabulary_embedding`'s formula keyed on the category value)
+    so the operator never fails on pathological input — the fallback is
+    flagged in the plan only by its values (seeded, not trained).
+
+    OOV behavior: a document whose tokens are ALL out-of-vocabulary
+    (each appearing once) transforms to the zero vector, which
+    contributes silently to its category's mean — small categories of
+    rare-token documents are pulled toward zero. This matches Spark ML
+    Word2Vec semantics; filter such documents upstream if the pull is
+    unwanted."""
     from pyspark.ml.feature import StringIndexer, Word2Vec
     from pyspark.ml.functions import vector_to_array
     from pyspark.ml.stat import Summarizer
@@ -71,7 +85,22 @@ def trained_vocabulary_embedding(
         vectorSize=dim, minCount=2, seed=seed, maxIter=1, numPartitions=1,
         inputCol="words", outputCol="__dvec",
     )
-    model = w2v.fit(toks)
+    try:
+        model = w2v.fit(toks)
+    except Exception as exc:  # Py4J-wrapped `requirement failed: vocabSize...`
+        if "vocab" not in str(exc).lower():
+            raise
+        # empty vocabulary (no token repeats): deterministic fallback
+        cats = [r[0] for r in df.select(col).distinct().collect()]
+        table = df.sparkSession.createDataFrame(
+            [(c, _seeded_vector(str(c), dim)) for c in cats],
+            f"{col} string, {col}_embedding array<double>",
+        )
+        indexer = StringIndexer(
+            inputCol=col, outputCol=f"{col}_idx", handleInvalid="keep"
+        )
+        out = indexer.fit(df).transform(df)
+        return out.join(F.broadcast(table), col, "left")
     table = (
         model.transform(toks)
         .groupBy(col)

@@ -413,7 +413,14 @@ def dedup_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path; no attribute block column needed). The oracle is the
     NAIVE all-pairs form over the exact portable fingerprints — so the
     driver check also proves the pigeonhole blocking loses no pair; tests
-    additionally pin planted-dup recall."""
+    additionally pin planted-dup recall.
+
+    Oracle SF ceiling: the all-pairs oracle is O(n²) bit_count work in
+    DuckDB — ~125M comparisons (≈3 s) at sf0.01's 500-doc corpus scaled
+    to 5k docs at sf0.1, ~12.5B (minutes) at sf1. The oracle is for
+    adjudication at sf ≤ 0.1; above that, compare against
+    ``dedup_simhash`` (source-blocked oracle) instead — the Spark side
+    itself is sub-quadratic and has no such ceiling."""
     from clinical_bi_spark.operators.dedup import simhash_blocked_pairs
 
     t = load_tables(tune(spark), sf_dir)

@@ -238,3 +238,32 @@ def test_trained_embedding_drop_in(spark):
           for r in again.select("source", "source_embedding").distinct().collect()}
     for s in vecs:
         assert vecs[s] == pytest.approx(v2[s], abs=0.0), s
+
+
+def test_trained_embedding_degenerate_corpus_fallback(spark):
+    """A corpus where no token repeats has an EMPTY Word2Vec vocabulary
+    (minCount=2); the operator must fall back to the deterministic
+    md5-seeded table instead of raising — same schema, one finite vector
+    per category (the ADVICE r5 guard)."""
+    import math
+
+    from clinical_bi_spark.ml import trained_vocabulary_embedding
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "alpha beta gamma"),
+            (2, "a", "delta epsilon zeta"),
+            (3, "b", "eta theta iota"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = trained_vocabulary_embedding(docs, "source", dim=10)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert {"source_idx", "source_embedding"} <= set(out.columns)
+    vecs = {r.source: r.source_embedding for r in rows}
+    assert set(vecs) == {"a", "b"}
+    for v in vecs.values():
+        assert v is not None and len(v) == 10
+        assert all(math.isfinite(x) for x in v)
+    assert vecs["a"] != vecs["b"]

@@ -115,6 +115,7 @@ def lsh_bucket_topk(
     max_hamming: int = 2,
     dim: int = 64,
     seed: int = 42,
+    exact_arithmetic: bool = False,
 ) -> DataFrame:
     """ANN top-k via a true bucket EQUI-join: each query signature is
     expanded (multi-probe) into every signature in its Hamming ball
@@ -129,12 +130,30 @@ def lsh_bucket_topk(
     (corpus signatures can be precomputed/persisted; the probe table stays
     |queries| × ball-size, broadcastable until millions of queries, after
     which the same plan shuffles on the signature key).
+
+    ``exact_arithmetic=True`` computes signatures and the cosine ranking
+    with the sequential-order Catalyst forms (signature_col /
+    cosine_similarity) instead of the numpy batch forms — bit-reproducible
+    against DuckDB list arithmetic, which is what lets the registry query
+    carry an exact SQL oracle (same technique as
+    ``embedding_neardup_pairs``). Both the multi-probe expansion AND the
+    deterministic (cos DESC, neighbor_id) tie-break are then exactly
+    recomputable in SQL: given the signatures, probing the Hamming ball
+    equals the naive ``bit_count(xor) <= h`` pair predicate, so the
+    all-pairs oracle also proves the expansion loses no candidate.
+    A differential test pins the fast path ≡ exact path on the fixture.
     """
     planes = _hyperplanes(dim, nbits, seed)
+
+    def _sig(col: F.Column) -> F.Column:
+        if exact_arithmetic:
+            return signature_col(col, planes)
+        return signature_pandas(col, planes)
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
-        signature_pandas(F.col(emb_col), planes).alias("c_sig"),
+        _sig(F.col(emb_col)).alias("c_sig"),
     )
     masks = _hamming_ball_masks(nbits, max_hamming)
     # expand after computing the signature once (avoid re-running the UDF
@@ -142,7 +161,7 @@ def lsh_bucket_topk(
     q_sig = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(emb_col).alias("q_emb"),
-        signature_pandas(F.col(emb_col), planes).alias("sig"),
+        _sig(F.col(emb_col)).alias("sig"),
     )
     mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
     probes = q_sig.select(
@@ -155,7 +174,8 @@ def lsh_bucket_topk(
     cand = c.join(F.broadcast(probes), "c_sig").filter(
         F.col("neighbor_id") != F.col("q_id")
     )
-    cos = F.round(cosine_pandas(F.col("c_emb"), F.col("q_emb")), 6)
+    cos_fn = cosine_similarity if exact_arithmetic else cosine_pandas
+    cos = F.round(cos_fn(F.col("c_emb"), F.col("q_emb")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         cand.select("q_id", "neighbor_id", cos.alias("cos_sim"))

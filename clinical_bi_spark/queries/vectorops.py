@@ -194,12 +194,78 @@ def _with_recall_at_k(ann: DataFrame, exact: DataFrame) -> DataFrame:
     return ann.join(F.broadcast(recall), "q_id", "left")
 
 
-@query("sim_ann_lsh", oracle=None, bench=True)
+def _ann_lsh_oracle(
+    nbits: int = 8, max_hamming: int = 3, k: int = 5,
+    dim: int = 64, seed: int = 42,
+) -> str:
+    """Exact DuckDB twin of the multi-probe sign-LSH top-k pipeline.
+
+    Same technique that graduated ``dedup_embedding_lsh`` in r5:
+    hyperplanes are deterministic dyadic rationals embedded as
+    repr-roundtrip literals; signatures are sequential-order list
+    arithmetic (bit-identical to Catalyst's signature_col). Given the
+    signatures, the operator's Hamming-BALL probe expansion + bucket
+    equi-join admits candidate c for query q IFF
+    ``bit_count(xor(sig_q, sig_c)) <= max_hamming`` — so the oracle is
+    written as that NAIVE all-pairs predicate, and a green driver row
+    also proves the 93-mask expansion loses no candidate. Ranking
+    (ROUND(cos,6) DESC, neighbor_id) is deterministic, so top-k matches
+    row-for-row."""
+    from clinical_bi_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, nbits, seed)
+    plane_rows = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in row))
+        for i, row in enumerate(planes)
+    )
+    return f"""
+WITH pl(i, plane) AS (VALUES
+    {plane_rows}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), dots AS (
+  SELECT e.vec_id, pl.i,
+         list_sum(list_transform(range(1, {dim + 1}),
+                                 j -> emb[j] * plane[j])) AS dot
+  FROM e, pl
+), sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN 1::BIGINT << i ELSE 0::BIGINT END) AS sig
+  FROM dots GROUP BY vec_id
+), es AS (
+  SELECT s.vec_id, s.sig, e.emb FROM sig s JOIN e ON e.vec_id = s.vec_id
+)
+SELECT q_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(c.emb, q.emb), 6) AS cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_cosine_similarity(c.emb, q.emb), 6) DESC,
+                    c.vec_id) AS INT) AS rank
+  FROM es q
+  JOIN es c
+    ON bit_count(xor(q.sig, c.sig)) <= {max_hamming}
+   AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+) t
+WHERE rank <= {k}
+"""
+
+
+@query("sim_ann_lsh", oracle=_ann_lsh_oracle(), bench=True)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via sign-LSH bucketing + multi-probe (operators/similarity):
-    the 100 TB path for sim_bruteforce_topk. Approximate → rows-only; the
-    output carries measured per-query recall@k vs the exact twin
-    (self-evidencing), floor-pinned in tests/test_similarity.py."""
+    the 100 TB path for sim_bruteforce_topk. RECALL-approximate vs exact
+    k-NN, but the pipeline itself (signature → Hamming-ball probe →
+    bucket join → cosine rank) is deterministic, so with
+    sequential-arithmetic signatures it carries an EXACT SQL oracle: the
+    naive bit_count(xor)<=h all-pairs form, whose green driver row also
+    proves the multi-probe expansion loses no candidate (the r5
+    dedup_embedding_lsh technique). The former rows-only self-evidence
+    (recall@k annotation) is superseded by the oracle; recall floors vs
+    brute force stay pinned in tests/test_similarity.py, and the
+    numpy fast path is differential-pinned to this exact path."""
     from clinical_bi_spark.operators.similarity import lsh_bucket_topk
 
     t = load_tables(tune(spark), sf_dir)
@@ -207,12 +273,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nbits=8 / max_hamming=3 ≈ 0.65 recall on near-random 64-d vectors
     # (measured; real embedding corpora cluster and do far better) while
     # pruning most of the corpus per query.
-    ann = lsh_bucket_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, nbits=8, max_hamming=3
+    return lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, nbits=8, max_hamming=3,
+        exact_arithmetic=True,
     )
-    if not _annotate_recall_enabled():
-        return ann
-    return _with_recall_at_k(ann, _exact_topk(emb, k=5))
 
 
 @query("sim_ann_ivf", oracle=None)

@@ -160,7 +160,7 @@ def test_pq_recall_and_planted_twin(spark, embeddings, truth):
 
 @pytest.mark.parametrize(
     "name,floor",
-    [("sim_ann_lsh", 0.55), ("sim_ann_ivf", 0.4), ("sim_ann_pq", 0.5)],
+    [("sim_ann_ivf", 0.4), ("sim_ann_pq", 0.5)],
 )
 def test_registry_ann_recall_column_floor(spark, name, floor):
     """The registry ANN queries emit their measured recall@k as an output
@@ -172,6 +172,40 @@ def test_registry_ann_recall_column_floor(spark, name, floor):
     per_q = {r.q_id: r.recall_at_k for r in rows}
     mean_recall = sum(per_q.values()) / len(per_q)
     assert mean_recall >= floor, f"{name} mean recall {mean_recall}"
+
+
+def test_sim_ann_lsh_recall_floor_and_fast_path_parity(spark):
+    """sim_ann_lsh graduated from the recall@k annotation to an exact SQL
+    oracle (r6), so its recall floor is asserted HERE against the
+    brute-force registry query, and the numpy fast path is pinned
+    identical to the exact-arithmetic path the oracle checks (the same
+    differential the embedding-LSH pair miner carries)."""
+    from clinical_bi_spark.operators.similarity import lsh_bucket_topk
+
+    registry = load_all()
+    ann = registry["sim_ann_lsh"].fn(spark, SF_ORACLE)
+    assert "recall_at_k" not in ann.columns  # superseded by the oracle
+    ann_pairs = {(r.q_id, r.neighbor_id) for r in ann.collect()}
+    exact = registry["sim_bruteforce_topk"].fn(spark, SF_ORACLE)
+    exact_by_q: dict[int, set[int]] = {}
+    for r in exact.collect():
+        exact_by_q.setdefault(r.q_id, set()).add(r.neighbor_id)
+    recalls = [
+        len({n for (q2, n) in ann_pairs if q2 == q} & hits) / len(hits)
+        for q, hits in exact_by_q.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.55, f"sim_ann_lsh mean recall {mean_recall}"
+
+    # fast path ≡ exact path on the fixture (bit-for-bit after ROUND(6))
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    fast = lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, nbits=8, max_hamming=3,
+        exact_arithmetic=False,
+    )
+    a = sorted(map(tuple, ann.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b
 
 
 # ---------------------------------------------------------------------------

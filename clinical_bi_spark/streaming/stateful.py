@@ -56,7 +56,13 @@ def _update_user_state(
         n_events += len(pdf)
         total_value += float(pdf["value"].fillna(0.0).sum())
         n_alerts += int((pdf["value"] > ALERT_THRESHOLD).sum())
-    state.update((n_events, round(total_value, 4), n_alerts))
+    # State keeps the UNROUNDED running sum; rounding is display-only on
+    # the emitted snapshot. Rounding inside the state fold would compound
+    # across micro-batches (round(round(a)+b) != round(a+b)) and make the
+    # final snapshot drift off the batch ROUND(SUM(value), 4) oracle —
+    # invisible in a single-batch run, real under maxFilesPerTrigger=1
+    # (the multi-batch battery in tests/test_streaming.py covers this).
+    state.update((n_events, total_value, n_alerts))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
@@ -67,13 +73,21 @@ def _update_user_state(
     )
 
 
-def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_running_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
+) -> DataFrame:
     """Run the stateful operator over the bounded events stream and return
-    the final per-user snapshots. On bounded input (one availableNow pass)
-    this equals the batch groupBy — tests pin that equivalence."""
+    the final per-user snapshots (one per micro-batch a user appears in;
+    the LAST one equals the batch groupBy regardless of batch slicing —
+    tests pin that equivalence both single- and multi-batch)."""
     from clinical_bi_spark.streaming.windows import _events_stream, _run_to_completion
 
-    events = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    events = _events_stream(spark, sf_dir, max_files_per_trigger).select(
+        "user_id", "ts", "value"
+    )
     updated = events.groupBy("user_id").applyInPandasWithState(
         _update_user_state,
         outputStructType=OUTPUT_SCHEMA,
@@ -81,4 +95,4 @@ def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_completion(updated, "update")
+    return _run_to_completion(updated, "update", progress_sink)

@@ -22,15 +22,30 @@ from pyspark.sql import functions as F
 _sink_counter = itertools.count()
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _reader(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None):
+    reader = spark.readStream.option("basePath", sf_dir)
+    if max_files_per_trigger is not None:
+        # one (or N) source file(s) per micro-batch: the multi-batch test
+        # harness splits a fixture into chronological files so watermark
+        # advancement / state eviction / cross-batch folds actually fire.
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader
+
+
+def _events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     from clinical_bi_spark.sources import normalize_events
 
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # FileStreamSource wants a directory/glob, not a bare file: glob the file.
+    # FileStreamSource wants a directory/glob, not a bare file: glob the
+    # file (also matches a directory of chronological part files).
     return normalize_events(
-        spark.readStream.schema(schema)
-        .option("basePath", sf_dir)
+        _reader(spark, sf_dir, max_files_per_trigger)
+        .schema(schema)
         .parquet(path + "*")
     )
 
@@ -43,10 +58,19 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_TIMEOUT_SECS = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "180"))
 
 
-def _run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _run_to_completion(
+    stream_df: DataFrame,
+    output_mode: str,
+    progress_sink: list | None = None,
+) -> DataFrame:
     """Drive a streaming aggregation over all available input, return the
     final result as a batch DataFrame (memory sink). Fails fast after
-    ``STREAM_TIMEOUT_SECS`` instead of hanging the harness."""
+    ``STREAM_TIMEOUT_SECS`` instead of hanging the harness.
+
+    ``progress_sink``: optional list that receives the run's
+    StreamingQueryProgress dicts (micro-batch count, per-operator state
+    rows) — the observability hook the multi-batch tests and the
+    streaming scale-up harness read instead of re-deriving state size."""
     name = f"cbs_stream_{os.getpid()}_{next(_sink_counter)}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -58,6 +82,10 @@ def _run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
     try:
         finished = q.awaitTermination(STREAM_TIMEOUT_SECS)
     finally:
+        if progress_sink is not None:
+            progress_sink.extend(
+                p if isinstance(p, dict) else p.json for p in (q.recentProgress or [])
+            )
         if q.isActive:
             q.stop()
     if not finished:
@@ -74,11 +102,15 @@ def tumbling_counts(
     sf_dir: str,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window counts — streaming twin of
     queries/events.evt_tumbling_window (same expressions). Complete output
     mode so the final memory table equals the batch result."""
-    events = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    events = _events_stream(
+        spark, sf_dir, max_files_per_trigger
+    ).withWatermark("ts", watermark)
     agg = (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -92,7 +124,7 @@ def tumbling_counts(
             "total_value",
         )
     )
-    return _run_to_completion(agg, "complete")
+    return _run_to_completion(agg, "complete", progress_sink)
 
 
 def session_windows(
@@ -100,11 +132,15 @@ def session_windows(
     sf_dir: str,
     gap: str = "30 minutes",
     watermark: str = "12 hours",
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Native session windows (session_window + gap) — streaming twin of
     the batch lag/cumsum sessionization (queries/events.evt_sessionization).
     """
-    events = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    events = _events_stream(
+        spark, sf_dir, max_files_per_trigger
+    ).withWatermark("ts", watermark)
     return _run_to_completion(
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
@@ -119,6 +155,7 @@ def session_windows(
             "total_value",
         ),
         "complete",
+        progress_sink,
     )
 
 
@@ -127,6 +164,8 @@ def dedup_with_watermark(
     sf_dir: str,
     keys: tuple[str, ...] = ("user_id", "event_type"),
     watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Streaming dedup with watermark-bounded state — the streaming twin
     of keyed dedup (queries/events.evt_dedup_window).
@@ -137,10 +176,12 @@ def dedup_with_watermark(
     subset that excludes the event-time column never cleans its state —
     unbounded growth on an unbounded stream — so it is the wrong operator
     at 100 TB."""
-    events = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    events = _events_stream(
+        spark, sf_dir, max_files_per_trigger
+    ).withWatermark("ts", watermark)
     deduped = events.dropDuplicatesWithinWatermark([*keys])
     return _run_to_completion(
-        deduped.select("event_id", "ts", *keys), "append"
+        deduped.select("event_id", "ts", *keys), "append", progress_sink
     )
 
 
@@ -175,6 +216,8 @@ def stream_stream_interval_join(
     sf_dir: str,
     within: str = "10 minutes",
     watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Watermarked stream-stream INNER join: views joined to the same
     user's purchases within ``within`` after the view. Both sides carry
@@ -185,7 +228,7 @@ def stream_stream_interval_join(
     arrival-order-independent, so the batch SQL oracle applies verbatim.
     """
     views = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, max_files_per_trigger)
         .filter(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("view_id"),
@@ -195,7 +238,7 @@ def stream_stream_interval_join(
         .withWatermark("view_ts", watermark)
     )
     purchases = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, max_files_per_trigger)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -217,20 +260,29 @@ def stream_stream_interval_join(
         "view_ts",
         "purchase_ts",
     )
-    return _run_to_completion(joined, "append")
+    return _run_to_completion(joined, "append", progress_sink)
 
 
-def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
     return (
-        spark.readStream.schema(schema)
-        .option("basePath", sf_dir)
+        _reader(spark, sf_dir, max_files_per_trigger)
+        .schema(schema)
         .parquet(path + "*")
     )
 
 
-def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_corpus_curation(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
+) -> DataFrame:
     """Streaming ingest side of the batch curation funnel
     (queries/textops.pipeline_corpus_curation): quality gate + language
     gate (stateless, narrow — identical expressions to batch), exact dedup
@@ -257,7 +309,7 @@ def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
-    docs = _documents_stream(spark, sf_dir)
+    docs = _documents_stream(spark, sf_dir, max_files_per_trigger)
     kept = docs.filter(
         (quality_score(F.col("text")) >= 0.85)
         & (language_guess(F.col("text")) == "en")
@@ -267,7 +319,7 @@ def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min_by("source", "doc_id").alias("source"))
     )
-    per_fp = _run_to_completion(keepers, "complete")
+    per_fp = _run_to_completion(keepers, "complete", progress_sink)
     return per_fp.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )

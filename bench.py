@@ -44,6 +44,16 @@ _R4_SET = frozenset(
     }
 )
 
+# The bench set as of round 5 (r4 set + pipelineops/streaming entries) —
+# the r6 additions (multimodal + mlops) sit outside it so BOTH
+# round-over-round subtotals stay comparable.
+_R5_SET = _R4_SET | frozenset(
+    {
+        "data_quality_select", "data_snapshot_diff", "dedup_incremental",
+        "dashboard_extract", "stream_corpus_curation", "text_chunk_dedup",
+    }
+)
+
 
 def main() -> None:
     registry = load_all()
@@ -93,6 +103,8 @@ def main() -> None:
     # would silently shrink it and read as a perf improvement
     missing_r4 = _R4_SET - set(timings)
     assert not missing_r4, f"r4-set queries missing from bench: {missing_r4}"
+    missing_r5 = _R5_SET - set(timings)
+    assert not missing_r5, f"r5-set queries missing from bench: {missing_r5}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -108,6 +120,9 @@ def main() -> None:
         # comparable number.
         "subtotal_r4_set": round(
             sum(t for n, t in timings.items() if n in _R4_SET), 3
+        ),
+        "subtotal_r5_set": round(
+            sum(t for n, t in timings.items() if n in _R5_SET), 3
         ),
         # Self-describing variant flag: sim_ann_* timings measure the bare
         # pruned operator (recall-annotation twin disabled below); the

@@ -201,7 +201,7 @@ def _feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m9_mlp_train_eval", oracle=None)
+@query("m9_mlp_train_eval", oracle=None, bench=True)
 def m9_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6/M7/M9/M10/M11: OneHotEncoder indicator features + numeric
     assembly → MLP classifier (layers mirroring the reference's 5×8 DNN,
@@ -227,6 +227,10 @@ def m9_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputCol="features",
     )
     encoded = assembler.transform(encoder.transform(split))
+    # NOT cached: A/B at sf0.1 (min-of-4) showed identical wall with and
+    # without persisting the train slice — MultilayerPerceptronClassifier
+    # aggregates its input into driver-side stacked batches once, so the
+    # lineage is not re-run per L-BFGS iteration.
     train = encoded.filter(F.col("split") == "train")
     test = encoded.filter(F.col("split") == "test")
 

@@ -117,7 +117,7 @@ FROM documents
 """
 
 
-@query("multimodal_resize", oracle=_RESIZE_ORACLE)
+@query("multimodal_resize", oracle=_RESIZE_ORACLE, bench=True)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media resize through the REAL codec branch: synthesized binary PPMs
     are decoded (pure-Python netpbm header parse + numpy pixel view),
@@ -153,7 +153,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "",
     )
-    media = t.documents.select(
+    # single-split fixture trap: the per-doc synthesis + codec work is
+    # CPU-bound interpreted-HOF work; spread it across cores (a no-op
+    # policy on a many-split production scan)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    media = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.unhex(F.concat(F.lit(_SRC_HEADER_HEX), pixel_hex)).alias("media"),
     )
@@ -335,7 +339,7 @@ FROM s
 """
 
 
-@query("multimodal_audio_features", oracle=_AUDIO_ORACLE)
+@query("multimodal_audio_features", oracle=_AUDIO_ORACLE, bench=True)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction through the REAL WAV codec: synthesized
     PCM16 WAV bytes are chunk-walked (RIFF → fmt → data), decoded to
@@ -361,7 +365,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "",
     )
-    media = t.documents.select(
+    # same single-split spread as multimodal_resize
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    media = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.unhex(F.concat(F.lit(_WAV_HEADER_HEX), sample_hex)).alias("media"),
     )

@@ -1,0 +1,158 @@
+"""Scale-up measurement for the STREAMING family (PERF.md methodology:
+same plans, replicated data, warmed session) — the one family the r5
+audit flagged as having no ×10/×50 table.
+
+Replication follows scaleup_events.py (user_id/event_id shifted per copy,
+ts identical → more users, denser traffic, same 30-day span), but the
+input must exist ON DISK: FileStreamSource reads files, so each multiple
+is materialized once to /tmp as SIX chronological parquet files (sliced
+by equal event-time ranges, mtimes ascending) and every query runs with
+``maxFilesPerTrigger=2`` → 3 real micro-batches per run, so watermark
+advancement and state eviction happen mid-run exactly as in production.
+
+Beyond wall-clock, each cell records what actually bounds a streaming
+job at 100 TB: the state store's peak row count (stateOperators
+numRowsTotal) and the max micro-batch duration, read from
+StreamingQueryProgress via the progress_sink hook. The claim under test:
+state rows scale with ACTIVE KEYS (users / windows / join horizon), not
+with total input — watermarks evict the rest.
+
+Usage: python scripts/scaleup_streaming.py [sf_dir] [out_root]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.session import get_spark, tune, warm
+from clinical_bi_spark.sources import load_tables
+from clinical_bi_spark.streaming.stateful import user_running_stats
+from clinical_bi_spark.streaming.windows import (
+    dedup_with_watermark,
+    session_windows,
+    stream_stream_interval_join,
+    tumbling_counts,
+)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT_ROOT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/cbs_scaleup_stream"
+N_FILES = 6
+MAX_FILES_PER_TRIGGER = 2  # -> 3 micro-batches per run
+
+QUERIES = {
+    # production-sized watermarks: eviction must fire across batches
+    "stream_tumbling": lambda sp, d, ps: tumbling_counts(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
+    ),
+    "stream_session": lambda sp, d, ps: session_windows(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
+    ),
+    "stream_dedup_1d": lambda sp, d, ps: dedup_with_watermark(
+        sp, d, watermark="1 day",
+        max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,
+    ),
+    "stream_join": lambda sp, d, ps: stream_stream_interval_join(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
+    ),
+    "stream_stateful": lambda sp, d, ps: user_running_stats(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
+    ),
+}
+
+
+def materialize(spark, base, mult: int, id_offset: int) -> str:
+    """Write the ×mult replica as N_FILES chronological parquet files."""
+    dest = os.path.join(OUT_ROOT, f"x{mult}")
+    edir = os.path.join(dest, "events.parquet")
+    if os.path.exists(edir):
+        return dest  # reuse a previous materialization
+    os.makedirs(dest, exist_ok=True)
+    ev = base
+    if mult > 1:
+        ev = base.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("k"), "*"
+        ).select(
+            (F.col("event_id") + F.col("k") * id_offset).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("k") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    lo, hi = base.agg(F.min("ts"), F.max("ts")).first()
+    os.makedirs(edir)
+    for i in range(N_FILES):
+        a = lo + (hi - lo) * i / N_FILES
+        b = lo + (hi - lo) * (i + 1) / N_FILES
+        cond = (F.col("ts") >= F.lit(a)) & (
+            (F.col("ts") < F.lit(b)) if i < N_FILES - 1 else (F.col("ts") <= F.lit(b))
+        )
+        tmp = os.path.join(dest, f"_tmp_{i}")
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        final = os.path.join(edir, f"part-{i}.parquet")
+        shutil.move(os.path.join(tmp, part), final)
+        shutil.rmtree(tmp)
+        os.utime(final, (1_700_000_000 + i * 60,) * 2)
+    return dest
+
+
+def main() -> None:
+    spark = get_spark("scaleup-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm(spark)
+    base = load_tables(tune(spark), SF_DIR).events
+    n_base = base.count()
+    id_offset = n_base + 1
+
+    for mult in (1, 10, 50):
+        dest = materialize(spark, base, mult, id_offset)
+        row: dict = {"rows": n_base * mult}
+        for name, fn in QUERIES.items():
+            best, metrics = float("inf"), {}
+            for _ in range(2):
+                prog: list = []
+                start = time.perf_counter()
+                out = fn(spark, dest, prog)
+                n_out = out.count()
+                wall = time.perf_counter() - start
+                if wall < best:
+                    best = wall
+                    state_rows = max(
+                        (
+                            op.get("numRowsTotal", 0)
+                            for p in prog
+                            for op in p.get("stateOperators", [])
+                        ),
+                        default=0,
+                    )
+                    metrics = {
+                        "sec": round(wall, 2),
+                        "out": n_out,
+                        "batches": sum(
+                            1 for p in prog if p.get("numInputRows", 0) > 0
+                        ),
+                        "state_rows": state_rows,
+                        "max_batch_ms": max(
+                            (
+                                p.get("durationMs", {}).get("triggerExecution", 0)
+                                for p in prog
+                            ),
+                            default=0,
+                        ),
+                    }
+            row[name] = metrics
+        print(f"x{mult}", row, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,73 +48,74 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 
 #: The driver records correctness rows for registry[:50] only, so ordering
-#: decides which queries get a driver verdict each round. Round-5 priority:
-#: (1) every query whose implementation or oracle changed this round (the
-#: newly-oracled portable-hash family minhash/simhash×2/embedding-lsh, the
-#: cohort Expand-removal rewrite, the LMG lstsq hardening, the
-#: connected-components cache-release change feeding dedup_cluster_winnow);
-#: (2) the two r4-changed queries the r4 window missed
-#: (text_winnow_fingerprint, dedup_decontaminate — builder policy: changed
-#: code gets a current-round row); (3) headliners; (4) the entire r2-era
-#: block, now 3 rounds stale — the staleness ceiling; (5) the oldest
-#: r3-green entries. Streaming sits at the window's TAIL: a wedged
-#: stateful stream must only ever cost later *streaming* rows, never a
-#: batch family (round-1 lesson; stream_dedup_watermark changed this
-#: round, so streaming is inside the window but still last). Entries not
-#: named here keep module import order after the priority block — all
-#: have green r4 (or r3 rows-only) verdicts on code unchanged since.
+#: decides which queries get a driver verdict each round. Round-6 priority:
+#: (1) every query whose implementation or oracle changed this round —
+#: sim_ann_lsh's new exact oracle, the repartitioned multimodal entries,
+#: the tracked-persist refactor (touches every dedup/similarity/textops/
+#: packing persist site), the connected-components checkpoint rewrite,
+#: and the Word2Vec degenerate-corpus guard; (2) headliners; (3) the
+#: whole r3-green block, now at the 3-round staleness ceiling; (4) the
+#: r4-green remainder the r5 brief named as due (windows/cube/pivot/
+#: unpivot, multi-count-distinct, the etl domain entries, the evt core,
+#: the embedding-cosine pair miner, and the two bench watch items
+#: dedup_exact / asof_join_events). Streaming sits at the window's TAIL:
+#: a wedged stateful stream must only ever cost later *streaming* rows,
+#: never a batch family (round-1 lesson; all six streaming queries
+#: changed this round — multi-batch plumbing — so they are inside the
+#: window but still last). Entries not named here keep module import
+#: order after the priority block — all have green r4/r5 verdicts on
+#: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- implementation / oracle changed this round --
-    "dedup_minhash_lsh",
+    # -- implementation / oracle changed this round (r6) --
+    "sim_ann_lsh",            # graduated to an exact oracle
+    "multimodal_resize",      # repartition before synthesis (5x)
+    "multimodal_audio_features",
+    "m9_mlp_train_eval",      # also r3-stale
+    "dedup_cluster_winnow",   # CC checkpoint tracking/early release
+    "dedup_minhash_lsh",      # tracked-persist refactor touched all dedup
     "dedup_simhash",
     "dedup_simhash_blocked",
     "dedup_embedding_lsh",
-    "etl_cohort_conditional_agg",
-    "m3_feature_importance",
-    "dedup_cluster_winnow",
-    # -- changed in r4 but missed the r4 window (stated policy) --
-    "text_winnow_fingerprint",
+    "sim_ann_ivf",            # similarity.py tracked persists
+    "sim_ann_pq",
+    "pipeline_corpus_curation",  # textops tracked persists
     "dedup_decontaminate",
+    "dedup_winnow_pairs",
+    "text_sequence_packing",  # packing.py tracked persist
+    "m8_vocab_embedding_trained",  # Word2Vec degenerate-corpus guard
+    "text_bm25_topk",         # NEW r6: exactly-oracled BM25 selection
     # -- headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- the whole r2-era block: last driver rows are r2, 3 rounds stale --
-    "j2_selfjoin_fanout",
-    "f3_pattern_classifier",
-    "f6_f7_date_functions",
-    "f10_sed_cleanse",
-    "m1_keyed_split",
-    "m2_encoder_chain",
-    "w1_topk_per_group",
-    "w2_running_total",
-    "set_ops",
-    "sort_limit_topn",
-    "j7_frequency_enrichment",
-    "j_semi_anti_exists",
-    "m12_stratified_sample",
-    "w4_rank_battery",
-    "m13_auc_rank",
-    "text_language_id",
-    "dedup_ngram_jaccard",
-    "text_corpus_rollup",
-    "text_repetition",
-    "text_redact_pii",
-    "text_tfidf_topk",
-    "sim_bruteforce_topk",
-    "vec_norm_rollup",
-    # -- oldest r3-green entries (the rest of the r3 block rotates in r6) --
-    "text_sequence_packing",
-    "dedup_incremental",
-    "data_mixture_sample",
-    "data_global_shuffle",
-    "text_chunk_dedup",
-    "agg_rollup",
-    "merge_upsert_emulation",
-    "agg_salted_count",
-    # -- new this round (exact-oracled LM scorer; learned-weights query) --
-    "text_lm_score",
-    "m8_vocab_embedding_trained",
-    # -- streaming LAST within the checked window --
+    # -- the whole r3 block: at the 3-round staleness ceiling --
+    "a3_approx_count_distinct",
+    "agg_percentiles",
+    "agg_percentiles_approx",
+    "agg_grouping_sets",
+    "m5_bucketize",
+    "m1_exact_split_sizes",
+    "m1_distributed_split_sizes",
+    "m6_one_hot",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    # -- r4-green remainder due per the r5 brief --
+    "w3_lag_lead_first",
+    "agg_cube",
+    "agg_pivot",
+    "unpivot_long",
+    "a3_multi_count_distinct",
+    "etl_cohort_literal_joins",
+    "etl_name_keyed_rollup",
+    "etl_interventions_conditions",
+    "etl_calculated_values_rebuild",
+    "dedup_embedding_cosine",
+    "dedup_exact",            # bench watch item, re-adjudicate
+    "asof_join_events",       # bench watch item
+    "evt_tumbling_window",
+    "evt_sessionization",
+    "evt_group_zscore_window",
+    # -- streaming LAST within the checked window (a wedged stream must
+    #    only cost streaming rows); all six changed this round --
     "stream_tumbling_window",
     "stream_stream_join",
     "stream_session_window",
@@ -122,6 +123,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_stateful_user_stats",
     "stream_corpus_curation",
 )
+# Deferred to r7 (r4/r5-green, ≤2 rounds stale after this rotation, code
+# unchanged): agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
+# text_stats, text_quality_score, data_snapshot_diff, data_quality_select,
+# m8_vocab_embedding, multimodal_features, multimodal_resize_bmp,
+# evt_sliding_window, evt_json_extract, evt_dedup_window,
+# evt_group_zscore, evt_funnel_conversion, evt_retention_cohorts, and the
+# r5-green block.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1169,3 +1169,129 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_nll"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring — retrieval-based data selection (the standard
+# "score the corpus against a query, keep the most relevant slice" step
+# of targeted-pretraining pipelines, and the lexical half of every RAG
+# retriever). Okapi BM25 with k1=1.2, b=0.75.
+#
+# Exactness design (the text_lm_score playbook, applied twice):
+#  * k1 and b are RATIONALS (6/5, 3/4), so the tf saturation term
+#    tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)) with avgdl = T/N rewrites to
+#    the integer ratio (22·tf·T) / (10·tf·T + 3·T + 9·dl·N) — two exact
+#    int64s (< 2^53), whose IEEE division is correctly rounded and
+#    therefore engine-identical.
+#  * the 0.5-smoothed idf ln((N-df+0.5)/(df+0.5)) = ln(2N-2df+1) -
+#    ln(2df+1) — a difference of ln() OF INTEGERS, the same pinned
+#    engine-agreement domain as the LM scorer (tests/test_lm_portability).
+#  * per-(doc,term) scores round to integer MICRO-units before the
+#    per-doc SUM, so the aggregation is order-independent BIGINT math.
+# Query terms are corpus-derived and deterministic: the 5 highest-df
+# terms with df ≤ N/2 (the standard negative-idf guard), tie-broken by
+# term text — recomputed identically by the oracle.
+# ---------------------------------------------------------------------------
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_LM_TOKENS} AS t FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, SUM(len(t)) AS tt FROM tok
+), tokr AS (
+  SELECT doc_id, UNNEST(t) AS w FROM tok
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tokr GROUP BY doc_id, w
+), dft AS (
+  SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+), qt AS (
+  SELECT w, df FROM dft, stats WHERE 2 * df <= n
+  ORDER BY df DESC, w LIMIT 5
+), dl AS (
+  SELECT doc_id, len(t) AS dl FROM tok
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           1000000.0 * (ln(2*s.n - 2*qt.df + 1) - ln(2*qt.df + 1))
+           * (22 * tf.tf * s.tt)
+           / (10 * tf.tf * s.tt + 3 * s.tt + 9 * dl.dl * s.n)
+         ) AS BIGINT) AS micro
+  FROM tf
+  JOIN qt USING (w)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, bm25_micro, bm25, rank
+FROM (
+  SELECT doc_id,
+         CAST(SUM(micro) AS BIGINT) AS bm25_micro,
+         CAST(SUM(micro) AS BIGINT) / 1000000.0 AS bm25,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(SUM(micro) AS BIGINT) DESC, doc_id) AS INT) AS rank
+  FROM scored GROUP BY doc_id
+) t
+WHERE rank <= 20
+"""
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 over the corpus for a deterministic 5-term query
+    (highest-df terms with df ≤ N/2) — retrieval-based data selection,
+    exactly oracled via integer-rational tf saturation + ln-of-integer
+    idf + micro-unit BIGINT sums (see the block comment above).
+
+    Scale shape: tokenization is narrow; the (doc,term) tf table and the
+    per-term df table are partial-aggregated groupBys (shuffle keys are
+    terms, never text); N/T are two driver scalars and the query-term
+    table is 5 rows (broadcast) — so scoring is one broadcast equi-join
+    against tf plus one dl join, and the final top-20 is a bounded
+    sort-limit. At 100 TB the df/tf tables are the classic inverted-index
+    build, partial-agg'd map-side; nothing driver-sized but 5 strings
+    and 2 integers."""
+    t = load_tables(tune(spark), sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = t.documents.select("doc_id", toks.alias("t"))
+    dl = base.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    srow = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tt")
+    ).first()
+    n_docs, total_tokens = int(srow["n"]), int(srow["tt"])
+    tokr = base.select("doc_id", F.explode("t").alias("w"))
+    tf = tokr.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("w").agg(F.count("*").alias("df"))
+    qt = (
+        dft.filter(F.lit(2) * F.col("df") <= F.lit(n_docs))
+        .orderBy(F.col("df").desc(), F.col("w"))
+        .limit(5)
+    )
+    qt_rows = [(r["w"], int(r["df"])) for r in qt.collect()]
+    qt_tbl = spark.createDataFrame(qt_rows, "w string, df bigint")
+    idf = F.log(F.lit(2 * n_docs) - 2 * F.col("df") + 1) - F.log(
+        2 * F.col("df") + 1
+    )
+    num = F.lit(22) * F.col("tf") * F.lit(total_tokens)
+    den = (
+        F.lit(10) * F.col("tf") * F.lit(total_tokens)
+        + F.lit(3 * total_tokens)
+        + F.lit(9) * F.col("dl") * F.lit(n_docs)
+    )
+    micro = F.round(F.lit(1_000_000.0) * idf * num / den).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(qt_tbl), "w")
+        .join(dl, "doc_id")
+        .select("doc_id", micro.alias("micro"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("micro").cast("bigint").alias("bm25_micro")
+    )
+    top = agg.orderBy(F.col("bm25_micro").desc(), F.col("doc_id")).limit(20)
+    w = Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        "bm25_micro",
+        (F.col("bm25_micro") / F.lit(1_000_000.0)).alias("bm25"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -1066,9 +1066,14 @@ def dedup_cluster_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Exactness design: P(w2|w1) = (c12 + 1) / (c1 + V) is a ratio of small
 # integers, so each bigram's neg-log-prob ln(c1 + V) - ln(c12 + 1) is a
-# difference of logs OF INTEGERS — computed identically by JVM and DuckDB
-# libm on the fixture's value domain — and is rounded to integer
-# MICRO-NATS per bigram before summing. BIGINT sums are order-independent
+# difference of logs OF INTEGERS, rounded to integer MICRO-NATS per
+# bigram before summing. NOTE the ln() agreement is statistical, not
+# bit-level: a dense probe (r6) showed JVM Math.log and DuckDB libm
+# differ by 1 ulp on ~0.9% of integer arguments (ln(3) included) — the
+# micro-nat ROUND absorbs that everywhere except within ~1 ulp of a .5
+# boundary (~1e-10 probability per pair), and
+# tests/test_lm_portability.py pins the ROUNDED values over the
+# fixture's entire (c1+V, c12+1) domain, which is the actual premise. BIGINT sums are order-independent
 # (unlike float sums, whose partition-order nondeterminism would make the
 # value unstable even within Spark), so the per-doc total is exact and
 # engine-portable; the final average is one IEEE division per doc.

@@ -145,13 +145,15 @@ def test_observe_metrics(spark):
     assert obs.get["rows"] == n and obs.get["null_price"] == 0
 
 
-def test_lsh_ann_is_bucket_equijoin(spark):
+@pytest.mark.parametrize("exact", [False, True], ids=["numpy", "exact_arith"])
+def test_lsh_ann_is_bucket_equijoin(spark, exact):
     """The sign-LSH ANN path must candidate via a hash EQUI-join on the
     bucket key (multi-probe expansion), never a nested-loop predicate over
     all (corpus × query) pairs — the difference between a hash lookup and
-    a full-corpus scan per query at 100 TB. Asserted on the OPERATOR: the
-    registry query deliberately adds a brute-force exact twin (crossJoin)
-    to annotate recall@k, so its composite plan is not the scale path."""
+    a full-corpus scan per query at 100 TB. Asserted on BOTH arithmetic
+    modes: the numpy fast path and the exact_arithmetic form the registry
+    query runs since its r6 oracle graduation (same join shape — only the
+    signature/cosine expressions differ)."""
     import contextlib as _ctx
     import io as _io
 
@@ -161,7 +163,8 @@ def test_lsh_ann_is_bucket_equijoin(spark):
 
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     ann = lsh_bucket_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, nbits=8, max_hamming=3
+        emb, emb.filter(F.col("vec_id") < 8), k=5, nbits=8, max_hamming=3,
+        exact_arithmetic=exact,
     )
     buf = _io.StringIO()
     with _ctx.redirect_stdout(buf):
@@ -193,6 +196,17 @@ def test_pair_miners_never_nested_loop(spark, name):
     plan = explain(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_query_terms_and_never_nested_loop(spark):
+    # BM25 scoring joins the (doc,term) tf table against the 5-row
+    # query-term table: must be a broadcast hash equi-join; the scoring
+    # side must never plan a cartesian/nested-loop, and the dl join stays
+    # an equi-join on doc_id
+    plan = explain(spark, "text_bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_curation_rollup_and_antijoin_read_text_free_cache(spark):

@@ -268,6 +268,43 @@ def _md5_word(col: F.Column, offset: int) -> F.Column:
     return F.conv(F.substring(F.md5(col), offset, 8), 16, 10).cast("long")
 
 
+def span_fingerprint_arrays(
+    text_col: F.Column, n: int = 8
+) -> tuple[F.Column, F.Column]:
+    """Two parallel arrays of rolling token n-gram fingerprints — one
+    entry per token POSITION (no dedup: span-level duplicate detection
+    counts repeated positions, Lee et al. 2022's substring-dedup premise
+    approximated at token n-gram granularity).
+
+    Each fingerprint word is a base-31/base-37 polynomial fold of the
+    engine-portable md5-u32 token hashes (independent md5 words, offsets
+    1 and 9) mod 2^31-1 — the same arithmetic family as
+    :func:`shingle_hashes`, so a DuckDB oracle reproduces every
+    fingerprint exactly. The two-word pair makes the effective space
+    ~2^62: corpus-scale false collisions are negligible, and a collision
+    changes both engines identically (the oracle stays exact regardless).
+
+    All O(n·len) arithmetic stays in whole-stage codegen via the aligned
+    slice + zip_with fold (no per-gram string building, no element_at)."""
+    tokens = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
+    length = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+
+    def fold(offset: int, base: int) -> F.Column:
+        hashed = F.transform(
+            tokens, lambda t: F.pmod(_md5_word(t, offset), F.lit(_MERSENNE_P))
+        )
+        grams = F.slice(hashed, 1, length)
+        for j in range(1, n):
+            grams = F.zip_with(
+                grams,
+                F.slice(hashed, j + 1, length),
+                lambda acc, h: F.pmod(acc * F.lit(base) + h, F.lit(_MERSENNE_P)),
+            )
+        return grams
+
+    return fold(1, 31), fold(9, 37)
+
+
 def _token_bit(hi: F.Column, lo: F.Column, i: int) -> F.Column:
     """Bit i (0..63) of the two-word portable token hash."""
     word, shift = (lo, i) if i < 32 else (hi, i - 32)

@@ -84,6 +84,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_sequence_packing",  # packing.py tracked persist
     "m8_vocab_embedding_trained",  # Word2Vec degenerate-corpus guard
     "text_bm25_topk",         # NEW r6: exactly-oracled BM25 selection
+    "a3_hll_portable",        # NEW r6: register-exact HLL sketch
+    "sketch_countmin_topk",   # NEW r6: cell-exact count-min heavy hitters
+    "j_bloom_prefilter_join", # NEW r6: bit-exact Bloom runtime filter
+    "dedup_span_ngram",       # NEW r6: repeated-span (substring) dedup
     # -- headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
@@ -104,10 +108,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_pivot",
     "unpivot_long",
     "a3_multi_count_distinct",
-    "etl_cohort_literal_joins",
-    "etl_name_keyed_rollup",
-    "etl_interventions_conditions",
-    "etl_calculated_values_rebuild",
     "dedup_embedding_cosine",
     "dedup_exact",            # bench watch item, re-adjudicate
     "asof_join_events",       # bench watch item
@@ -123,8 +123,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_stateful_user_stats",
     "stream_corpus_curation",
 )
-# Deferred to r7 (r4/r5-green, ≤2 rounds stale after this rotation, code
-# unchanged): agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
+# Deferred to r7 (r4/r5-green, ≤3 rounds stale after this rotation, code
+# unchanged; the four etl_* domain entries were displaced from the r6
+# window by the four NEW r6 sketch/span queries — new queries have never
+# had a verdict, which outranks a 3-round-stale green on unchanged code):
+# etl_cohort_literal_joins, etl_name_keyed_rollup,
+# etl_interventions_conditions, etl_calculated_values_rebuild,
+# agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
 # text_stats, text_quality_score, data_snapshot_diff, data_quality_select,
 # m8_vocab_embedding, multimodal_features, multimodal_resize_bmp,
 # evt_sliding_window, evt_json_extract, evt_dedup_window,
@@ -146,6 +151,7 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         mlops,
         multimodalops,
+        sketchops,
         streamingops,
     )
 

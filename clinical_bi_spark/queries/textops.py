@@ -1300,3 +1300,125 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bm25_micro") / F.lit(1_000_000.0)).alias("bm25"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def _span_oracle(n: int = 8) -> str:
+    """Exact DuckDB twin of dedup_span_ngram: rewrites the Spark zip_with
+    rolling fold as an explicit nested polynomial over h[i..i+n-1]
+    (identical step order → identical mod-p values)."""
+    from clinical_bi_spark.operators.dedup import _MERSENNE_P
+
+    p = _MERSENNE_P
+
+    def nested(arr: str, base: int) -> str:
+        expr = f"{arr}[i]"
+        for j in range(1, n):
+            expr = f"({expr} * {base} + {arr}[i+{j}]) % {p}"
+        return expr
+
+    word = (
+        "list_transform(list_filter(string_split_regex(lower(text), '\\s+'),"
+        " x -> x <> ''), t -> CAST(CAST('0x' || substr(md5(t), {off}, 8)"
+        f" AS UBIGINT) % {p} AS BIGINT))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         {word.format(off=1)} AS h1,
+         {word.format(off=9)} AS h2
+  FROM documents
+), fps AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(h1) - {n - 2}, 1)),
+                        i -> {nested('h1', 31)}) AS f1s,
+         list_transform(range(1, greatest(len(h2) - {n - 2}, 1)),
+                        i -> {nested('h2', 37)}) AS f2s
+  FROM tok
+), spans AS (
+  SELECT doc_id, UNNEST(f1s) AS f1, UNNEST(f2s) AS f2 FROM fps
+), dupfp AS (
+  SELECT f1, f2 FROM spans GROUP BY f1, f2
+  HAVING COUNT(DISTINCT doc_id) >= 2
+), perdoc AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN d.f1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_spans
+  FROM spans s LEFT JOIN dupfp d ON s.f1 = d.f1 AND s.f2 = d.f2
+  GROUP BY s.doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.dup_spans, 0) AS dup_spans,
+       ROUND(CAST(COALESCE(p.dup_spans, 0) AS DOUBLE)
+             / greatest(COALESCE(p.n_spans, 0), 1), 6) AS dup_span_ratio
+FROM documents doc LEFT JOIN perdoc p ON doc.doc_id = p.doc_id
+"""
+
+
+@query("dedup_span_ngram", oracle=_span_oracle(), bench=True)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-SPAN detection — the substring-dedup premise of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better")
+    approximated at token 8-gram granularity: a span is duplicated iff its
+    rolling fingerprint occurs in >= 2 distinct documents. Per-doc output
+    (doc_id, n_spans, dup_spans, dup_span_ratio) is what a curation
+    pipeline thresholds on to drop or trim boilerplate-heavy documents —
+    finer-grained than whole-doc MinHash (which misses a copied paragraph
+    inside an otherwise-unique doc).
+
+    Exactly oracled: fingerprints are engine-portable integer folds
+    (operators/dedup.span_fingerprint_arrays), so DuckDB reproduces every
+    span fingerprint, the cross-doc duplicate set, and every ratio.
+
+    100 TB: fingerprinting is map-side codegen (text never shuffles); the
+    two shuffles carry only (doc_id, f1, f2) triples — 24 bytes per token
+    position, the unavoidable cost of exact span-level dedup (the true
+    suffix-array form shuffles the token stream itself) — with map-side
+    partial aggregation on the fingerprint groupBy; the dup-fp set joins
+    back by fingerprint equi-join (AQE-broadcastable when duplication is
+    sparse, which is the expected regime)."""
+    from clinical_bi_spark.operators.dedup import span_fingerprint_arrays
+
+    t = load_tables(tune(spark), sf_dir)
+    # single-split test files: spread fingerprinting across cores (same
+    # policy as the minhash/winnow queries; no-op at real scale)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    f1s, f2s = span_fingerprint_arrays(F.col("text"), 8)
+    spans = (
+        docs.select(
+            "doc_id",
+            F.explode(F.arrays_zip(f1s.alias("a"), f2s.alias("b"))).alias("z"),
+        )
+        .select("doc_id", F.col("z.a").alias("f1"), F.col("z.b").alias("f2"))
+    )
+    dupfp = (
+        spans.groupBy("f1", "f2")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .drop("nd")
+    )
+    perdoc = (
+        spans.join(dupfp, ["f1", "f2"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("dup_spans"))
+    )
+    counts = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans")
+    )
+    return (
+        t.documents.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce(F.col("dup_spans"), F.lit(0).cast("long")).alias(
+                "dup_spans"
+            ),
+            F.round(
+                F.coalesce(F.col("dup_spans"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_spans"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_span_ratio"),
+        )
+    )

@@ -272,3 +272,46 @@ def test_cohort_conditional_agg_no_expand(spark):
     re-proves it every adjudication run."""
     plan = explain(spark, "etl_cohort_conditional_agg")
     assert "Expand" not in plan, "multi-countDistinct Expand regressed"
+
+
+def test_bloom_probe_is_literal_map_filter(spark):
+    # the Bloom bitmap must ride as a LITERAL into the probe expression:
+    # exactly one join in the whole plan (the verifying broadcast
+    # hash-join against members) — a second join would mean the bitmap
+    # words are being joined instead of pushed down, and a nested loop
+    # would mean the probe degenerated to all-pairs
+    plan = explain(spark, "j_bloom_prefilter_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # all joins (the members dim build + the verifying join) broadcast;
+    # the 2 KiB bitmap itself must never appear as a join — only the
+    # small dim tables and the members set do
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_span_dedup_no_nested_loop_and_text_free_shuffle(spark):
+    # span fingerprints are computed map-side; every exchange must carry
+    # only (doc_id, f1, f2) integers — the raw text column reaching an
+    # Exchange would ship the corpus through the shuffle at 100 TB
+    plan = explain(spark, "dedup_span_ngram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\b[^\n]*\n((?:[^\n]*\n)*?)\n", plan):
+        body = m.group(1)
+        if "RoundRobinPartitioning" in body:
+            # the deliberate test-SF spread of the single-split scan (the
+            # minhash/winnow policy) — a no-op at real scale
+            continue
+        assert "text#" not in body
+
+
+def test_hll_shuffle_is_register_sized(spark):
+    # the HLL register groupBy must partial-aggregate map-side: the
+    # exchange after the scan carries (bucket, max rho) partials, and the
+    # plan must show hash aggregation, never a sort-based fallback
+    plan = explain(spark, "a3_hll_portable")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan

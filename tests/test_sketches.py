@@ -1,0 +1,130 @@
+"""Sketch operators: semantic guarantees the SQL oracles can't phrase —
+the Bloom one-sided-error contract at adversarially small m, the count-min
+overestimate bound, HLL's error behavior, and span-dedup constructions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe_expr,
+    countmin_cells,
+    countmin_probe,
+    hll_estimate,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_bloom_has_no_false_negatives_even_when_saturated(spark):
+    """At m=64 bits / 100 keys the filter is nearly saturated (false
+    positives everywhere) — membership must STILL hold for every real key,
+    and the downstream join must be unaffected by FP noise."""
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    words = bloom_build(keys, "k", m_bits=64, k=2)
+    assert len(words) == 1
+    probe = spark.range(0, 400).select(F.col("id").alias("k"))
+    got = probe.withColumn(
+        "pass", bloom_probe_expr(F.col("k"), words, m_bits=64, k=2)
+    )
+    members = {r["k"] for r in got.filter("pass").collect()}
+    assert set(range(100)) <= members  # one-sided error: no false negatives
+    # the verifying join discards FPs: semi-join result == exact members
+    passed = got.filter("pass")
+    verified = passed.join(keys, "k", "left_semi")
+    assert sorted(r["k"] for r in verified.collect()) == list(range(100))
+
+
+def test_bloom_rejects_most_nonmembers_when_sized(spark):
+    """Properly sized (16384 bits, 4 hashes, 100 keys) the FP rate over
+    1000 non-member probes must be tiny (expected ~0; allow <= 1%)."""
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    words = bloom_build(keys, "k", m_bits=16384, k=4)
+    nonmembers = spark.range(1000, 2000).select(F.col("id").alias("k"))
+    fps = nonmembers.filter(
+        bloom_probe_expr(F.col("k"), words, m_bits=16384, k=4)
+    ).count()
+    assert fps <= 10
+
+
+def test_countmin_never_underestimates(spark):
+    """CM guarantee: estimate >= true count for EVERY token, including
+    rare ones (probe the 50 least-frequent, not just heavy hitters)."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("token")
+    )
+    cells = countmin_cells(toks, "token", 4, 1024)
+    true = toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    rare = true.orderBy(F.asc("true_count"), F.asc("token")).limit(50)
+    est = countmin_probe(cells, rare.select("token"), "token", 4, 1024)
+    rows = rare.join(est, "token").collect()
+    # the fixture vocabulary may be smaller than 50 — every probed token
+    # must come back, and none may be underestimated
+    assert len(rows) == min(50, true.count())
+    assert all(r["cm_estimate"] >= r["true_count"] for r in rows)
+
+
+def test_hll_error_within_advertised_bound(spark):
+    """m=256 → theoretical stderr 1.04/sqrt(256) = 6.5%; assert the
+    orderkey estimate lands within 3 sigma (19.5%)."""
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    row = hll_estimate(li, "l_orderkey", 256).collect()[0]
+    exact = li.select("l_orderkey").distinct().count()
+    rel = abs(row["est_distinct"] - exact) / exact
+    assert rel < 0.195, (row["est_distinct"], exact)
+
+
+def test_hll_is_insensitive_to_duplication(spark):
+    """Registers depend only on the distinct value set: duplicating every
+    row 3x must give the IDENTICAL estimate (the property that makes the
+    sketch a COUNT(DISTINCT) substitute)."""
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select("l_orderkey")
+    once = hll_estimate(li, "l_orderkey", 256).collect()[0]
+    tripled = hll_estimate(li.union(li).union(li), "l_orderkey", 256).collect()[0]
+    assert once["sum_scaled"] == tripled["sum_scaled"]
+    assert once["est_distinct"] == tripled["est_distinct"]
+
+
+def test_span_dedup_flags_copied_paragraph(spark):
+    """A doc sharing an 8+-token run with another doc gets dup spans; a
+    fully unique doc gets zero; span counts follow len-n+1."""
+    from clinical_bi_spark.operators.dedup import span_fingerprint_arrays
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    rows = [
+        ("a", shared + " alpha beta gamma"),
+        ("b", "prefix words here " + shared),
+        ("c", "entirely distinct content with no overlap at all okay then"),
+        ("d", "short text"),  # < 8 tokens → zero spans
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    f1s, f2s = span_fingerprint_arrays(F.col("text"), 8)
+    spans = df.select(
+        "doc_id",
+        F.explode(F.arrays_zip(f1s.alias("a"), f2s.alias("b"))).alias("z"),
+    ).select("doc_id", "z.a", "z.b")
+    dup = (
+        spans.groupBy("a", "b")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter("nd >= 2")
+    )
+    perdoc = {
+        r["doc_id"]: r["n"]
+        for r in spans.join(dup.select("a", "b"), ["a", "b"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # the shared 10-token run yields 3 duplicated 8-gram positions each
+    assert perdoc.get("a") == 3 and perdoc.get("b") == 3
+    assert "c" not in perdoc and "d" not in perdoc
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in spans.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["a"] == 13 - 8 + 1
+    assert "d" not in counts  # no spans at all for <8 tokens

@@ -41,14 +41,71 @@ from clinical_bi_spark.operators.dedup import _md5_word
 _HLL_SCALE = 1 << 33
 
 
+#: Small-m alpha constants from Flajolet et al. 2007 §4. Explicit DOUBLE
+#: casts: both engines parse a bare decimal literal as DECIMAL, and the
+#: downstream multiply chain must be IEEE double (DuckDB's DECIMAL(18)
+#: even overflows on it), not decimal arithmetic.
+_HLL_SMALL_ALPHA = {
+    16: "CAST(0.673 AS DOUBLE)",
+    32: "CAST(0.697 AS DOUBLE)",
+    64: "CAST(0.709 AS DOUBLE)",
+}
+
+
 def hll_alpha_expr(m: int) -> str:
     """The alpha_m bias constant as a SQL fragment, kept as LITERAL TEXT so
     Spark and DuckDB evaluate the identical IEEE expression (both engines'
     double ops are correctly rounded, so identical text → identical bits).
-    Valid for m >= 128 (the standard Flajolet et al. 2007 constant)."""
+    m >= 128 uses the asymptotic formula; 16/32/64 the tabulated
+    constants (Flajolet et al. 2007)."""
+    if m in _HLL_SMALL_ALPHA:
+        return _HLL_SMALL_ALPHA[m]
     if m < 128:
-        raise ValueError("alpha constant fragment assumes m >= 128")
+        raise ValueError(f"no alpha constant for m={m}")
     return f"0.7213 / (1.0 + 1.079 / {m}.0)"
+
+
+def hll_bucket_rho(col: Column, m: int) -> tuple[Column, Column]:
+    """The per-value HLL pair: bucket = md5-u32 word 1 mod m; rho = leading
+    zeros of the second md5 u32 word + 1, as pure integer arithmetic
+    (33 - bit_length via conv-to-binary string length; w=0 → 33). Shared
+    by the batch register table and the streaming windowed variant."""
+    v = col.cast("string")
+    w = _md5_word(v, 9)
+    rho = F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(w, 10, 2))
+    )
+    return F.pmod(_md5_word(v, 1), F.lit(m)), rho
+
+
+def hll_sum_scaled_cols(m: int) -> list[Column]:
+    """Final-fold aggregate columns over a register table (bucket, r):
+    buckets_used and the integer-exact scaled harmonic sum (empty
+    registers contribute 2^33 each)."""
+    return [
+        F.count("*").cast("long").alias("buckets_used"),
+        (
+            F.sum(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.lit(33) - F.col("r")).cast("int"),
+                )
+            )
+            + (F.lit(m) - F.count("*")) * F.lit(_HLL_SCALE)
+        )
+        .cast("long")
+        .alias("sum_scaled"),
+    ]
+
+
+def hll_estimate_expr(m: int) -> str:
+    """The raw-estimator readout over a ``sum_scaled`` column — one float
+    division from integer operands, text shared verbatim with oracles."""
+    return (
+        f"ROUND({hll_alpha_expr(m)} * {m}.0 * {m}.0 * {float(_HLL_SCALE)}"
+        f" / CAST(sum_scaled AS DOUBLE), 4)"
+    )
 
 
 def hll_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
@@ -59,16 +116,9 @@ def hll_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
     (33 - bit_length) so no log/float enters the register path. Empty
     buckets are absent (the estimator accounts for them).
     """
-    v = F.col(col).cast("string")
-    w = _md5_word(v, 9)
-    rho = F.when(w == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.conv(w, 10, 2))
-    )
+    bucket, rho = hll_bucket_rho(F.col(col), m)
     return (
-        df.select(
-            F.pmod(_md5_word(v, 1), F.lit(m)).alias("bucket"),
-            rho.alias("rho"),
-        )
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("r"))
     )
@@ -89,27 +139,8 @@ def hll_estimate(df: DataFrame, col: str, m: int = 256) -> DataFrame:
     """
     regs = hll_registers(df, col, m)
     return regs.agg(
-        F.lit(m).alias("m"),
-        F.count("*").cast("long").alias("buckets_used"),
-        (
-            F.sum(
-                F.call_function(
-                    "shiftleft",
-                    F.lit(1).cast("long"),
-                    (F.lit(33) - F.col("r")).cast("int"),
-                )
-            )
-            + (F.lit(m) - F.count("*")) * F.lit(_HLL_SCALE)
-        )
-        .cast("long")
-        .alias("sum_scaled"),
-    ).withColumn(
-        "est_distinct",
-        F.expr(
-            f"ROUND({hll_alpha_expr(m)} * {m}.0 * {m}.0 * "
-            f"{float(_HLL_SCALE)} / CAST(sum_scaled AS DOUBLE), 4)"
-        ),
-    )
+        F.lit(m).alias("m"), *hll_sum_scaled_cols(m)
+    ).withColumn("est_distinct", F.expr(hll_estimate_expr(m)))
 
 
 def countmin_cells(

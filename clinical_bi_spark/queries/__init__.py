@@ -106,7 +106,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "w3_lag_lead_first",
     "agg_cube",
     "agg_pivot",
-    "unpivot_long",
     "a3_multi_count_distinct",
     "dedup_embedding_cosine",
     "dedup_exact",            # bench watch item, re-adjudicate
@@ -122,6 +121,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_dedup_watermark",
     "stream_stateful_user_stats",
     "stream_corpus_curation",
+    "stream_hll_distinct",    # NEW r6: windowed sketch state, exact oracle
 )
 # Deferred to r7 (r4/r5-green, ≤3 rounds stale after this rotation, code
 # unchanged; the four etl_* domain entries were displaced from the r6
@@ -129,6 +129,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # had a verdict, which outranks a 3-round-stale green on unchanged code):
 # etl_cohort_literal_joins, etl_name_keyed_rollup,
 # etl_interventions_conditions, etl_calculated_values_rebuild,
+# unpivot_long (displaced by stream_hll_distinct),
 # agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
 # text_stats, text_quality_score, data_snapshot_diff, data_quality_select,
 # m8_vocab_embedding, multimodal_features, multimodal_resize_bmp,

@@ -192,3 +192,109 @@ def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _scc(tune(spark), sf_dir)
+
+
+def _stream_hll_oracle(m: int = 32) -> str:
+    """Exact DuckDB twin of the streaming windowed HLL: recomputes every
+    per-day register, the integer-scaled harmonic sums, and the float
+    readout (expression text shared via hll_estimate_expr)."""
+    from clinical_bi_spark.operators.sketches import (
+        _HLL_SCALE,
+        hll_estimate_expr,
+    )
+
+    word = (
+        "CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), {off}, 8)"
+        " AS UBIGINT) AS BIGINT)"
+    )
+    return f"""
+WITH hw AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+         {word.format(off=1)} % {m} AS bucket,
+         {word.format(off=9)} AS w
+  FROM events
+), regs AS (
+  SELECT window_start, bucket,
+         MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS r
+  FROM hw GROUP BY 1, 2
+), agg AS (
+  SELECT window_start, CAST(COUNT(*) AS BIGINT) AS buckets_used,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - r AS INT))
+              + ({m} - COUNT(*)) * {_HLL_SCALE} AS BIGINT) AS sum_scaled
+  FROM regs GROUP BY 1
+), ex AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+), est AS (
+  SELECT window_start, buckets_used, sum_scaled,
+         {hll_estimate_expr(m)} AS est_users,
+         exact_users
+  FROM agg JOIN ex USING (window_start)
+)
+SELECT window_start, buckets_used, sum_scaled, est_users, exact_users,
+       ROUND(ABS(est_users - CAST(exact_users AS DOUBLE))
+             / CAST(exact_users AS DOUBLE) * 100.0, 3) AS rel_err_pct
+FROM est
+"""
+
+
+@query("stream_hll_distinct", oracle=_stream_hll_oracle())
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day over a STREAM, via the portable HLL sketch —
+    the operation Structured Streaming refuses outright as an exact
+    aggregate (distinct aggregates are unsupported on streams) and that
+    dropDuplicates+count only achieves with user-cardinality state. The
+    streaming job maintains (window, bucket) -> max(rho) registers — m=32
+    rows of state per day, constant in user count; the batch-side readout
+    folds registers into the integer-scaled harmonic sum and one float
+    division (hll_estimate_expr text, shared with the oracle), joined
+    against the batch exact count so the sketch's error is visible
+    (m=32 -> 18% stderr; the fixture's ~134 users/day needs n > 2.5m).
+
+    Exactly oracled: max(rho) is an order-independent fold, so the final
+    streaming registers equal batch registers no matter how micro-batches
+    split the input — DuckDB recomputes registers, sums, and readout
+    value-for-value. 100 TB: this is the canonical streaming-dashboard
+    distinct; state is m rows/window vs the key-domain state of the exact
+    form."""
+    from clinical_bi_spark.operators.sketches import (
+        hll_estimate_expr,
+        hll_sum_scaled_cols,
+    )
+    from clinical_bi_spark.sources import load_tables
+    from clinical_bi_spark.streaming.windows import windowed_hll_registers
+
+    m = 32
+    regs = windowed_hll_registers(tune(spark), sf_dir, m=m)
+    folded = (
+        regs.groupBy("window_start")
+        .agg(*hll_sum_scaled_cols(m))
+        .withColumn("est_users", F.expr(hll_estimate_expr(m)))
+    )
+    t = load_tables(spark, sf_dir)
+    exact = (
+        t.events.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .select(F.col("w.start").alias("window_start"), "exact_users")
+    )
+    return (
+        folded.join(exact, "window_start")
+        .withColumn(
+            "rel_err_pct",
+            F.round(
+                F.abs(F.col("est_users") - F.col("exact_users").cast("double"))
+                / F.col("exact_users").cast("double")
+                * 100.0,
+                3,
+            ),
+        )
+        .select(
+            "window_start",
+            "buckets_used",
+            "sum_scaled",
+            "est_users",
+            "exact_users",
+            "rel_err_pct",
+        )
+    )

@@ -323,3 +323,40 @@ def stream_corpus_curation(
     return per_fp.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+def windowed_hll_registers(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 32,
+    window: str = "1 day",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
+) -> DataFrame:
+    """Per-window HyperLogLog register table maintained as STREAMING state:
+    (window_start, bucket, r). The state per window is m rows of two ints —
+    the whole reason a distinct-user sketch works where streaming
+    COUNT(DISTINCT) can't (Spark rejects distinct aggregates on streams;
+    the exact alternative, dropDuplicates + count, keeps every user id in
+    the state store — unbounded in users, vs m*windows here).
+
+    groupBy(window, bucket).max(rho) is incremental and order-independent
+    (max is a semilattice fold), so the final registers equal the batch
+    registers regardless of micro-batch layout — that equality is exactly
+    what the oracle adjudicates. Readout to an estimate happens batch-side
+    after completion (a second streaming agg level would be a chained
+    stateful operator; the register table IS the streaming product)."""
+    from clinical_bi_spark.operators.sketches import hll_bucket_rho
+
+    events = _events_stream(spark, sf_dir, max_files_per_trigger).withWatermark(
+        "ts", watermark
+    )
+    bucket, rho = hll_bucket_rho(F.col("user_id"), m)
+    regs = (
+        events.select("ts", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(F.window("ts", window).alias("w"), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "r")
+    )
+    return _run_to_completion(regs, "complete", progress_sink)

@@ -347,3 +347,35 @@ def test_multibatch_curation_rollup_equals_batch(spark, split_sf):
     assert _n_batches(prog) >= 3
     batch = load_all()["stream_corpus_curation"].fn(spark, SF_ORACLE)
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_multibatch_hll_registers_equal_batch(spark, split_sf):
+    """The windowed HLL registers must be batch-layout-invariant: max(rho)
+    folds across micro-batches, so 3 chronological files with
+    maxFilesPerTrigger=1 must yield the IDENTICAL register table (and
+    therefore identical estimates) as single-batch processing."""
+    from clinical_bi_spark.operators.sketches import hll_bucket_rho
+    from clinical_bi_spark.streaming.windows import windowed_hll_registers
+    from pyspark.sql import functions as F
+
+    prog: list = []
+    out = windowed_hll_registers(
+        spark, split_sf, m=32, max_files_per_trigger=1, progress_sink=prog
+    )
+    assert _n_batches(prog) >= 3
+    events = spark.read.option("basePath", split_sf).parquet(
+        f"{split_sf}/events.parquet*"
+    )
+    from clinical_bi_spark.sources import normalize_events
+
+    bucket, rho = hll_bucket_rho(F.col("user_id"), 32)
+    batch = (
+        normalize_events(events)
+        .select("ts", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(F.window("ts", "1 day").alias("w"), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "r")
+    )
+    s = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0

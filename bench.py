@@ -54,6 +54,16 @@ _R5_SET = _R4_SET | frozenset(
     }
 )
 
+# The bench set as of round 6 (r5 set + the Arrow-codec/mlops entries and
+# the span-dedup heavyweight added this round) — pinned now so round 7
+# has a comparable subtotal that includes them.
+_R6_SET = _R5_SET | frozenset(
+    {
+        "multimodal_resize", "multimodal_audio_features",
+        "m9_mlp_train_eval", "dedup_span_ngram",
+    }
+)
+
 
 def main() -> None:
     registry = load_all()
@@ -105,6 +115,8 @@ def main() -> None:
     assert not missing_r4, f"r4-set queries missing from bench: {missing_r4}"
     missing_r5 = _R5_SET - set(timings)
     assert not missing_r5, f"r5-set queries missing from bench: {missing_r5}"
+    missing_r6 = _R6_SET - set(timings)
+    assert not missing_r6, f"r6-set queries missing from bench: {missing_r6}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -123,6 +135,9 @@ def main() -> None:
         ),
         "subtotal_r5_set": round(
             sum(t for n, t in timings.items() if n in _R5_SET), 3
+        ),
+        "subtotal_r6_set": round(
+            sum(t for n, t in timings.items() if n in _R6_SET), 3
         ),
         # Self-describing variant flag: sim_ann_* timings measure the bare
         # pruned operator (recall-annotation twin disabled below); the

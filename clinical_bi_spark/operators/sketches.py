@@ -62,7 +62,15 @@ def hll_alpha_expr(m: int) -> str:
         return _HLL_SMALL_ALPHA[m]
     if m < 128:
         raise ValueError(f"no alpha constant for m={m}")
-    return f"0.7213 / (1.0 + 1.079 / {m}.0)"
+    # every literal CAST to DOUBLE: engines promote bare decimal literals
+    # through DECIMAL arithmetic with engine-specific precision rules, and
+    # a 1-ulp pre-ROUND divergence flips the 4th decimal (observed on the
+    # hll-merge slice estimates); all-DOUBLE operands make both engines
+    # run the identical IEEE op sequence
+    return (
+        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + "
+        f"CAST(1.079 AS DOUBLE) / CAST({m} AS DOUBLE))"
+    )
 
 
 def hll_bucket_rho(col: Column, m: int) -> tuple[Column, Column]:
@@ -103,7 +111,8 @@ def hll_estimate_expr(m: int) -> str:
     """The raw-estimator readout over a ``sum_scaled`` column — one float
     division from integer operands, text shared verbatim with oracles."""
     return (
-        f"ROUND({hll_alpha_expr(m)} * {m}.0 * {m}.0 * {float(_HLL_SCALE)}"
+        f"ROUND({hll_alpha_expr(m)} * CAST({m} AS DOUBLE) * "
+        f"CAST({m} AS DOUBLE) * CAST({_HLL_SCALE} AS DOUBLE)"
         f" / CAST(sum_scaled AS DOUBLE), 4)"
     )
 

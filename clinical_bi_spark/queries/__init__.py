@@ -88,6 +88,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "sketch_countmin_topk",   # NEW r6: cell-exact count-min heavy hitters
     "j_bloom_prefilter_join", # NEW r6: bit-exact Bloom runtime filter
     "dedup_span_ngram",       # NEW r6: repeated-span (substring) dedup
+    "a3_hll_merge",           # NEW r6: sketch mergeability, exact oracle
+    "agg_histogram_quantiles",  # NEW r6: 256-bin quantile scale path
     # -- headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
@@ -103,9 +105,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_metadata",
     "multimodal_frame_sample",
     # -- r4-green remainder due per the r5 brief --
-    "w3_lag_lead_first",
     "agg_cube",
-    "agg_pivot",
     "a3_multi_count_distinct",
     "dedup_embedding_cosine",
     "dedup_exact",            # bench watch item, re-adjudicate
@@ -129,7 +129,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # had a verdict, which outranks a 3-round-stale green on unchanged code):
 # etl_cohort_literal_joins, etl_name_keyed_rollup,
 # etl_interventions_conditions, etl_calculated_values_rebuild,
-# unpivot_long (displaced by stream_hll_distinct),
+# unpivot_long (displaced by stream_hll_distinct), w3_lag_lead_first and
+# agg_pivot (displaced by a3_hll_merge + agg_histogram_quantiles),
 # agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
 # text_stats, text_quality_score, data_snapshot_diff, data_quality_select,
 # m8_vocab_embedding, multimodal_features, multimodal_resize_bmp,

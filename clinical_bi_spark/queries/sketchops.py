@@ -25,8 +25,8 @@ from clinical_bi_spark.operators.sketches import (
     bloom_probe_expr,
     countmin_cells,
     countmin_probe,
-    hll_alpha_expr,
     hll_estimate,
+    hll_estimate_expr,
 )
 from clinical_bi_spark.queries import query
 from clinical_bi_spark.session import tune
@@ -53,18 +53,17 @@ WITH hw AS (
          MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS r
   FROM hw GROUP BY bucket
 ), agg AS (
-  SELECT COUNT(*) AS used,
-         SUM(CAST(1 AS BIGINT) << CAST(33 - r AS INT)) AS present
+  SELECT CAST(COUNT(*) AS BIGINT) AS buckets_used,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - r AS INT))
+              + ({_HLL_M} - COUNT(*)) * {_HLL_SCALE} AS BIGINT) AS sum_scaled
   FROM regs
 ), ex AS (
   SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem
 ), est AS (
   SELECT CAST({_HLL_M} AS INT) AS m,
-         CAST(used AS BIGINT) AS buckets_used,
-         CAST(present + ({_HLL_M} - used) * {_HLL_SCALE} AS BIGINT) AS sum_scaled,
-         ROUND({hll_alpha_expr(_HLL_M)} * {_HLL_M}.0 * {_HLL_M}.0 * {float(_HLL_SCALE)}
-               / CAST(present + ({_HLL_M} - used) * {_HLL_SCALE} AS DOUBLE), 4)
-           AS est_distinct,
+         buckets_used,
+         sum_scaled,
+         {hll_estimate_expr(_HLL_M)} AS est_distinct,
          CAST(exact_distinct AS BIGINT) AS exact_distinct
   FROM agg, ex
 )
@@ -289,4 +288,280 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("false_positive_rows"),
         F.lit(n_members).cast("long").alias("member_keys"),
+    )
+
+
+_MERGE_M = 256
+_MERGE_SPLIT = "1997-06-01"
+
+
+def _duck_hll_block(name: str, src: str, m: int) -> str:
+    """CTE pair computing (buckets_used, sum_scaled) for one key source —
+    the DuckDB twin of hll_registers + hll_sum_scaled_cols."""
+    word1 = _duck_md5_word("CAST(k AS VARCHAR)", 1)
+    word9 = _duck_md5_word("CAST(k AS VARCHAR)", 9)
+    return f"""{name}_regs AS (
+  SELECT {word1} % {m} AS bucket,
+         MAX(CASE WHEN {word9} = 0 THEN 33
+                  ELSE 33 - length(bin({word9})) END) AS r
+  FROM ({src}) GROUP BY 1
+), {name}_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS used,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - r AS INT))
+              + ({m} - COUNT(*)) * {_HLL_SCALE} AS BIGINT) AS sum_scaled
+  FROM {name}_regs
+)"""
+
+
+def _hll_merge_oracle() -> str:
+    from clinical_bi_spark.operators.sketches import hll_estimate_expr
+
+    m = _MERGE_M
+    h1 = f"SELECT l_orderkey AS k FROM lineitem WHERE l_shipdate < TIMESTAMP '{_MERGE_SPLIT}'"
+    h2 = f"SELECT l_orderkey AS k FROM lineitem WHERE l_shipdate >= TIMESTAMP '{_MERGE_SPLIT}'"
+    est = hll_estimate_expr(m)
+    return f"""
+WITH {_duck_hll_block("h1", h1, m)},
+{_duck_hll_block("h2", h2, m)},
+merged_regs AS (
+  SELECT bucket, MAX(r) AS r FROM (
+    SELECT * FROM h1_regs UNION ALL SELECT * FROM h2_regs
+  ) GROUP BY bucket
+), merged_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS used,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - r AS INT))
+              + ({m} - COUNT(*)) * {_HLL_SCALE} AS BIGINT) AS sum_scaled
+  FROM merged_regs
+), ex AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN l_shipdate < TIMESTAMP '{_MERGE_SPLIT}'
+                             THEN l_orderkey END) AS BIGINT) AS exact_h1,
+    CAST(COUNT(DISTINCT CASE WHEN l_shipdate >= TIMESTAMP '{_MERGE_SPLIT}'
+                             THEN l_orderkey END) AS BIGINT) AS exact_h2,
+    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_union
+  FROM lineitem
+)
+SELECT CAST({m} AS INT) AS m,
+       (SELECT {est} FROM h1_agg) AS est_h1,
+       (SELECT {est} FROM h2_agg) AS est_h2,
+       (SELECT {est} FROM merged_agg) AS est_union,
+       exact_h1, exact_h2, exact_union
+FROM ex
+"""
+
+
+@query("a3_hll_merge", oracle=_hll_merge_oracle())
+def a3_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY — the property that makes a distinct sketch a
+    distributed aggregate at all: registers built independently over two
+    overlapping time slices of lineitem (shipdate halves of the orderkey
+    domain) merge by per-bucket MAX into exactly the registers of the
+    union, so est_union accounts for the overlap (est_h1 + est_h2
+    overcounts it; the exact columns make that visible). This is
+    register-level what every executor→final merge does at 1000 nodes,
+    and what incremental daily-sketch rollups do over time: state is
+    m=256 integers per slice forever, with no re-scan of history.
+    Exactly oracled end to end (slice registers, merged registers, three
+    readouts)."""
+    from clinical_bi_spark.operators.sketches import (
+        hll_estimate_expr,
+        hll_registers,
+        hll_sum_scaled_cols,
+    )
+
+    m = _MERGE_M
+    t = load_tables(tune(spark), sf_dir)
+    split = F.lit(_MERGE_SPLIT).cast("timestamp")
+    h1 = t.lineitem.filter(F.col("l_shipdate") < split)
+    h2 = t.lineitem.filter(F.col("l_shipdate") >= split)
+    r1 = hll_registers(h1, "l_orderkey", m)
+    r2 = hll_registers(h2, "l_orderkey", m)
+    merged = (
+        r1.unionByName(r2).groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+
+    def est(regs: DataFrame, name: str) -> DataFrame:
+        return (
+            regs.agg(*hll_sum_scaled_cols(m))
+            .withColumn(name, F.expr(hll_estimate_expr(m)))
+            .select(name)
+        )
+
+    exact = t.lineitem.agg(
+        F.countDistinct(
+            F.when(F.col("l_shipdate") < split, F.col("l_orderkey"))
+        )
+        .cast("long")
+        .alias("exact_h1"),
+        F.countDistinct(
+            F.when(F.col("l_shipdate") >= split, F.col("l_orderkey"))
+        )
+        .cast("long")
+        .alias("exact_h2"),
+        F.countDistinct("l_orderkey").cast("long").alias("exact_union"),
+    )
+    return (
+        est(r1, "est_h1")
+        .crossJoin(F.broadcast(est(r2, "est_h2")))
+        .crossJoin(F.broadcast(est(merged, "est_union")))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).cast("int").alias("m"),
+            "est_h1",
+            "est_h2",
+            "est_union",
+            "exact_h1",
+            "exact_h2",
+            "exact_union",
+        )
+    )
+
+
+_HIST_BINS = 256
+_HIST_QS = (0.25, 0.5, 0.9, 0.99)
+
+# interpolation readout, shared VERBATIM between the Spark plan and the
+# DuckDB oracle (all-DOUBLE operands; see hll_alpha_expr on why)
+_HIST_EST = (
+    "ROUND(lo + width * (CAST(bin AS DOUBLE) + "
+    "(target - CAST(cumprev AS DOUBLE)) / CAST(cnt AS DOUBLE)), 4)"
+)
+
+_HIST_ORACLE = f"""
+WITH bounds AS (
+  SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+         CAST(MAX(l_extendedprice) AS DOUBLE) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem
+), binned AS (
+  SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) /
+              CAST({_HIST_BINS} AS DOUBLE))), CAST({_HIST_BINS - 1} AS DOUBLE))
+         AS INT) AS bin
+  FROM lineitem, bounds
+), hist AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - cnt
+           AS cumprev
+  FROM hist
+), qs AS (
+  SELECT UNNEST([{", ".join(f"CAST({q} AS DOUBLE)" for q in _HIST_QS)}]) AS q
+), targets AS (
+  SELECT q, q * CAST(n AS DOUBLE) AS target FROM qs, bounds
+), picked AS (
+  SELECT t.q, t.target, MIN(c.bin) AS bin
+  FROM targets t JOIN cum c ON CAST(c.c AS DOUBLE) >= t.target
+  GROUP BY t.q, t.target
+), est AS (
+  SELECT p.q, p.target, p.bin, c.cnt, c.cumprev, b.lo,
+         (b.hi - b.lo) / CAST({_HIST_BINS} AS DOUBLE) AS width
+  FROM picked p JOIN cum c ON c.bin = p.bin, bounds b
+), ex AS (
+  SELECT UNNEST([{", ".join(f"CAST({q} AS DOUBLE)" for q in _HIST_QS)}]) AS q,
+         UNNEST((SELECT quantile_cont(l_extendedprice,
+                 [{", ".join(str(q) for q in _HIST_QS)}]) FROM lineitem))
+           AS exact_price
+  FROM (SELECT 1)
+)
+SELECT e.q, e.bin,
+       {_HIST_EST} AS est_price,
+       ROUND(x.exact_price, 4) AS exact_price
+FROM est e JOIN ex x ON e.q = x.q
+"""
+
+
+@query("agg_histogram_quantiles", oracle=_HIST_ORACLE)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation through a fixed-width 256-bin histogram — the
+    mergeable, constant-size-shuffle scale path the exact
+    `agg_percentiles` (global sort) and opaque `agg_percentiles_approx`
+    (builtin KLL-ish sketch, rows-only) bracket. Two passes: bounds
+    (min/max/count — one tiny agg), then integer bin counts (map-side
+    partial, <= 256 rows shuffled at any input size), then an
+    interpolation readout whose expression text the oracle shares
+    verbatim. The exact quantile_cont rides along so the histogram's
+    resolution error is visible per q.
+
+    Exactly oracled: bin assignment is one float divide from exact data
+    values with all-DOUBLE literals (identical IEEE sequence in both
+    engines), counts are integers, and the readout is shared text —
+    Spark's percentile() and DuckDB's quantile_cont use the same
+    (n-1)*q interpolation, rounded to 4.
+
+    100 TB: this is the histogram every monitoring system computes; a
+    second pass over the data costs one scan, and the histogram merges
+    across partitions/days by adding integer cells (same mergeability
+    argument as a3_hll_merge)."""
+    t = load_tables(tune(spark), sf_dir)
+    li = t.lineitem
+    bounds = li.agg(
+        F.min("l_extendedprice").cast("double").alias("lo"),
+        F.max("l_extendedprice").cast("double").alias("hi"),
+        F.count("*").cast("long").alias("n"),
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(float(_HIST_BINS)))
+            ).cast("double"),
+            F.lit(float(_HIST_BINS - 1)),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").cast("long").alias("cnt"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("c"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cumprev"),
+    )
+    qs = spark.createDataFrame([(float(q),) for q in _HIST_QS], ["q"])
+    targets = qs.crossJoin(F.broadcast(bounds.select("n"))).select(
+        "q", (F.col("q") * F.col("n").cast("double")).alias("target")
+    )
+    picked = (
+        F.broadcast(targets)
+        .join(cum, cum["c"].cast("double") >= F.col("target"))
+        .groupBy("q", "target")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        picked.join(cum, "bin")
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    "lo",
+                    ((F.col("hi") - F.col("lo")) / F.lit(float(_HIST_BINS))).alias(
+                        "width"
+                    ),
+                )
+            )
+        )
+        .select("q", "bin", F.expr(_HIST_EST).alias("est_price"))
+    )
+    exact = (
+        li.agg(
+            F.expr(
+                "percentile(l_extendedprice, array("
+                + ", ".join(str(q) for q in _HIST_QS)
+                + "))"
+            ).alias("ps")
+        )
+        .select(F.posexplode("ps").alias("i", "exact_price"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(float(q)) for q in _HIST_QS]), F.col("i") + 1
+            ).alias("q"),
+            F.round("exact_price", 4).alias("exact_price"),
+        )
+    )
+    return est.join(F.broadcast(exact), "q").select(
+        "q", "bin", "est_price", "exact_price"
     )

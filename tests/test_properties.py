@@ -270,3 +270,46 @@ def test_minhash_signatures_match_python_twin(spark, texts):
     for i, t in enumerate(texts):
         expect = _py_minhash(t, num_perm=8)
         assert got.get(i) == expect, (i, t)
+
+
+def _py_span_fps(text: str, n: int = 8) -> tuple[list[int], list[int]]:
+    """Pure-Python twin of span_fingerprint_arrays: md5-u32 token hashes
+    (offsets 1 and 9 → hex slices [0:8] and [8:16]) folded base-31/37."""
+    import hashlib
+
+    from clinical_bi_spark.operators.dedup import _MERSENNE_P
+
+    toks = [t for t in re.split(r"\s+", text.lower()) if t != ""]
+
+    def fold(sl, base):
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[sl], 16) % _MERSENNE_P
+            for t in toks
+        ]
+        out = []
+        for i in range(len(hs) - n + 1):
+            acc = hs[i]
+            for j in range(1, n):
+                acc = (acc * base + hs[i + j]) % _MERSENNE_P
+            out.append(acc)
+        return out
+
+    return fold(slice(0, 8), 31), fold(slice(8, 16), 37)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=6))
+def test_span_fingerprints_match_python_twin(spark, texts):
+    from clinical_bi_spark.operators.dedup import span_fingerprint_arrays
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    f1s, f2s = span_fingerprint_arrays(F.col("text"), 8)
+    got = {
+        r["doc_id"]: (list(r["a"]), list(r["b"]))
+        for r in df.select("doc_id", f1s.alias("a"), f2s.alias("b")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_span_fps(t, 8), (i, t)

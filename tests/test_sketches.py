@@ -128,3 +128,40 @@ def test_span_dedup_flags_copied_paragraph(spark):
     }
     assert counts["a"] == 13 - 8 + 1
     assert "d" not in counts  # no spans at all for <8 tokens
+
+
+def test_hll_merge_equals_union_registers(spark):
+    """Mergeability contract: per-bucket MAX over slice registers must be
+    IDENTICAL to registers computed over the union directly — the
+    executor→final merge property, asserted at register granularity."""
+    from clinical_bi_spark.operators.sketches import hll_registers
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    h1 = li.filter("l_shipdate < timestamp'1997-06-01'")
+    h2 = li.filter("l_shipdate >= timestamp'1997-06-01'")
+    merged = (
+        hll_registers(h1, "l_orderkey", 256)
+        .unionByName(hll_registers(h2, "l_orderkey", 256))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    direct = hll_registers(li, "l_orderkey", 256)
+    m = {(r["bucket"], r["r"]) for r in merged.collect()}
+    d = {(r["bucket"], r["r"]) for r in direct.collect()}
+    assert m == d and len(m) > 0
+
+
+def test_histogram_quantiles_within_bin_resolution(spark):
+    """The 256-bin estimate must land within one bin width of the exact
+    quantile — the histogram's resolution guarantee."""
+    from clinical_bi_spark.queries import load_all
+
+    rows = load_all()["agg_histogram_quantiles"].fn(spark, SF_ORACLE).collect()
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    ).collect()[0]
+    width = (b["hi"] - b["lo"]) / 256.0
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r["est_price"] - r["exact_price"]) <= width, r

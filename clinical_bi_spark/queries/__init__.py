@@ -90,6 +90,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_span_ngram",       # NEW r6: repeated-span (substring) dedup
     "a3_hll_merge",           # NEW r6: sketch mergeability, exact oracle
     "agg_histogram_quantiles",  # NEW r6: 256-bin quantile scale path
+    "evt_ohlc_downsample",    # NEW r6: hypertable OHLC rollup
+    "j_range_interval_join",  # NEW r6: grid-cell interval equi-join
     # -- headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
@@ -105,9 +107,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_metadata",
     "multimodal_frame_sample",
     # -- r4-green remainder due per the r5 brief --
-    "agg_cube",
     "a3_multi_count_distinct",
-    "dedup_embedding_cosine",
     "dedup_exact",            # bench watch item, re-adjudicate
     "asof_join_events",       # bench watch item
     "evt_tumbling_window",
@@ -131,6 +131,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # etl_interventions_conditions, etl_calculated_values_rebuild,
 # unpivot_long (displaced by stream_hll_distinct), w3_lag_lead_first and
 # agg_pivot (displaced by a3_hll_merge + agg_histogram_quantiles),
+# agg_cube and dedup_embedding_cosine (displaced by evt_ohlc_downsample +
+# j_range_interval_join),
 # agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
 # text_stats, text_quality_score, data_snapshot_diff, data_quality_select,
 # m8_vocab_embedding, multimodal_features, multimodal_resize_bmp,

@@ -356,3 +356,148 @@ def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+_OHLC_ORACLE = """
+WITH base AS (
+  SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS window_start,
+         ts, event_id, value
+  FROM events
+), w AS (
+  SELECT user_id, window_start, value,
+         first_value(value) OVER (
+           PARTITION BY user_id, window_start ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+         last_value(value) OVER (
+           PARTITION BY user_id, window_start ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+  FROM base
+)
+SELECT user_id, window_start, open,
+       MAX(value) AS high, MIN(value) AS low, close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM w GROUP BY user_id, window_start, open, close
+"""
+
+
+@query("evt_ohlc_downsample", oracle=_OHLC_ORACLE)
+def evt_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate downsampling: per user per
+    day, OHLC (open/high/low/close) of the event value — the canonical
+    time-series rollup (TimescaleDB continuous aggregates, OHLC bars).
+    Open/close use min_by/max_by with a (ts, event_id) composite order —
+    deterministic under ts ties, and a DECLARATIVE aggregate: partial
+    min_by states merge map-side, so this is ONE shuffle on
+    (user, window) with no window function over the raw stream (the
+    first_value form the oracle uses would sort every partition; the
+    aggregate form ships one (ord, value) pair per group per map task).
+    Exactly oracled: open/high/low/close are raw data values (no float
+    accumulation), counts are integers.
+
+    100 TB: this is the continuous-aggregate the events table would
+    maintain incrementally; the same expressions run under
+    Structured Streaming (cf. stream_tumbling_window) because min_by is
+    an order-independent merge."""
+    t = load_tables(tune(spark), sf_dir)
+    ord_ = F.struct("ts", "event_id")
+    return (
+        t.events.groupBy("user_id", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.min_by("value", ord_).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+_RANGE_BANDS, _RANGE_STEP, _RANGE_WIDTH = 97, 5.0, 10.0
+
+_RANGE_ORACLE = f"""
+WITH bands AS (
+  SELECT i AS band_id,
+         CAST(i AS DOUBLE) * {_RANGE_STEP} AS lo,
+         CAST(i AS DOUBLE) * {_RANGE_STEP} + {_RANGE_WIDTH} AS hi
+  FROM (SELECT UNNEST(range(0, {_RANGE_BANDS})) AS i)
+)
+SELECT b.band_id, b.lo, b.hi,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       ROUND(CAST(SUM(CAST(ROUND(e.value * 100.0) AS BIGINT)) AS DOUBLE)
+             / 100.0 / CAST(COUNT(*) AS DOUBLE), 4) AS avg_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band_id, b.lo, b.hi
+"""
+
+
+@query("j_range_interval_join", oracle=_RANGE_ORACLE)
+def j_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via the GRID-CELL equi-join rewrite: events
+    join OVERLAPPING value bands [i*5, i*5+10) — each value matches up to
+    two bands, so this is a true interval join, not a bucketize. The
+    naive plan is a nested-loop over every (event, band) pair; the
+    rewrite maps each band to the grid cells it covers (cell width =
+    band step, so exactly 2 cells/band) and each event to its one cell,
+    turning the join into an EQUI-join on cell + a residual lo/hi filter
+    — the standard range-join optimization (Databricks' range-join hint,
+    DuckDB's IEJoin motivation) expressed in plain DataFrame ops.
+    Plan-asserted: BroadcastHashJoin, never BroadcastNestedLoopJoin.
+
+    Per-band aggregates stay exact: counts, integer cent sums (values
+    have 2-decimal granularity, so ROUND(value*100) is an exact integer
+    — the order-independent-sum pattern), and an avg derived from the
+    two exact operands with shared-text float ops.
+
+    100 TB: with millions of bands and billions of events the same plan
+    becomes a shuffle equi-join on cell — linear work per side — where
+    the nested loop is quadratic; cells-per-band stays O(width/step),
+    independent of data size."""
+    t = load_tables(tune(spark), sf_dir)
+    bands = spark.range(_RANGE_BANDS).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id").cast("double") * _RANGE_STEP).alias("lo"),
+        (F.col("id").cast("double") * _RANGE_STEP + _RANGE_WIDTH).alias("hi"),
+    )
+    # band i covers exactly cells {i, i+1} (width = 2 steps)
+    band_cells = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(F.col("band_id"), F.col("band_id") + 1)
+        ).alias("cell"),
+    )
+    events = t.events.select(
+        "value", F.floor(F.col("value") / _RANGE_STEP).cast("int").alias("cell")
+    )
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    return (
+        events.join(F.broadcast(band_cells), "cell")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+        .withColumn(
+            "avg_value",
+            F.expr(
+                "ROUND(CAST(sum_cents AS DOUBLE) / 100.0 "
+                "/ CAST(n_events AS DOUBLE), 4)"
+            ),
+        )
+        .select(
+            "band_id", "lo", "hi", "n_events", "sum_cents", "avg_value"
+        )
+    )

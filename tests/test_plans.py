@@ -315,3 +315,26 @@ def test_hll_shuffle_is_register_sized(spark):
     plan = explain(spark, "a3_hll_portable")
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # the grid-cell rewrite must make the interval join an equi-join on
+    # cell: a BroadcastNestedLoopJoin/CartesianProduct means the rewrite
+    # regressed to the quadratic plan it exists to avoid
+    plan = explain(spark, "j_range_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    # min_by/max_by keep OHLC a declarative aggregate: a partial+final
+    # aggregate pair around ONE exchange, and no Window operator over the
+    # raw event stream (the first_value form would materialize a total
+    # per-partition order). Struct-ordered min_by plans as SortAggregate
+    # (struct buffers aren't hash-aggregable) — still map-side partial.
+    plan = explain(spark, "evt_ohlc_downsample")
+    assert "Window" not in plan
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    # one shuffle: the detail section prints each node once as "(N) Exchange"
+    assert plan.count(") Exchange") == 1

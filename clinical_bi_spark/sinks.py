@@ -69,6 +69,29 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    options: dict[str, str],
+    table: str,
+    mode: str = "overwrite",
+) -> None:
+    """S6 live bulk-load sink: write a DataFrame into a JDBC table — the
+    reference's warehouse load step (db2wh-etl.sh's external-table bulk
+    load; ct_data.py writes its frames back via SQL inserts). Each Spark
+    partition opens one connection and batches inserts, so load
+    parallelism follows the DataFrame's partitioning. EXECUTED LIVE in
+    this container against embedded Derby (bundled with Spark) —
+    tests/test_sinks_sources.py::test_jdbc_roundtrip_live_embedded_derby
+    round-trips through this sink and the jdbc_reader."""
+    (
+        df.write.format("jdbc")
+        .options(**options)
+        .option("dbtable", table)
+        .mode(mode)
+        .save()
+    )
+
+
 def save_as_table(df: DataFrame, name: str, bucket_by: tuple[int, str] | None = None) -> None:
     """S8 DDL path: CREATE TABLE AS via saveAsTable; optional bucketing on
     the hub join key replaces the reference's b-tree indexes (S12) —

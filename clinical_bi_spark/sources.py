@@ -138,11 +138,16 @@ def jdbc_options_from_ini(
 
 
 def jdbc_reader(spark: SparkSession, options: dict[str, str]):
-    """S1 live path: JDBC scan with a pushed-down query.
+    """S1 live path: JDBC scan with pushdown.
 
-    Usage: ``jdbc_reader(spark, opts).option("query", sql).load()``.
-    Untested-live in this container (no JDBC driver jar); the option
-    translation is contract-tested and the parquet snapshot path (S3) is
-    the executed equivalent.
+    Usage: ``jdbc_reader(spark, opts).option("dbtable", t).load()`` (+
+    ``partitionColumn``/``lowerBound``/``upperBound``/``numPartitions``
+    for the parallel stride read). EXECUTED LIVE in this container
+    against embedded Derby (bundled with Spark) —
+    tests/test_sinks_sources.py::test_jdbc_roundtrip_live_embedded_derby
+    drives write → read-back → filter/column pushdown → 4-way
+    partitioned read. No PostgreSQL driver jar exists here, so the
+    postgres URL produced by :func:`jdbc_options_from_ini` remains
+    contract-tested only; the reader machinery itself is proven.
     """
     return spark.read.format("jdbc").options(**options)

@@ -191,3 +191,60 @@ def test_jdbc_options_contract(tmp_path, spark):
     ini3.write_text("[aact.database]\nuser=x\n")
     with _pytest.raises(ValueError, match="missing keys"):
         jdbc_options_from_ini(str(ini3))
+
+
+def test_jdbc_roundtrip_live_embedded_derby(spark, tmp_path):
+    """S1's JDBC path EXECUTED live: Spark bundles Derby (hive metastore
+    dependency), so the reader/sink code paths run against a real JDBC
+    database — write orders out, read them back, push a filter down, and
+    do a partitioned parallel read (the 100 TB ingestion shape: one
+    round-trip per partition stride). The reference ingests via
+    pd.read_sql_query over psycopg2 (ct_data.py:69-97); this is the same
+    contract through Spark's JDBC source against an embedded engine.
+
+    Derby quirk, documented: the `query` option fails because Spark
+    derives `(...) SPARK_GEN_SUBQ_n` without AS and Derby requires
+    `AS` for derived-table aliases — use dbtable + pushed filters, which
+    generate direct SELECTs."""
+    from clinical_bi_spark.sources import jdbc_reader, load_tables
+
+    from clinical_bi_spark.sinks import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/testdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    opts = {"url": url, "driver": driver, "fetchsize": "1000"}
+    orders = load_tables(spark, SF_ORACLE).orders.limit(500)
+    write_jdbc(orders, opts, "orders_t")
+    back = jdbc_reader(spark, opts).option("dbtable", "orders_t").load()
+    assert back.count() == 500
+    assert set(back.columns) == set(orders.columns)
+    # value fidelity through the JDBC type mapping
+    a = {tuple(str(v) for v in r) for r in orders.collect()}
+    b = {tuple(str(v) for v in r) for r in back.select(*orders.columns).collect()}
+    assert a == b
+
+    # filter + column pushdown reach the remote engine (JDBCRelation
+    # prints PushedFilters in the explain output)
+    import contextlib, io
+
+    q = back.filter(F.col("o_totalprice") > 1000.0).select("o_orderkey")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+    expected = orders.filter(F.col("o_totalprice") > 1000.0).count()
+    assert q.count() == expected
+
+    # partitioned parallel read: 4 stride queries, same rows
+    part = (
+        jdbc_reader(spark, opts)
+        .option("dbtable", "orders_t")
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", "1")
+        .option("upperBound", "100000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 500

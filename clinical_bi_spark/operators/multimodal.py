@@ -12,11 +12,14 @@ Design for 100 TB of media:
   (from parquet file metadata or a prior metadata pass), not row count —
   ``extract_media_features(n_partitions=...)``.
 
-The container has no image/audio libraries, so the pixel-decode step is
-STUBBED (NotImplementedError behind an import-try, exactly as flagged in
-the build brief) with a deterministic fake for tests. Everything around it
-— magic-byte sniffing, PNG/GIF/JPEG header dimension parsing (pure Python,
-no deps), schemas, batching, UDF signatures — is real and tested.
+The container has no image/audio libraries; four formats are REAL codecs
+anyway — PPM and 24-bit BMP (uncompressed), PNG (stdlib zlib: inflate +
+all five row filters both directions), and WAV/PCM16 — each with a
+pixel/sample-exact check. Only genuinely lossy formats (JPEG, video)
+keep the declared NotImplementedError stub behind an import-try, with a
+deterministic fake for tests; the surrounding machinery — magic-byte
+sniffing, PNG/GIF/JPEG header dimension parsing, schemas, batching, UDF
+signatures — is real and tested for every format.
 """
 
 from __future__ import annotations
@@ -252,7 +255,153 @@ def resize_bmp(data: bytes, target_width: int, target_height: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# WAV (PCM) — the third REAL codec: RIFF chunk walk + raw little-endian
+# PNG (8-bit truecolor, non-interlaced) — the third REAL image codec, and
+# the first COMPRESSED one: chunk walk + zlib (stdlib) inflate + full
+# five-filter unfiltering on decode; per-row cycling filters + deflate on
+# encode, so every filter type (None/Sub/Up/Average/Paeth) is exercised in
+# both directions on every image. The compressed byte stream is not
+# SQL-reconstructable (zlib), so PNG oracles pin DECODED PIXELS, not file
+# bytes; roundtrip exactness is property-tested. JPEG/video remain the
+# declared stubs (true lossy decode needs native libs).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes):
+    """PNG bytes → (height, width, 3) uint8 numpy array. REAL decode for
+    8-bit truecolor (color type 2) non-interlaced images: chunk walk,
+    stdlib-zlib inflate of the concatenated IDAT stream, then inverse
+    filtering of all five PNG row filters."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width, height, idat = len(_PNG_SIG), None, None, b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG supported"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                up = int(prev[i])
+                ul = int(prev[i - 3]) if i >= 3 else 0
+                if ftype == 1:
+                    cur[i] = (row[i] + left) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (row[i] + (left + up) // 2) & 0xFF
+                else:
+                    cur[i] = (row[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(height, width, 3)
+
+
+def encode_png(arr) -> bytes:
+    """(h, w, 3) uint8 array → PNG bytes. Row filters CYCLE through
+    Sub/Up/Average/Paeth (row y uses 1 + y % 4) so decode paths for every
+    filter type are exercised by construction; the stream deflates with a
+    fixed level for run-to-run determinism within one runtime."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    stride = w * 3
+    flat = a.reshape(h, stride).astype(np.int32)
+    pieces = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        ftype = 1 + y % 4
+        enc = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            left = int(cur[i - 3]) if i >= 3 else 0
+            up = int(prev[i])
+            ul = int(prev[i - 3]) if i >= 3 else 0
+            if ftype == 1:
+                enc[i] = (cur[i] - left) & 0xFF
+            elif ftype == 2:
+                enc[i] = (cur[i] - up) & 0xFF
+            elif ftype == 3:
+                enc[i] = (cur[i] - (left + up) // 2) & 0xFF
+            else:
+                enc[i] = (cur[i] - _paeth(left, up, ul)) & 0xFF
+        pieces.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(pieces), 6)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(data: bytes, target_width: int, target_height: int) -> bytes:
+    """Real PNG nearest-neighbor resize: inflate+unfilter decode →
+    resample → filtered deflate re-encode."""
+    return encode_png(
+        _resample_nearest(decode_png(data), target_width, target_height)
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM) — the REAL audio codec: RIFF chunk walk + raw little-endian
 # samples, no audio library needed. Gives the audio modality a genuine
 # decode → feature-extract path (sample-exact, oracle-checkable; the
 # lossy-codec formats stay declared stubs).
@@ -507,9 +656,12 @@ def resize_media(
     """Resize/downsample: binary in → smaller binary out, plus the output
     size as typed metadata. Codec dispatch per asset:
 
-    * **PPM (P6)** — REAL decode → nearest-neighbor pixel resample to
-      ``target_width × target_height`` → re-encode (:func:`resize_ppm`);
-      pure Python + numpy, no external codec, byte-exact oracle-checkable.
+    * **PPM (P6) / BMP (24-bit) / PNG (8-bit truecolor)** — REAL decode →
+      nearest-neighbor pixel resample to ``target_width × target_height``
+      → re-encode (:func:`resize_ppm` / :func:`resize_bmp` /
+      :func:`resize_png`); pure Python + numpy + stdlib zlib, no external
+      codec. PPM/BMP are byte-exact oracle-checkable; PNG is pixel-exact
+      (compressed bytes aren't SQL-reconstructable).
     * other formats with ``fake_codec=True`` — byte-stream downsampling to
       ``target_bytes`` (every ceil(n/target)-th byte): the declared stand-
       in for codecs this container cannot install (PIL/cv2), preserving
@@ -527,6 +679,7 @@ def resize_media(
                 real = {
                     "image/x-portable-pixmap": resize_ppm,
                     "image/bmp": resize_bmp,
+                    "image/png": resize_png,
                 }.get(kind)
                 if real is not None:
                     try:

@@ -92,6 +92,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_histogram_quantiles",  # NEW r6: 256-bin quantile scale path
     "evt_ohlc_downsample",    # NEW r6: hypertable OHLC rollup
     "j_range_interval_join",  # NEW r6: grid-cell interval equi-join
+    "multimodal_resize_png",  # NEW r6: real compressed codec, pixel oracle
     # -- headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "asof_join_events",       # bench watch item
     "evt_tumbling_window",
     "evt_sessionization",
-    "evt_group_zscore_window",
     # -- streaming LAST within the checked window (a wedged stream must
     #    only cost streaming rows); all six changed this round --
     "stream_tumbling_window",
@@ -132,7 +132,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # unpivot_long (displaced by stream_hll_distinct), w3_lag_lead_first and
 # agg_pivot (displaced by a3_hll_merge + agg_histogram_quantiles),
 # agg_cube and dedup_embedding_cosine (displaced by evt_ohlc_downsample +
-# j_range_interval_join),
+# j_range_interval_join), evt_group_zscore_window (r5-green, displaced by
+# multimodal_resize_png),
 # agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
 # text_stats, text_quality_score, data_snapshot_diff, data_quality_select,
 # m8_vocab_embedding, multimodal_features, multimodal_resize_bmp,

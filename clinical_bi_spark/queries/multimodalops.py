@@ -376,3 +376,100 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "sample_rate", "n_channels", "n_samples",
         "duration_ms", "peak_abs", F.round("rms", 6).alias("rms"),
     )
+
+
+_PNG_RESIZE_ORACLE = """
+SELECT doc_id AS asset_id,
+  'image/png' AS media_type,
+  CAST(16 AS INT) AS orig_width,
+  CAST(16 AS INT) AS orig_height,
+  CAST(8 AS INT) AS resized_width,
+  CAST(8 AS INT) AS resized_height,
+  array_to_string(list_transform(range(0, 192),
+      i -> printf('%02x',
+                  (doc_id * 7 + ((i // 24) * 2) * 31
+                   + (((i % 24) // 3) * 2) * 5 + (i % 3) * 11) % 256)), '')
+    AS resized_pixel_hex
+FROM documents
+"""
+
+
+@query("multimodal_resize_png", oracle=_PNG_RESIZE_ORACLE)
+def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize through the REAL COMPRESSED codec: each document
+    synthesizes a deterministic 16×16 RGB image (same pixel formula as
+    multimodal_resize), encodes it as a real PNG — stdlib-zlib deflate
+    with row filters cycling Sub/Up/Average/Paeth — then the operator
+    sniffs the container, parses IHDR, REALLY decodes (inflate + inverse
+    filtering of all five filter types), nearest-neighbor resamples
+    16×16 → 8×8, re-encodes to PNG, and the query decodes THAT again to
+    raw pixels. The oracle pins the decoded resized pixels hex-exact
+    against the formula at stride 2 — the compressed file bytes
+    themselves are not SQL-reconstructable (zlib), which is exactly why
+    the contract is pixel-level; encode↔decode byte behavior is
+    hypothesis-property-tested (tests/test_multimodal.py).
+
+    100 TB: identical Arrow mapInPandas plumbing as the PPM/BMP paths
+    (byte-budget partitioning, batched codec work); PNG adds the
+    real-world property that media bytes are compressed at rest."""
+    from clinical_bi_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_png,
+        encode_png,
+        resize_media,
+    )
+
+    t = load_tables(tune(spark), sf_dir)
+    docs = t.documents.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        y, x, c = np.meshgrid(
+            np.arange(16), np.arange(16), np.arange(3), indexing="ij"
+        )
+        base = (y * 31 + x * 5 + c * 11).astype(np.int64)
+        for pdf in it:
+            media = [
+                encode_png(((int(d) * 7 + base) % 256).astype(np.uint8))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "media": media})
+
+    media = docs.mapInPandas(synth, schema="asset_id long, media binary")
+    meta = attach_media_metadata(media)
+    resized = resize_media(media, target_width=8, target_height=8)
+
+    def to_pixels(it):
+        import pandas as pd
+
+        for pdf in it:
+            arrs = [decode_png(b) for b in pdf["resized"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "resized_width": [a.shape[1] for a in arrs],
+                    "resized_height": [a.shape[0] for a in arrs],
+                    "resized_pixel_hex": [a.tobytes().hex() for a in arrs],
+                }
+            )
+
+    pixels = resized.mapInPandas(
+        to_pixels,
+        schema=(
+            "asset_id long, resized_width int, resized_height int, "
+            "resized_pixel_hex string"
+        ),
+    )
+    return meta.join(pixels, "asset_id").select(
+        "asset_id",
+        "media_type",
+        F.col("width").alias("orig_width"),
+        F.col("height").alias("orig_height"),
+        "resized_width",
+        "resized_height",
+        "resized_pixel_hex",
+    )

@@ -313,3 +313,77 @@ def test_span_fingerprints_match_python_twin(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == _py_span_fps(t, 8), (i, t)
+
+
+@given(
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, seed):
+    """Real zlib PNG: encode (cycling Sub/Up/Average/Paeth row filters) →
+    decode (inflate + inverse of all five filters) must be pixel-exact
+    for arbitrary images — heights >= 5 force every filter type through
+    both directions."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(seed % (2**32 - 1) or 1)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_decode_each_filter_type_independently():
+    """Hand-build a PNG whose rows use ONE filter type each (including
+    None, which the cycling encoder never emits) and check the decoder's
+    inverse against a reference unfiltering."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+    stride = 4 * 3
+    # filter each row with type = row index (0..4), reference-style
+    prev = np.zeros(stride, dtype=np.int32)
+    pieces = []
+    for y in range(5):
+        cur = img[y].reshape(stride).astype(np.int32)
+        enc = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            left = int(cur[i - 3]) if i >= 3 else 0
+            up = int(prev[i])
+            ul = int(prev[i - 3]) if i >= 3 else 0
+            if y == 0:
+                enc[i] = cur[i]
+            elif y == 1:
+                enc[i] = (cur[i] - left) & 0xFF
+            elif y == 2:
+                enc[i] = (cur[i] - up) & 0xFF
+            elif y == 3:
+                enc[i] = (cur[i] - (left + up) // 2) & 0xFF
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                enc[i] = (cur[i] - pred) & 0xFF
+        pieces.append(bytes([y]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(pieces)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == img).all()

@@ -379,3 +379,48 @@ def test_multibatch_hll_registers_equal_batch(spark, split_sf):
     s = {tuple(r) for r in out.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_multibatch_ohlc_equals_batch(spark, split_sf):
+    """min_by/max_by are order-independent merges, so the streaming OHLC
+    (the evt_ohlc_downsample expressions under a watermark) must equal
+    the batch result across 3 chronological micro-batches — the claim in
+    the batch query's docstring, proven."""
+    from clinical_bi_spark.sources import normalize_events
+    from clinical_bi_spark.streaming.windows import (
+        _events_stream,
+        _run_to_completion,
+    )
+    from pyspark.sql import functions as F
+
+    def ohlc(df):
+        ord_ = F.struct("ts", "event_id")
+        return (
+            df.groupBy("user_id", F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.min_by("value", ord_).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", ord_).alias("close"),
+                F.count("*").cast("long").alias("n_events"),
+            )
+            .select(
+                "user_id", F.col("w.start").alias("window_start"),
+                "open", "high", "low", "close", "n_events",
+            )
+        )
+
+    prog: list = []
+    stream = _events_stream(
+        spark, split_sf, max_files_per_trigger=1
+    ).withWatermark("ts", "10 minutes")
+    out = _run_to_completion(ohlc(stream), "complete", prog)
+    assert _n_batches(prog) >= 3
+    batch = normalize_events(
+        spark.read.option("basePath", split_sf).parquet(
+            f"{split_sf}/events.parquet*"
+        )
+    )
+    s = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in ohlc(batch).collect()}
+    assert s == b and len(s) > 0

@@ -12,14 +12,14 @@ Design for 100 TB of media:
   (from parquet file metadata or a prior metadata pass), not row count —
   ``extract_media_features(n_partitions=...)``.
 
-The container has no image/audio libraries; four formats are REAL codecs
+The container has no image/audio libraries; five formats are REAL codecs
 anyway — PPM and 24-bit BMP (uncompressed), PNG (stdlib zlib: inflate +
-all five row filters both directions), and WAV/PCM16 — each with a
-pixel/sample-exact check. Only genuinely lossy formats (JPEG, video)
-keep the declared NotImplementedError stub behind an import-try, with a
-deterministic fake for tests; the surrounding machinery — magic-byte
-sniffing, PNG/GIF/JPEG header dimension parsing, schemas, batching, UDF
-signatures — is real and tested for every format.
+all five row filters both directions), baseline JPEG (operators/jpeg.py:
+pure-Python DCT + Huffman, error-bound-checked since lossy-by-design),
+and WAV/PCM16. Only video decode keeps the declared NotImplementedError
+stub behind an import-try, with a deterministic fake for tests; the
+surrounding machinery — magic-byte sniffing, header dimension parsing,
+schemas, batching, UDF signatures — is real and tested for every format.
 """
 
 from __future__ import annotations
@@ -676,10 +676,13 @@ def resize_media(
             def shrink(data: bytes | None) -> bytes:
                 data = data or b""
                 kind = sniff_media_type(data)
+                from clinical_bi_spark.operators.jpeg import resize_jpeg
+
                 real = {
                     "image/x-portable-pixmap": resize_ppm,
                     "image/bmp": resize_bmp,
                     "image/png": resize_png,
+                    "image/jpeg": resize_jpeg,
                 }.get(kind)
                 if real is not None:
                     try:

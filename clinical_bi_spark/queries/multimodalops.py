@@ -473,3 +473,103 @@ def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resized_height",
         "resized_pixel_hex",
     )
+
+
+@query("multimodal_resize_jpeg", oracle=None)
+def multimodal_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize through the REAL LOSSY codec: a pure-Python baseline
+    JPEG (operators/jpeg.py — DCT, quality-90 quantization, differential
+    DC + run-length AC Huffman, byte stuffing; the decoder rebuilds its
+    tables from the file's own DQT/DHT). Each doc synthesizes the same
+    16×16 formula pixels as the PNG/PPM queries, encodes them as a real
+    JPEG, and the operator sniffs → decodes → resamples 16×16 → 8×8 →
+    re-encodes; the query then decodes the resized JPEG and reports the
+    per-asset error against the formula-at-stride-2 reference pixels.
+
+    Rows-only BY CONSTRUCTION (the designated-check contract of the
+    approximate ops): lossy quantization makes byte- or pixel-exact
+    oracles impossible in principle — the checks are the output's own
+    error columns (pinned ≤ bounds in tests/test_multimodal.py), the
+    hypothesis roundtrip bounds, and the flat-block-exactness invariant
+    on the codec itself."""
+    from clinical_bi_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from clinical_bi_spark.operators.multimodal import (
+        attach_media_metadata,
+        resize_media,
+    )
+
+    t = load_tables(tune(spark), sf_dir)
+    docs = t.documents.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        y, x, c = np.meshgrid(
+            np.arange(16), np.arange(16), np.arange(3), indexing="ij"
+        )
+        base = (y * 31 + x * 5 + c * 11).astype(np.int64)
+        for pdf in it:
+            media = [
+                encode_jpeg(((int(d) * 7 + base) % 256).astype(np.uint8))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "media": media})
+
+    media = docs.mapInPandas(synth, schema="asset_id long, media binary")
+    meta = attach_media_metadata(media)
+    resized = resize_media(media, target_width=8, target_height=8)
+
+    def err_stats(it):
+        import numpy as np
+        import pandas as pd
+
+        y, x, c = np.meshgrid(
+            np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+        )
+        base = ((y * 2) * 31 + (x * 2) * 5 + c * 11).astype(np.int64)
+        for pdf in it:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["resized"]):
+                got = decode_jpeg(b).astype(np.int64)
+                want = (int(aid) * 7 + base) % 256
+                err = np.abs(got - want)
+                rows.append(
+                    (
+                        int(aid),
+                        got.shape[1],
+                        got.shape[0],
+                        float(err.mean()),
+                        int(err.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "resized_width",
+                    "resized_height",
+                    "mean_abs_err",
+                    "max_abs_err",
+                ],
+            )
+
+    stats = resized.mapInPandas(
+        err_stats,
+        schema=(
+            "asset_id long, resized_width int, resized_height int, "
+            "mean_abs_err double, max_abs_err int"
+        ),
+    )
+    return meta.join(stats, "asset_id").select(
+        "asset_id",
+        "media_type",
+        F.col("width").alias("orig_width"),
+        F.col("height").alias("orig_height"),
+        "resized_width",
+        "resized_height",
+        F.round("mean_abs_err", 4).alias("mean_abs_err"),
+        "max_abs_err",
+    )

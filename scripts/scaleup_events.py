@@ -35,6 +35,8 @@ QUERIES = [
     "evt_dedup_window",
     "evt_funnel_conversion",
     "evt_retention_cohorts",
+    "evt_ohlc_downsample",
+    "j_range_interval_join",
 ]
 
 

@@ -16,6 +16,7 @@ from clinical_bi_spark.operators.multimodal import (
     sample_video_frames,
     sniff_media_type,
 )
+from tests.conftest import SF_ORACLE
 
 
 def png_bytes(width: int, height: int) -> bytes:
@@ -346,3 +347,77 @@ def test_extract_audio_features_real_and_null_rows(spark):
     assert r1.duration_ms == 1.0 and r1.peak_abs == 12
     assert abs(r1.rms - (sum(x * x for x in [3, -4, 0, 12]) / 4) ** 0.5) < 1e-9
     assert rows[2].rms is None and rows[3].rms is None  # null, not a crash
+
+
+def test_jpeg_flat_blocks_roundtrip_exactly():
+    """A constant image is DC-only: quality-90 quantization must preserve
+    it bit-exactly — the analytic invariant that catches DCT/quant/
+    Huffman sign or scaling bugs immediately."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for v in (0, 1, 100, 128, 254, 255):
+        img = np.full((16, 24, 3), v, dtype=np.uint8)
+        back = decode_jpeg(encode_jpeg(img, 90))
+        assert back.shape == img.shape
+        assert int(np.abs(back.astype(int) - v).max()) <= 1, v
+
+
+def test_jpeg_smooth_image_error_bounded():
+    """Smooth gradients (JPEG's design regime) must roundtrip within a
+    couple of intensity levels at quality 90."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.meshgrid(np.arange(24), np.arange(17), indexing="ij")
+    img = np.stack(
+        [(y * 3) % 256, (x * 5) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(img, 90))
+    err = np.abs(back.astype(int) - img.astype(int))
+    assert err.max() <= 4 and err.mean() <= 1.5
+
+
+def test_jpeg_noise_error_bounded_and_header_independent_parse(spark=None):
+    """Worst-case (uniform noise) stays within lossy-codec bounds, and the
+    emitted SOF0 header parses with the INDEPENDENT dimension parser —
+    a cross-check that the container layout is real JPEG, not a private
+    format both codec halves happen to agree on."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from clinical_bi_spark.operators.multimodal import (
+        parse_dimensions,
+        sniff_media_type,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(img, 90)
+    assert sniff_media_type(data) == "image/jpeg"
+    assert parse_dimensions(data) == (16, 16)
+    back = decode_jpeg(data)
+    err = np.abs(back.astype(int) - img.astype(int))
+    assert err.mean() <= 12 and err.max() <= 120
+
+
+def test_jpeg_resize_query_error_bounds(spark):
+    """The registry query's designated check: the double-lossy chain
+    (encode → decode → resample → re-encode → decode) against the
+    high-frequency synthesis pattern stays within measured bounds."""
+    from clinical_bi_spark.queries import load_all
+
+    rows = (
+        load_all()["multimodal_resize_jpeg"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    )
+    assert len(rows) == 500
+    assert all(r["media_type"] == "image/jpeg" for r in rows)
+    assert all(
+        r["resized_width"] == 8 and r["resized_height"] == 8 for r in rows
+    )
+    assert max(r["max_abs_err"] for r in rows) <= 80
+    assert sum(r["mean_abs_err"] for r in rows) / len(rows) <= 15.0

@@ -53,6 +53,8 @@ def sniff_media_type(data: bytes | None) -> str:
         return "image/bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "video/x-msvideo"
     if data[4:8] == b"ftyp":
         return "video/mp4"
     return "application/octet-stream"
@@ -598,6 +600,81 @@ def extract_media_features(
     return df.mapInPandas(batches, schema=schema)
 
 
+def encode_avi_mjpeg(
+    frames: list, fps: int = 10, quality: int = 90
+) -> bytes:
+    """RGB frame arrays → Motion-JPEG AVI bytes (RIFF: hdrl with
+    avih/strh/strf, movi with one '00dc' JPEG chunk per frame). REAL
+    container + REAL per-frame codec (operators/jpeg.py), pure Python."""
+    from clinical_bi_spark.operators.jpeg import encode_jpeg
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("at least one frame required")
+    h, w = np.asarray(frames[0]).shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    jpegs = [encode_jpeg(f, quality) for f in frames]
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # usec/frame
+        max_bytes * fps,   # max bytes/sec
+        0, 0x10,           # padding, flags (HASINDEX off, INTERLEAVED-ish)
+        len(jpegs), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        # flags, priority, language, initial, scale, rate, start, length,
+        # suggested buffer, quality, sample size (56-byte AVIStreamHeader)
+        + struct.pack("<IHH8I", 0, 0, 0, 0, 1, fps, 0, len(jpegs),
+                      max_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg_frames(data: bytes) -> list[bytes]:
+    """AVI bytes → list of per-frame JPEG byte strings: walk the RIFF
+    tree to the 'movi' LIST and collect '00dc'/'00db' chunk payloads.
+    Container-level decode only; callers pass frames to decode_jpeg."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if tag == b"LIST":
+                kind = data[body_start : body_start + 4]
+                if kind in (b"movi", b"hdrl", b"rec "):
+                    walk(body_start + 4, body_start + size)
+            elif tag in (b"00dc", b"00db"):
+                frames.append(data[body_start : body_start + size])
+            pos = body_start + size + (size % 2)  # RIFF even padding
+
+    walk(12, len(data))
+    return frames
+
+
 def sample_video_frames(
     df: DataFrame,
     id_col: str = "asset_id",
@@ -607,17 +684,19 @@ def sample_video_frames(
     fake_codec: bool = True,
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (fan-out generator
-    shape). The real-codec path is a stub (no pyav/ffmpeg in this
-    container); ``fake_codec=True`` models the byte stream as fixed-size
-    ``frame_bytes`` frames and slices every ``every_n``-th one — the Spark
-    plumbing (mapInPandas row fan-out, Arrow binary batches, typed output
-    schema) is exactly the real path's, and the byte slicing makes the
-    registry query oracle-checkable end to end."""
-    if not fake_codec:
-        raise NotImplementedError(
-            "video frame decoding requires a codec library (pyav/ffmpeg); "
-            "not available in this environment — use fake_codec=True"
-        )
+    shape).
+
+    * **AVI/MJPEG** assets (sniffed ``video/x-msvideo``) take the REAL
+      path regardless of ``fake_codec``: the RIFF 'movi' chunk walk
+      yields per-frame JPEGs and every ``every_n``-th one is emitted
+      (decodable with operators/jpeg.decode_jpeg downstream).
+    * other containers with ``fake_codec=True`` — the byte stream is
+      modeled as fixed-size ``frame_bytes`` frames and sliced: the Spark
+      plumbing (mapInPandas row fan-out, Arrow binary batches, typed
+      output schema) is exactly the real path's, and the byte slicing
+      keeps the registry query oracle-checkable end to end.
+    * other containers with ``fake_codec=False`` — NotImplementedError:
+      general video (mp4/h264 etc.) genuinely needs pyav/ffmpeg."""
 
     schema = f"{id_col} long, frame_index int, frame binary"
 
@@ -627,7 +706,20 @@ def sample_video_frames(
             idxs: list[int] = []
             frames: list[bytes] = []
             for aid, data in zip(pdf[id_col], pdf[media_col]):
-                data = data or b""
+                data = bytes(data or b"")
+                if sniff_media_type(data) == "video/x-msvideo":
+                    for i, fr in enumerate(decode_avi_mjpeg_frames(data)):
+                        if i % every_n == 0:
+                            ids.append(aid)
+                            idxs.append(i)
+                            frames.append(fr)
+                    continue
+                if not fake_codec:
+                    raise NotImplementedError(
+                        "non-AVI video frame decoding requires a codec "
+                        "library (pyav/ffmpeg); not available in this "
+                        "environment — use fake_codec=True or AVI/MJPEG"
+                    )
                 n_frames = len(data) // frame_bytes
                 for i in range(0, n_frames, every_n):
                     ids.append(aid)

@@ -133,10 +133,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # agg_pivot (displaced by a3_hll_merge + agg_histogram_quantiles),
 # agg_cube and dedup_embedding_cosine (displaced by evt_ohlc_downsample +
 # j_range_interval_join), evt_group_zscore_window (r5-green, displaced by
-# multimodal_resize_png). multimodal_resize_jpeg (NEW r6) sits OUTSIDE
-# the window on purpose: its driver check would be rows-only (lossy by
-# construction) — a weak signal not worth another displacement; its
-# designated checks are the pytest error bounds, and r7 rotates it in.
+# multimodal_resize_png). multimodal_resize_jpeg and
+# multimodal_video_mjpeg_frames (NEW r6) sit OUTSIDE the window on
+# purpose: their driver checks would be rows-only (lossy by
+# construction) — a weak signal not worth more displacements; their
+# designated checks are the pytest error bounds, and r7 rotates them in.
 # agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
 # text_stats, text_quality_score, data_snapshot_diff, data_quality_select,
 # m8_vocab_embedding, multimodal_features, multimodal_resize_bmp,

@@ -573,3 +573,94 @@ def multimodal_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_abs_err", 4).alias("mean_abs_err"),
         "max_abs_err",
     )
+
+
+@query("multimodal_video_mjpeg_frames", oracle=None)
+def multimodal_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through a REAL container + REAL codec: each
+    document synthesizes a 6-frame 16×16 Motion-JPEG AVI (RIFF hdrl/movi
+    with one '00dc' JPEG per frame — operators/multimodal.encode_avi_mjpeg
+    over operators/jpeg.py), and sample_video_frames takes the REAL AVI
+    path: RIFF 'movi' chunk walk, every 2nd frame emitted as its JPEG
+    bytes and decoded back to pixels, one output row per sampled frame
+    (the fan-out generator shape). Error columns compare decoded pixels
+    to the per-frame synthesis formula.
+
+    Rows-only BY CONSTRUCTION (MJPEG frames are lossy); designated
+    checks: the pytest bounds (tests/test_multimodal.py — frame count,
+    sampled indices, dims, error ceilings) plus the container/codec
+    roundtrip invariants. General mp4/h264 remains the declared stub —
+    that truly needs ffmpeg."""
+    from clinical_bi_spark.operators.jpeg import decode_jpeg
+    from clinical_bi_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        sample_video_frames,
+    )
+
+    t = load_tables(tune(spark), sf_dir)
+    docs = t.documents.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        y, x, c = np.meshgrid(
+            np.arange(16), np.arange(16), np.arange(3), indexing="ij"
+        )
+        base = (y * 31 + x * 5 + c * 11).astype(np.int64)
+        for pdf in it:
+            media = []
+            for d in pdf["doc_id"]:
+                frames = [
+                    ((int(d) * 7 + k * 17 + base) % 256).astype(np.uint8)
+                    for k in range(6)
+                ]
+                media.append(encode_avi_mjpeg(frames, fps=5))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "media": media})
+
+    media = docs.mapInPandas(synth, schema="asset_id long, media binary")
+    sampled = sample_video_frames(media, every_n=2)
+
+    def err_stats(it):
+        import numpy as np
+        import pandas as pd
+
+        y, x, c = np.meshgrid(
+            np.arange(16), np.arange(16), np.arange(3), indexing="ij"
+        )
+        base = (y * 31 + x * 5 + c * 11).astype(np.int64)
+        for pdf in it:
+            rows = []
+            for aid, idx, fr in zip(
+                pdf["asset_id"], pdf["frame_index"], pdf["frame"]
+            ):
+                got = decode_jpeg(bytes(fr)).astype(np.int64)
+                want = (int(aid) * 7 + int(idx) * 17 + base) % 256
+                err = np.abs(got - want)
+                rows.append(
+                    (
+                        int(aid),
+                        int(idx),
+                        got.shape[1],
+                        got.shape[0],
+                        float(err.mean()),
+                        int(err.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_index", "frame_width",
+                    "frame_height", "mean_abs_err", "max_abs_err",
+                ],
+            )
+
+    return sampled.mapInPandas(
+        err_stats,
+        schema=(
+            "asset_id long, frame_index int, frame_width int, "
+            "frame_height int, mean_abs_err double, max_abs_err int"
+        ),
+    ).withColumn("mean_abs_err", F.round("mean_abs_err", 4))

@@ -105,9 +105,12 @@ def test_real_decode_is_stubbed(media_df):
 
 
 def test_video_sampling_real_codec_is_stubbed(media_df):
-    # the real-codec path stays a declared stub (no pyav/ffmpeg here)
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(media_df, fake_codec=False)
+    # non-AVI video with fake_codec=False stays a declared stub (general
+    # mp4/h264 needs pyav/ffmpeg); since r6 the check is PER-ASSET inside
+    # the worker — AVI/MJPEG assets take a real path — so the stub raises
+    # lazily on collect, same contract as resize_media's
+    with pytest.raises(Exception, match="NotImplementedError|codec library"):
+        sample_video_frames(media_df, fake_codec=False).collect()
 
 
 def test_video_sampling_fake_codec_fanout(spark):
@@ -421,3 +424,70 @@ def test_jpeg_resize_query_error_bounds(spark):
     )
     assert max(r["max_abs_err"] for r in rows) <= 80
     assert sum(r["mean_abs_err"] for r in rows) / len(rows) <= 15.0
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """RIFF/AVI container walk returns exactly the encoded frame chunk
+    payloads, in order, and the sniffer classifies the container."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.jpeg import decode_jpeg
+    from clinical_bi_spark.operators.multimodal import (
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [
+        (rng.randint(0, 64, (8, 8, 3)) * 4).astype("uint8") for _ in range(5)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=10)
+    assert sniff_media_type(avi) == "video/x-msvideo"
+    out = decode_avi_mjpeg_frames(avi)
+    assert len(out) == 5
+    for fr, orig in zip(out, frames):
+        assert decode_jpeg(fr).shape == orig.shape
+
+
+def test_video_frame_sampler_takes_real_avi_path(spark):
+    """sample_video_frames on an AVI asset must emit every_n-th REAL JPEG
+    frame (not byte slices): indices 0,2,4 of a 6-frame video, each frame
+    decodable with bounded error."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.jpeg import decode_jpeg
+    from clinical_bi_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        sample_video_frames,
+    )
+
+    y, x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    grads = [
+        np.stack([(y * 3 + k) % 256, (x * 5) % 256, (y + x) % 256], axis=-1)
+        .astype("uint8")
+        for k in range(6)
+    ]
+    avi = encode_avi_mjpeg(grads, fps=5)
+    df = spark.createDataFrame([(1, bytearray(avi))], "asset_id long, media binary")
+    rows = sample_video_frames(df, every_n=2).collect()
+    assert sorted(r["frame_index"] for r in rows) == [0, 2, 4]
+    for r in rows:
+        img = decode_jpeg(bytes(r["frame"]))
+        err = np.abs(img.astype(int) - grads[r["frame_index"]].astype(int))
+        assert img.shape == (16, 16, 3) and err.max() <= 40
+
+
+def test_mjpeg_frames_query_bounds(spark):
+    """Designated check of the rows-only video query: 3 sampled frames
+    per doc, frame dims preserved, error within the measured ceiling."""
+    from clinical_bi_spark.queries import load_all
+
+    rows = (
+        load_all()["multimodal_video_mjpeg_frames"].fn(spark, SF_ORACLE).collect()
+    )
+    assert len(rows) == 500 * 3
+    assert {r["frame_index"] for r in rows} == {0, 2, 4}
+    assert all(
+        r["frame_width"] == 16 and r["frame_height"] == 16 for r in rows
+    )
+    assert max(r["max_abs_err"] for r in rows) <= 80

@@ -394,14 +394,14 @@ def test_multibatch_ohlc_equals_batch(spark, split_sf):
     from pyspark.sql import functions as F
 
     def ohlc(df):
-        ord_ = F.struct("ts", "event_id")
+        s = F.struct("ts", "event_id", "value")
         return (
             df.groupBy("user_id", F.window("ts", "1 day").alias("w"))
             .agg(
-                F.min_by("value", ord_).alias("open"),
+                F.min(s)["value"].alias("open"),
                 F.max("value").alias("high"),
                 F.min("value").alias("low"),
-                F.max_by("value", ord_).alias("close"),
+                F.max(s)["value"].alias("close"),
                 F.count("*").cast("long").alias("n_events"),
             )
             .select(

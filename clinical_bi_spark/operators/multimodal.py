@@ -60,10 +60,45 @@ def sniff_media_type(data: bytes | None) -> str:
     return "application/octet-stream"
 
 
+def _parse_mp4_dimensions(data: bytes) -> tuple[int | None, int | None]:
+    """Walk the ISO-BMFF box tree (moov → trak → tkhd) for the first
+    video track's presentation width/height — container-level metadata
+    only; sample decode stays the declared stub (needs ffmpeg)."""
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            box = data[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                body = pos + 16
+            else:
+                body = pos + 8
+            if size < 8:
+                return None
+            if box in (b"moov", b"trak"):
+                found = walk(body, pos + size)
+                if found:
+                    return found
+            elif box == b"tkhd" and pos + size <= len(data):
+                version = data[body]
+                # width/height are the last two 16.16 fixed-point fields:
+                # v0 header is 80 bytes before them, v1 (64-bit times) 88
+                off = body + (88 if version == 1 else 80)
+                w, h = struct.unpack(">II", data[off : off + 8])
+                if w and h:
+                    return w >> 16, h >> 16
+            pos += size
+        return None
+
+    return walk(0, len(data)) or (None, None)
+
+
 def parse_dimensions(data: bytes) -> tuple[int | None, int | None]:
     """Width/height from container headers only — no pixel decode, no
-    external libraries. Supports PNG (IHDR), GIF (logical screen), and
-    baseline/progressive JPEG (SOF scan)."""
+    external libraries. Supports PNG (IHDR), GIF (logical screen),
+    baseline/progressive JPEG (SOF scan), PPM/BMP headers, AVI (strf
+    BITMAPINFOHEADER via the first video stream), and mp4/ISO-BMFF
+    (moov→trak→tkhd fixed-point presentation size)."""
     kind = sniff_media_type(data)
     try:
         if kind == "image/x-portable-pixmap":
@@ -90,14 +125,25 @@ def parse_dimensions(data: bytes) -> tuple[int | None, int | None]:
                     return int(width), int(height)
                 seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
                 i += 2 + seg_len
+        if kind == "video/x-msvideo":
+            # strf's BITMAPINFOHEADER carries the frame size; find the
+            # first 'strf' chunk (hdrl's video stream writes it first)
+            idx = data.find(b"strf")
+            if idx != -1 and idx + 20 <= len(data):
+                width, height = struct.unpack(
+                    "<ii", data[idx + 12 : idx + 20]
+                )
+                return int(width), int(abs(height))
+        if kind == "video/mp4":
+            return _parse_mp4_dimensions(data)
     except (struct.error, ValueError):
         pass
     return None, None
 
 
 # ---------------------------------------------------------------------------
-# PPM (P6) — the one image format this container can REALLY decode, because
-# it needs no imaging library: an ASCII header + raw RGB bytes. It gives
+# PPM (P6) — the first REAL image codec (an ASCII header + raw RGB bytes,
+# no imaging library needed); BMP, PNG, and JPEG joined it later. It gives
 # resize_media a genuine decode → pixel-resample → re-encode branch (byte-
 # exact oracle-checkable), alongside the declared stubs for formats whose
 # codecs aren't installable here.

@@ -491,3 +491,30 @@ def test_mjpeg_frames_query_bounds(spark):
         r["frame_width"] == 16 and r["frame_height"] == 16 for r in rows
     )
     assert max(r["max_abs_err"] for r in rows) <= 80
+
+
+def test_mp4_and_avi_dimension_parsing():
+    """Container-level dims for video without any codec: AVI via strf's
+    BITMAPINFOHEADER, mp4 via the moov→trak→tkhd walk (both tkhd
+    versions' fixed-point width/height offsets)."""
+    import struct
+
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import encode_avi_mjpeg
+
+    avi = encode_avi_mjpeg([np.zeros((12, 20, 3), dtype=np.uint8)])
+    assert parse_dimensions(avi) == (20, 12)
+
+    def box(tag, body):
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    for version, pre in ((0, 76), (1, 84)):
+        tkhd = bytes([version]) + bytes(3) + bytes(pre) + struct.pack(
+            ">II", 640 << 16, 360 << 16
+        )
+        mp4 = box(b"ftyp", b"isom" + bytes(8)) + box(
+            b"moov", box(b"trak", box(b"tkhd", tkhd))
+        )
+        assert sniff_media_type(mp4) == "video/mp4"
+        assert parse_dimensions(mp4) == (640, 360), version

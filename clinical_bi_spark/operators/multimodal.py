@@ -814,6 +814,7 @@ def resize_media(
             def shrink(data: bytes | None) -> bytes:
                 data = data or b""
                 kind = sniff_media_type(data)
+                from clinical_bi_spark.operators.gif import resize_gif_gray
                 from clinical_bi_spark.operators.jpeg import resize_jpeg
 
                 real = {
@@ -821,6 +822,9 @@ def resize_media(
                     "image/bmp": resize_bmp,
                     "image/png": resize_png,
                     "image/jpeg": resize_jpeg,
+                    # grayscale-palette contract; color GIFs raise
+                    # ValueError and fall to the byte-downsample path
+                    "image/gif": resize_gif_gray,
                 }.get(kind)
                 if real is not None:
                     try:

@@ -93,6 +93,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "evt_ohlc_downsample",    # NEW r6: hypertable OHLC rollup
     "j_range_interval_join",  # NEW r6: grid-cell interval equi-join
     "multimodal_resize_png",  # NEW r6: real compressed codec, pixel oracle
+    "multimodal_resize_gif",  # NEW r6: real LZW codec, lossless, exact
     # -- headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
@@ -110,7 +111,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- r4-green remainder due per the r5 brief --
     "a3_multi_count_distinct",
     "dedup_exact",            # bench watch item, re-adjudicate
-    "asof_join_events",       # bench watch item
     "evt_tumbling_window",
     "evt_sessionization",
     # -- streaming LAST within the checked window (a wedged stream must
@@ -133,7 +133,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # agg_pivot (displaced by a3_hll_merge + agg_histogram_quantiles),
 # agg_cube and dedup_embedding_cosine (displaced by evt_ohlc_downsample +
 # j_range_interval_join), evt_group_zscore_window (r5-green, displaced by
-# multimodal_resize_png). multimodal_resize_jpeg and
+# multimodal_resize_png), asof_join_events (lesson-20 floor confirmed,
+# displaced by multimodal_resize_gif). multimodal_resize_jpeg and
 # multimodal_video_mjpeg_frames (NEW r6) sit OUTSIDE the window on
 # purpose: their driver checks would be rows-only (lossy by
 # construction) — a weak signal not worth more displacements; their

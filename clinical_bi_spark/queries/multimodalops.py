@@ -664,3 +664,92 @@ def multimodal_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame
             "frame_height int, mean_abs_err double, max_abs_err int"
         ),
     ).withColumn("mean_abs_err", F.round("mean_abs_err", 4))
+
+
+_GIF_RESIZE_ORACLE = """
+SELECT doc_id AS asset_id,
+  'image/gif' AS media_type,
+  CAST(16 AS INT) AS orig_width,
+  CAST(16 AS INT) AS orig_height,
+  CAST(8 AS INT) AS resized_width,
+  CAST(8 AS INT) AS resized_height,
+  array_to_string(list_transform(range(0, 192),
+      i -> printf('%02x',
+                  (doc_id * 7 + (((i // 3) // 8) * 2) * 31
+                   + (((i // 3) % 8) * 2) * 5) % 256)), '')
+    AS resized_pixel_hex
+FROM documents
+"""
+
+
+@query("multimodal_resize_gif", oracle=_GIF_RESIZE_ORACLE)
+def multimodal_resize_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize through the REAL LZW codec: each document synthesizes
+    a 16×16 GRAYSCALE image (value = (doc_id·7 + y·31 + x·5) mod 256),
+    encodes it as a real GIF87a (256-entry identity palette, LZW-packed
+    pixel stream — operators/gif.py), and the operator sniffs → LZW
+    decodes → resamples 16×16 → 8×8 → re-encodes; the query decodes the
+    resized GIF back to RGB pixels. GIF is LOSSLESS under the palette
+    contract, so unlike JPEG this compressed format gets a FULL exact
+    oracle: the decoded resized pixels (each gray value tripled across
+    RGB) are reconstructed hex-for-hex from the formula at stride 2.
+    The LZW decoder's dictionary/width paths are differentially tested
+    against an independent real compressor (tests/test_multimodal.py)."""
+    from clinical_bi_spark.operators.gif import decode_gif, encode_gif_gray
+    from clinical_bi_spark.operators.multimodal import (
+        attach_media_metadata,
+        resize_media,
+    )
+
+    t = load_tables(tune(spark), sf_dir)
+    docs = t.documents.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        y, x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        base = (y * 31 + x * 5).astype(np.int64)
+        for pdf in it:
+            media = [
+                encode_gif_gray(((int(d) * 7 + base) % 256).astype(np.uint8))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "media": media})
+
+    media = docs.mapInPandas(synth, schema="asset_id long, media binary")
+    meta = attach_media_metadata(media)
+    resized = resize_media(media, target_width=8, target_height=8)
+
+    def to_pixels(it):
+        import pandas as pd
+
+        for pdf in it:
+            arrs = [decode_gif(bytes(b)) for b in pdf["resized"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "resized_width": [a.shape[1] for a in arrs],
+                    "resized_height": [a.shape[0] for a in arrs],
+                    "resized_pixel_hex": [a.tobytes().hex() for a in arrs],
+                }
+            )
+
+    pixels = resized.mapInPandas(
+        to_pixels,
+        schema=(
+            "asset_id long, resized_width int, resized_height int, "
+            "resized_pixel_hex string"
+        ),
+    )
+    return meta.join(pixels, "asset_id").select(
+        "asset_id",
+        "media_type",
+        F.col("width").alias("orig_width"),
+        F.col("height").alias("orig_height"),
+        "resized_width",
+        "resized_height",
+        "resized_pixel_hex",
+    )

@@ -39,6 +39,7 @@ from clinical_bi_spark.streaming.windows import (
     session_windows,
     stream_stream_interval_join,
     tumbling_counts,
+    windowed_hll_registers,
 )
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -63,6 +64,13 @@ QUERIES = {
     ),
     "stream_stateful": lambda sp, d, ps: user_running_stats(
         sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
+    ),
+    # r6: sketch state — per-window HLL registers; state must stay at
+    # m=32 rows per day regardless of the user multiplier (the whole
+    # point vs dropDuplicates' user-cardinality state)
+    "stream_hll": lambda sp, d, ps: windowed_hll_registers(
+        sp, d, m=32,
+        max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,
     ),
 }
 

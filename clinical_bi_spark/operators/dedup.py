@@ -93,22 +93,32 @@ def shingle_hashes(text_col: F.Column, n: int = 3) -> F.Column:
     DuckDB and the whole MinHash pipeline is oracle-checkable. The mod-p
     fold bias is ≤ 2^-31 per token — immaterial to a Jaccard estimator."""
     tokens = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
+    return _poly_gram_fold(tokens, n, offset=1, base=31, distinct=True)
+
+
+def _poly_gram_fold(
+    tokens: F.Column, n: int, offset: int, base: int, distinct: bool
+) -> F.Column:
+    """Shared n-gram polynomial fold over md5-u32 token hashes: n aligned
+    slices folded with zip_with — stays in codegen, no per-element
+    indexing (try_element_at per gram measured ~2× slower). Serves both
+    the distinct-shingle path (MinHash) and the positional-span path
+    (``distinct=False`` keeps one fingerprint per token position)."""
     hashed = F.transform(
-        tokens, lambda t: F.pmod(_md5_word(t, 1), F.lit(_MERSENNE_P))
+        tokens, lambda t: F.pmod(_md5_word(t, offset), F.lit(_MERSENNE_P))
     )
     if n == 1:
-        return F.array_distinct(hashed)
-    # n aligned slices folded with zip_with — stays in codegen, no
-    # per-element indexing (try_element_at per gram measured ~2× slower).
-    length = F.greatest(F.size(hashed) - (n - 1), F.lit(0))
-    grams = F.slice(hashed, 1, length)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(hashed, j + 1, length),
-            lambda acc, h: F.pmod(acc * F.lit(31) + h, F.lit(_MERSENNE_P)),
-        )
-    return F.array_distinct(grams)
+        grams = hashed
+    else:
+        length = F.greatest(F.size(hashed) - (n - 1), F.lit(0))
+        grams = F.slice(hashed, 1, length)
+        for j in range(1, n):
+            grams = F.zip_with(
+                grams,
+                F.slice(hashed, j + 1, length),
+                lambda acc, h: F.pmod(acc * F.lit(base) + h, F.lit(_MERSENNE_P)),
+            )
+    return F.array_distinct(grams) if distinct else grams
 
 
 def minhash_signature(
@@ -287,22 +297,10 @@ def span_fingerprint_arrays(
     All O(n·len) arithmetic stays in whole-stage codegen via the aligned
     slice + zip_with fold (no per-gram string building, no element_at)."""
     tokens = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
-    length = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
-
-    def fold(offset: int, base: int) -> F.Column:
-        hashed = F.transform(
-            tokens, lambda t: F.pmod(_md5_word(t, offset), F.lit(_MERSENNE_P))
-        )
-        grams = F.slice(hashed, 1, length)
-        for j in range(1, n):
-            grams = F.zip_with(
-                grams,
-                F.slice(hashed, j + 1, length),
-                lambda acc, h: F.pmod(acc * F.lit(base) + h, F.lit(_MERSENNE_P)),
-            )
-        return grams
-
-    return fold(1, 31), fold(9, 37)
+    return (
+        _poly_gram_fold(tokens, n, offset=1, base=31, distinct=False),
+        _poly_gram_fold(tokens, n, offset=9, base=37, distinct=False),
+    )
 
 
 def _token_bit(hi: F.Column, lo: F.Column, i: int) -> F.Column:

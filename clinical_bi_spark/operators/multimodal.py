@@ -60,6 +60,29 @@ def sniff_media_type(data: bytes | None) -> str:
     return "application/octet-stream"
 
 
+def _parse_avi_dimensions(data: bytes) -> tuple[int | None, int | None]:
+    """Width/height from the first video stream's strf BITMAPINFOHEADER,
+    located by a REAL RIFF chunk walk (hdrl → strl → strf) — a raw byte
+    scan for 'strf' could false-match inside payload bytes."""
+    found: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end and not found:
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = pos + 8
+            if tag == b"LIST":
+                if data[body : body + 4] in (b"hdrl", b"strl"):
+                    walk(body + 4, body + size)
+            elif tag == b"strf" and size >= 20:
+                width, height = struct.unpack("<ii", data[body + 4 : body + 12])
+                found.append((int(width), int(abs(height))))
+            pos = body + size + (size % 2)
+
+    walk(12, len(data))
+    return found[0] if found else (None, None)
+
+
 def _parse_mp4_dimensions(data: bytes) -> tuple[int | None, int | None]:
     """Walk the ISO-BMFF box tree (moov → trak → tkhd) for the first
     video track's presentation width/height — container-level metadata
@@ -81,9 +104,10 @@ def _parse_mp4_dimensions(data: bytes) -> tuple[int | None, int | None]:
                     return found
             elif box == b"tkhd" and pos + size <= len(data):
                 version = data[body]
-                # width/height are the last two 16.16 fixed-point fields:
-                # v0 header is 80 bytes before them, v1 (64-bit times) 88
-                off = body + (88 if version == 1 else 80)
+                # width/height are the last two 16.16 fixed-point fields;
+                # bytes before them incl. version/flags: v0 = 4+20+8+8+36
+                # = 76, v1 (64-bit times) = 4+32+8+8+36 = 88
+                off = body + (88 if version == 1 else 76)
                 w, h = struct.unpack(">II", data[off : off + 8])
                 if w and h:
                     return w >> 16, h >> 16
@@ -126,14 +150,7 @@ def parse_dimensions(data: bytes) -> tuple[int | None, int | None]:
                 seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
                 i += 2 + seg_len
         if kind == "video/x-msvideo":
-            # strf's BITMAPINFOHEADER carries the frame size; find the
-            # first 'strf' chunk (hdrl's video stream writes it first)
-            idx = data.find(b"strf")
-            if idx != -1 and idx + 20 <= len(data):
-                width, height = struct.unpack(
-                    "<ii", data[idx + 12 : idx + 20]
-                )
-                return int(width), int(abs(height))
+            return _parse_avi_dimensions(data)
         if kind == "video/mp4":
             return _parse_mp4_dimensions(data)
     except (struct.error, ValueError):
@@ -406,22 +423,28 @@ def encode_png(arr) -> bytes:
     flat = a.reshape(h, stride).astype(np.int32)
     pieces = []
     prev = np.zeros(stride, dtype=np.int32)
+    zeros3 = np.zeros(3, dtype=np.int32)
     for y in range(h):
         cur = flat[y]
+        # encode filters read only ORIGINAL cur/prev values (unlike
+        # decode's inverse, which is sequential in x) — fully vectorized
+        left = np.concatenate([zeros3, cur[:-3]])
+        up = prev
+        ul = np.concatenate([zeros3, prev[:-3]])
         ftype = 1 + y % 4
-        enc = np.zeros(stride, dtype=np.int32)
-        for i in range(stride):
-            left = int(cur[i - 3]) if i >= 3 else 0
-            up = int(prev[i])
-            ul = int(prev[i - 3]) if i >= 3 else 0
-            if ftype == 1:
-                enc[i] = (cur[i] - left) & 0xFF
-            elif ftype == 2:
-                enc[i] = (cur[i] - up) & 0xFF
-            elif ftype == 3:
-                enc[i] = (cur[i] - (left + up) // 2) & 0xFF
-            else:
-                enc[i] = (cur[i] - _paeth(left, up, ul)) & 0xFF
+        if ftype == 1:
+            enc = (cur - left) & 0xFF
+        elif ftype == 2:
+            enc = (cur - up) & 0xFF
+        elif ftype == 3:
+            enc = (cur - (left + up) // 2) & 0xFF
+        else:
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            enc = (cur - pred) & 0xFF
         pieces.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
         prev = cur
 
@@ -810,37 +833,48 @@ def resize_media(
     schema = f"{id_col} long, resized binary, resized_bytes int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # codec dispatch built once per worker batch, not per row
+        from clinical_bi_spark.operators.gif import resize_gif_gray
+        from clinical_bi_spark.operators.jpeg import resize_jpeg
+
+        codecs = {
+            "image/x-portable-pixmap": resize_ppm,
+            "image/bmp": resize_bmp,
+            "image/png": resize_png,
+            "image/jpeg": resize_jpeg,
+            # grayscale-palette contract; color GIFs fail the contract
+            # and fall to the byte-downsample path
+            "image/gif": resize_gif_gray,
+        }
+
         for pdf in it:
             def shrink(data: bytes | None) -> bytes:
                 data = data or b""
                 kind = sniff_media_type(data)
-                from clinical_bi_spark.operators.gif import resize_gif_gray
-                from clinical_bi_spark.operators.jpeg import resize_jpeg
-
-                real = {
-                    "image/x-portable-pixmap": resize_ppm,
-                    "image/bmp": resize_bmp,
-                    "image/png": resize_png,
-                    "image/jpeg": resize_jpeg,
-                    # grayscale-palette contract; color GIFs raise
-                    # ValueError and fall to the byte-downsample path
-                    "image/gif": resize_gif_gray,
-                }.get(kind)
+                real = codecs.get(kind)
                 if real is not None:
                     try:
                         return real(data, target_width, target_height)
-                    except ValueError:
+                    except Exception as exc:
                         # Bytes sniffed as a decodable container but the
-                        # header/payload is malformed or truncated. One corrupt
-                        # asset must not kill a 100 TB job: fall through to the
-                        # byte-downsample path (or raise only under the strict
-                        # fake_codec=False contract below).
-                        pass
-                if not fake_codec:
+                        # payload is malformed/truncated/out-of-contract.
+                        # Codecs are data-dependent parsers, and their
+                        # failure modes span ValueError/struct.error/
+                        # zlib.error/IndexError/EOFError — one corrupt
+                        # asset must not kill a 100 TB job, so ANY codec
+                        # failure falls through to the byte-downsample
+                        # path; under the strict contract it surfaces as
+                        # a typed error instead.
+                        if not fake_codec:
+                            raise ValueError(
+                                f"undecodable {kind} asset"
+                            ) from exc
+                if real is None and not fake_codec:
                     raise NotImplementedError(
-                        "non-PPM/BMP media resize requires an imaging "
+                        "media resize for this format requires an imaging "
                         "library (PIL/cv2); not available in this "
-                        "environment — use fake_codec=True"
+                        "environment — use fake_codec=True or a "
+                        "PPM/BMP/PNG/JPEG/GIF asset"
                     )
                 if len(data) <= target_bytes:
                     return data

@@ -509,7 +509,8 @@ def test_mp4_and_avi_dimension_parsing():
     def box(tag, body):
         return struct.pack(">I", len(body) + 8) + tag + body
 
-    for version, pre in ((0, 76), (1, 84)):
+    # pre = spec bytes between flags and width: v0 20+8+8+36=72, v1 84
+    for version, pre in ((0, 72), (1, 84)):
         tkhd = bytes([version]) + bytes(3) + bytes(pre) + struct.pack(
             ">II", 640 << 16, 360 << 16
         )
@@ -614,3 +615,40 @@ def test_gif_gray_roundtrip_exact_and_dispatch(spark):
     out = resize_media(df, target_width=8, target_height=8).collect()[0]
     small = decode_gif(bytes(out["resized"]))
     assert (small[..., 0] == g[::2, ::2]).all()
+
+
+def test_resize_media_survives_malformed_codec_assets(spark):
+    """One corrupt asset must not kill the job: truncated/garbled
+    PNG/JPEG/GIF payloads (whose failure modes span struct.error,
+    zlib.error, IndexError — not just ValueError) fall through to the
+    byte-downsample path; the strict contract surfaces a typed error."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.gif import encode_gif_gray
+    from clinical_bi_spark.operators.jpeg import encode_jpeg
+    from clinical_bi_spark.operators.multimodal import (
+        encode_png,
+        resize_media,
+    )
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    png, jpg = encode_png(img), encode_jpeg(img)
+    gif = encode_gif_gray(img)
+    rows = [
+        (1, bytearray(png[:30])),          # PNG truncated mid-IHDR
+        (2, bytearray(png[:40] + b"garbagegarbage")),  # corrupt IDAT
+        (3, bytearray(jpg[: len(jpg) // 2])),  # JPEG cut in the scan
+        (4, bytearray(gif[:20])),          # GIF truncated in the palette
+        (5, bytearray(png)),               # one GOOD asset alongside
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media binary")
+    out = {r["asset_id"]: r for r in resize_media(df, target_width=8, target_height=8).collect()}
+    assert len(out) == 5                    # nothing killed the job
+    assert out[5]["resized_bytes"] > 0      # good asset took the codec path
+    for k in (1, 2, 3, 4):
+        assert out[k]["resized_bytes"] <= 64  # fell to byte-downsample
+
+    with pytest.raises(Exception, match="undecodable"):
+        resize_media(
+            df.filter("asset_id = 2"), fake_codec=False
+        ).collect()

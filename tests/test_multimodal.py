@@ -652,3 +652,35 @@ def test_resize_media_survives_malformed_codec_assets(spark):
         resize_media(
             df.filter("asset_id = 2"), fake_codec=False
         ).collect()
+
+
+def test_gif89a_with_extension_blocks_decodes():
+    """Real-world GIFs are GIF89a with extension blocks (graphic control,
+    comments) before the image descriptor — the decoder must skip their
+    sub-block chains and still land on the pixel data."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.gif import decode_gif, encode_gif_gray
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    data = bytearray(encode_gif_gray(g))
+    # upgrade to 89a and splice extensions after the palette (offset 13+768)
+    data[:6] = b"GIF89a"
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"          # graphic control
+    comment = b"\x21\xfe\x05hello\x00"                  # comment extension
+    cut = 13 + 768
+    patched = bytes(data[:cut]) + gce + comment + bytes(data[cut:])
+    back = decode_gif(patched)
+    assert (back[..., 0] == g).all()
+
+
+def test_gif_gray_encoder_rejects_color_input():
+    import numpy as np
+    import pytest
+
+    from clinical_bi_spark.operators.gif import encode_gif_gray
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    rgb[0, 0] = (10, 20, 30)  # not gray
+    with pytest.raises(ValueError, match="R==G==B"):
+        encode_gif_gray(rgb)

@@ -159,6 +159,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipelineops,
         extended,
         events,
+        graph,
         mlops,
         multimodalops,
         sketchops,

@@ -504,3 +504,64 @@ def j_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_id", "lo", "hi", "n_events", "sum_cents", "avg_value"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences.
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst
+  FROM events
+), pairs AS (
+  SELECT src, dst, COUNT(*) AS n_transitions
+  FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst
+)
+SELECT src AS src,
+       dst AS dst,
+       n_transitions AS n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY src) AS DOUBLE) AS prob
+FROM pairs
+"""
+
+
+@query("evt_markov_transitions", oracle=_MARKOV_ORACLE)
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences
+    (src event_type -> next event_type, with empirical probability) —
+    the sequence-mining primitive behind funnel and next-action models.
+
+    Scale shape: ONE shuffle on user_id for the lead() window (total
+    order via the (ts, event_id) tie-break), then a groupBy on the
+    (src, dst) pair — at most |types|^2 groups, partial-agg'd map-side
+    to almost nothing. The per-src normalization runs on the aggregated
+    matrix (tiny), never on the event stream. prob is an exact-integer
+    ratio evaluated as one correctly-rounded double division, so it is
+    bit-identical across engines."""
+    t = load_tables(tune(spark), sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t.events.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    per_src = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_src).cast("double")
+        ).alias("prob"),
+    )

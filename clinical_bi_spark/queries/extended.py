@@ -303,6 +303,175 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD2 (type-2 slowly-changing dimension) history build.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+         lag(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev
+  FROM orders
+), chg AS (
+  SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey AS o_custkey,
+       CAST(row_number() OVER w AS INT) AS version,
+       o_orderpriority AS segment,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("etl_scd2_history", oracle=_SCD2_ORACLE)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from a change log (the warehouse pattern behind
+    the reference's derived-table rebuilds, ct_data.py's idea of 'current
+    state' generalized to full history): treat each order as an event that
+    may change the customer's priority segment; collapse consecutive
+    repeats, then version the survivors with [valid_from, valid_to)
+    intervals and an is_current flag.
+
+    Scale shape: both window passes partition on o_custkey and sort on the
+    same (o_orderdate, o_orderkey) key, so Catalyst plans ONE exchange and
+    one sort — the change-filter and the versioning ride the same
+    partition-local pass. The tie-break on o_orderkey makes the ordering
+    total, so the collapse is deterministic in both engines."""
+    t = load_tables(tune(spark), sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        t.orders.withColumn("prev", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+        )
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    return chg.select(
+        "o_custkey",
+        F.row_number().over(w).alias("version"),
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregate battery from exact integer sums.
+# ---------------------------------------------------------------------------
+
+# Correctness model: corr/stddev/covar/regr_slope are float-order-sensitive
+# if computed by the engines' native streaming aggregates (Welford /
+# pairwise merges differ), so this battery computes the six classical
+# BIGINT power sums exactly (order-independent, mergeable — the same
+# partial-agg shape a 1000-executor cluster needs) and then derives every
+# statistic through ONE identical correctly-rounded double expression in
+# both engines. Domain bounds that keep every conversion exact (< 2^53):
+# x = quantity in [1, 50] integral; y = price rounded to whole dollars
+# <= ~110k, so syy <= n * 1.2e10 stays exactly representable up to n ~ 7e5
+# per group (sf0.1). The documented 100 TB switch is DECIMAL(38,0) sums —
+# same shape, wider lattice.
+_STATS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(qx)::BIGINT AS sx,  SUM(qy)::BIGINT AS sy,
+         SUM(qx * qx)::BIGINT AS sxx,
+         SUM(qy * qy)::BIGINT AS syy,
+         SUM(qx * qy)::BIGINT AS sxy
+  FROM (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS qx,
+           CAST(ROUND(l_extendedprice) AS BIGINT) AS qy
+    FROM lineitem
+  ) t
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag AS l_returnflag,
+       n AS n,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_price_usd,
+       sqrt((CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            / CAST(n - 1 AS DOUBLE)) AS stddev_qty,
+       (CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         / CAST(n - 1 AS DOUBLE) AS covar_qty_price,
+       (CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+         AS corr_qty_price,
+       (CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         AS regr_slope_price_on_qty
+FROM s
+"""
+
+
+@query("agg_stats_battery", oracle=_STATS_ORACLE)
+def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / stddev_samp / covar_samp / regr_slope per group, EXACTLY
+    oracled: six BIGINT power sums (order-independent, partial-agg
+    mergeable) feed one identical double expression in both engines —
+    every conversion below 2^53 is exact and every *, /, sqrt is
+    IEEE-754 correctly rounded, so the doubles are bit-identical. The
+    engines' native corr()/stddev() would NOT hash-match (Welford merge
+    order varies with partitioning); this battery is how a distributed
+    engine gets deterministic second-moment statistics."""
+    t = load_tables(tune(spark), sf_dir)
+    qx = F.col("l_quantity").cast("bigint")
+    qy = F.round(F.col("l_extendedprice")).cast("bigint")
+    s = (
+        t.lineitem.select(
+            "l_returnflag", qx.alias("qx"), qy.alias("qy")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qx").alias("sx"),
+            F.sum("qy").alias("sy"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+            F.sum(F.col("qy") * F.col("qy")).alias("syy"),
+            F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (sxx - sx * sx / n) / (F.col("n") - 1).cast("double")
+    cov = (sxy - sx * sy / n) / (F.col("n") - 1).cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        (sy / n).alias("mean_price_usd"),
+        F.sqrt(var_x).alias("stddev_qty"),
+        cov.alias("covar_qty_price"),
+        (
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (sxx - sx * sx / n)).alias(
+            "regr_slope_price_on_qty"
+        ),
+    )
+
+
 _UNPIVOT_ORACLE = """
 SELECT o_orderkey AS o_orderkey, metric AS metric, value AS value
 FROM (

@@ -1,0 +1,175 @@
+"""Graph analytics over relationship edges derived from the relational
+tables — the iterative-algorithm surface beyond connected components
+(operators/dedup.py). PageRank here is EXACTLY oracled: ranks live in
+integer micro-units (1e-12) and every update uses order-independent
+BIGINT sums plus truncating integer division, so a fixed iteration count
+produces bit-identical ranks in any engine — the same trick that made
+text_lm_score and the dedup family hash-exact (float PageRank would
+drift with partitioning; integer PageRank cannot).
+
+Scale shape: the expensive part is EDGE DERIVATION (a fact-table
+multi-join + DISTINCT — one shuffle on the join key, then a distinct on
+the compact (src, dst) pair). The iterations run on the edge list: each
+is one shuffle of (dst, contribution) pairs, partial-agg'd map-side. At
+billions of edges you persist the edge list once and localCheckpoint the
+rank table every few iterations to truncate lineage — documented here,
+unnecessary at 25 nodes x <=625 edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_bi_spark.caching import persist_tracked
+from clinical_bi_spark.queries import query
+from clinical_bi_spark.session import tune
+from clinical_bi_spark.sources import load_tables
+
+_SCALE = 10**12  # rank micro-units: 1.0 == 1e12
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+_ITERS = 5
+
+# Dangling-node policy (documented contract, mirrored exactly by the
+# oracle): nodes with no out-edges leak their rank mass — no
+# redistribution step. Ranks therefore do not sum to 1; they remain a
+# deterministic centrality ordering, which is what the query is for.
+
+_EDGES_SQL = """
+  SELECT DISTINCT CAST(c.c_nationkey AS INT) AS src,
+                  CAST(s.s_nationkey AS INT) AS dst
+  FROM lineitem l
+  JOIN orders   o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+"""
+
+
+def _iteration_cte(k: int) -> str:
+    prev = "r0" if k == 1 else f"it{k - 1}"
+    return f"""it{k} AS (
+  SELECT n.node,
+         CAST((SELECT base FROM params)
+              + ({_DAMP_NUM} * COALESCE(SUM(p.rank // d.outdeg), 0))
+                // {_DAMP_DEN} AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN edges  e ON e.dst = n.node
+  LEFT JOIN outdeg d ON d.src = e.src
+  LEFT JOIN {prev} p ON p.node = e.src
+  GROUP BY n.node
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+params AS (
+  SELECT ({_SCALE} // (SELECT COUNT(*) FROM nodes)) AS r0,
+         ((15 * ({_SCALE} // (SELECT COUNT(*) FROM nodes))) // 100) AS base
+),
+outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+),
+r0 AS (
+  SELECT node, (SELECT r0 FROM params) AS rank FROM nodes
+),
+{",".join(_iteration_cte(k) for k in range(1, _ITERS + 1))}
+SELECT it.node AS node,
+       nt.n_name AS nation,
+       CAST(COALESCE(d.outdeg, 0) AS INT) AS out_deg,
+       it.rank AS rank_micro,
+       CAST(it.rank AS DOUBLE) / 1000000000000.0 AS rank
+FROM it{_ITERS} it
+JOIN nation nt ON nt.n_nationkey = it.node
+LEFT JOIN outdeg d ON d.src = it.node
+"""
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (5) damped PageRank over the nation-level
+    trade graph (customer nation -> supplier nation, one edge per
+    distinct trading pair), in exact integer micro-units:
+
+        r0       = SCALE div N
+        base     = (15 * r0) div 100
+        r'(v)    = base + (85 * sum_{{u->v}} (r(u) div outdeg(u))) div 100
+
+    Truncating div and BIGINT sums are order-independent, so the result
+    is bit-identical however Spark partitions the contributions — the
+    property that lets an iterative algorithm carry an exact SQL oracle
+    (unrolled CTEs, one per iteration)."""
+    t = load_tables(tune(spark), sf_dir)
+    edges = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("c_nationkey").cast("int").alias("src"),
+            F.col("s_nationkey").cast("int").alias("dst"),
+        )
+        .distinct()
+    )
+    # node-count-sized relations: persist once, iterate against the cache
+    edges = persist_tracked(edges)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = persist_tracked(nodes)
+    n_nodes = nodes.count()  # graph-order scalar (25 here), not data-sized
+    r0 = _SCALE // n_nodes
+    base = (15 * r0) // 100
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ew = edges.join(outdeg, "src").select("src", "dst", "outdeg")
+    ew = persist_tracked(ew)
+
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
+    for _ in range(_ITERS):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({_DAMP_NUM} * coalesce(contrib, 0L)) div {_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return (
+        ranks.join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("node"),
+        )
+        .join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.col("n_name").alias("nation"),
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("int").alias("out_deg"),
+            F.col("rank").alias("rank_micro"),
+            (F.col("rank").cast("double") / F.lit(1000000000000.0)).alias("rank"),
+        )
+    )

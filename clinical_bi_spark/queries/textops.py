@@ -1422,3 +1422,61 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_span_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-token-window chunk materialization (training-example splitter).
+# ---------------------------------------------------------------------------
+
+_CHUNK_SPLIT_TOKENS = 64
+
+_CHUNK_SPLIT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(col='text')} AS tk FROM documents
+)
+SELECT doc_id AS doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(len(list_slice(tk, i * {_CHUNK_SPLIT_TOKENS} + 1,
+                           i * {_CHUNK_SPLIT_TOKENS} + {_CHUNK_SPLIT_TOKENS}))
+            AS INT) AS n_tokens,
+       array_to_string(
+         list_slice(tk, i * {_CHUNK_SPLIT_TOKENS} + 1,
+                    i * {_CHUNK_SPLIT_TOKENS} + {_CHUNK_SPLIT_TOKENS}),
+         ' ') AS chunk_text
+FROM toks,
+     UNNEST(range(0, CAST(CEIL(len(tk) / {_CHUNK_SPLIT_TOKENS}.0) AS BIGINT)))
+       AS t(i)
+"""
+
+
+@query("text_chunk_split", oracle=_CHUNK_SPLIT_ORACLE)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize fixed-size training chunks: every document becomes
+    ceil(n_tokens/64) rows of at-most-64-token chunk text (the example
+    splitter that feeds sequence packing; whitespace-token contract shared
+    with text_stats via the same _TOKENS fragment). Pure narrow op —
+    tokenize once, ``transform`` over a ``sequence`` of chunk indices,
+    ``inline`` the struct array; no shuffle, no UDF, and empty documents
+    yield zero rows in both engines (inline of an empty array ≡ the
+    oracle's empty range). At 100 TB this is the same embarrassingly
+    parallel scan shape as text_stats; the output explodes rows but each
+    output partition descends from exactly one input split."""
+    t = load_tables(tune(spark), sf_dir)
+    k = _CHUNK_SPLIT_TOKENS
+    tk = word_tokens(F.col("text"))
+    chunks = F.expr(
+        f"""
+        CASE WHEN size(tk) = 0 THEN array()
+             ELSE transform(
+               sequence(0, CAST(ceil(size(tk) / {k}.0) AS INT) - 1),
+               i -> struct(
+                 CAST(i AS INT) AS chunk_id,
+                 CAST(size(slice(tk, i * {k} + 1, {k})) AS INT) AS n_tokens,
+                 array_join(slice(tk, i * {k} + 1, {k}), ' ') AS chunk_text))
+        END
+        """
+    )
+    return (
+        t.documents.select("doc_id", tk.alias("tk"))
+        .select("doc_id", F.inline(chunks))
+    )

@@ -378,3 +378,76 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _annotate_recall_enabled():
         return ann
     return _with_recall_at_k(ann, _exact_topk(emb, k=5))
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array-function battery (Catalyst lambda surface).
+# ---------------------------------------------------------------------------
+
+# Every metric is a per-row lambda pipeline over the embedding array —
+# transform / filter / aggregate(fold) / zip_with(reverse) / sort — with
+# all float arithmetic widened element-wise to double (exact: float32 ->
+# double is lossless) and folded STRICTLY left-to-right in both engines
+# (Spark `aggregate` and DuckDB `list_reduce` are both sequential), so
+# the doubles are bit-identical, no tolerance needed. Output columns are
+# scalars on purpose: the driver's canonicalizer sorts rows by every
+# column and array cells would crash it (round-1 lesson).
+_ARRAY_BATTERY_ORACLE = """
+SELECT vec_id AS vec_id,
+       label AS label,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       list_reduce(
+         list_prepend(0.0::DOUBLE, CAST(embedding AS DOUBLE[])),
+         (a, b) -> a + b) AS sum_emb,
+       sqrt(list_reduce(
+         list_prepend(0.0::DOUBLE,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         (a, b) -> a + b)) AS l2_norm,
+       CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs,
+       CAST(list_sort(embedding)[32] AS DOUBLE) AS med_lo,
+       list_reduce(
+         list_prepend(0.0::DOUBLE,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             (x, i) -> x * CAST(list_reverse(embedding)[i] AS DOUBLE))),
+         (a, b) -> a + b) AS dot_rev,
+       len(list_filter(embedding, x -> abs(x) > 2.0)) > 0 AS has_big
+FROM embeddings
+"""
+
+
+@query("f_array_battery", oracle=_ARRAY_BATTERY_ORACLE)
+def f_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst higher-order-function battery over the embedding column:
+    transform / filter / aggregate-fold / zip_with-with-reverse / sort /
+    exists, each reduced to a scalar and exactly oracled against DuckDB's
+    list lambdas (see _ARRAY_BATTERY_ORACLE for the bit-identity
+    argument). Zero shuffle — a narrow JVM-side map over parquet splits,
+    the shape that scales linearly with executors; none of this touches
+    Python."""
+    t = load_tables(tune(spark), sf_dir)
+    emb = F.col("embedding")
+    dbl = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    return t.embeddings.select(
+        "vec_id",
+        "label",
+        F.expr("CAST(size(filter(embedding, x -> x > 0)) AS INT)").alias("n_pos"),
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            " 0.0D, (a, b) -> a + b)"
+        ).alias("sum_emb"),
+        F.expr(
+            "sqrt(aggregate(transform(embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0.0D, (a, b) -> a + b))"
+        ).alias("l2_norm"),
+        F.expr(
+            "CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)"
+        ).alias("max_abs"),
+        F.expr("CAST(sort_array(embedding)[31] AS DOUBLE)").alias("med_lo"),
+        F.expr(
+            "aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            " transform(reverse(embedding), x -> CAST(x AS DOUBLE)),"
+            " (x, y) -> x * y), 0.0D, (a, b) -> a + b)"
+        ).alias("dot_rev"),
+        F.expr("exists(embedding, x -> abs(x) > 2.0F)").alias("has_big"),
+    )

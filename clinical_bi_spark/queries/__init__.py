@@ -58,7 +58,17 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: r4-green remainder the r5 brief named as due (windows/cube/pivot/
 #: unpivot, multi-count-distinct, the etl domain entries, the evt core,
 #: the embedding-cosine pair miner, and the two bench watch items
-#: dedup_exact / asof_join_events). Streaming sits at the window's TAIL:
+#: dedup_exact / asof_join_events). Mid-round re-rotation: the six NEW
+#: exact-oracle queries (scd2 / stats battery / pagerank / markov /
+#: array battery / chunk split) enter the window — new code with an
+#: exact oracle outranks everything else — displacing the six ROWS-ONLY
+#: entries (sim_ann_ivf/pq, m8_trained, m9, a3_approx,
+#: agg_percentiles_approx): a rows-only driver row only proves "runs",
+#: which pytest already proves each session, while those queries' real
+#: contracts (recall floors on two fixture families, error bounds,
+#: parity pins) live in tests/ — the same reasoning that kept
+#: multimodal_resize_jpeg outside the window.
+#: Streaming sits at the window's TAIL:
 #: a wedged stateful stream must only ever cost later *streaming* rows,
 #: never a batch family (round-1 lesson; all six streaming queries
 #: changed this round — multi-batch plumbing — so they are inside the
@@ -70,19 +80,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_ann_lsh",            # graduated to an exact oracle
     "multimodal_resize",      # repartition before synthesis (5x)
     "multimodal_audio_features",
-    "m9_mlp_train_eval",      # also r3-stale
     "dedup_cluster_winnow",   # CC checkpoint tracking/early release
     "dedup_minhash_lsh",      # tracked-persist refactor touched all dedup
     "dedup_simhash",
     "dedup_simhash_blocked",
     "dedup_embedding_lsh",
-    "sim_ann_ivf",            # similarity.py tracked persists
-    "sim_ann_pq",
     "pipeline_corpus_curation",  # textops tracked persists
     "dedup_decontaminate",
     "dedup_winnow_pairs",
     "text_sequence_packing",  # packing.py tracked persist
-    "m8_vocab_embedding_trained",  # Word2Vec degenerate-corpus guard
     "text_bm25_topk",         # NEW r6: exactly-oracled BM25 selection
     "a3_hll_portable",        # NEW r6: register-exact HLL sketch
     "sketch_countmin_topk",   # NEW r6: cell-exact count-min heavy hitters
@@ -94,13 +100,17 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "j_range_interval_join",  # NEW r6: grid-cell interval equi-join
     "multimodal_resize_png",  # NEW r6: real compressed codec, pixel oracle
     "multimodal_resize_gif",  # NEW r6: real LZW codec, lossless, exact
+    "etl_scd2_history",       # NEW r6: type-2 SCD history build
+    "agg_stats_battery",      # NEW r6: exact-integer second moments
+    "graph_pagerank",         # NEW r6: integer-exact iterative PageRank
+    "evt_markov_transitions", # NEW r6: sequence transition matrix
+    "f_array_battery",        # NEW r6: higher-order lambda surface
+    "text_chunk_split",       # NEW r6: training-chunk materializer
     # -- headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
     # -- the whole r3 block: at the 3-round staleness ceiling --
-    "a3_approx_count_distinct",
     "agg_percentiles",
-    "agg_percentiles_approx",
     "agg_grouping_sets",
     "m5_bucketize",
     "m1_exact_split_sizes",
@@ -126,7 +136,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # Deferred to r7 (r4/r5-green, ≤3 rounds stale after this rotation, code
 # unchanged; the four etl_* domain entries were displaced from the r6
 # window by the four NEW r6 sketch/span queries — new queries have never
-# had a verdict, which outranks a 3-round-stale green on unchanged code):
+# had a verdict, which outranks a 3-round-stale green on unchanged code;
+# additionally sim_ann_ivf, sim_ann_pq, m8_vocab_embedding_trained,
+# m9_mlp_train_eval, a3_approx_count_distinct and agg_percentiles_approx
+# — all rows-only by construction — were displaced mid-round by the six
+# NEW exact-oracle queries, see the priority-block comment):
 # etl_cohort_literal_joins, etl_name_keyed_rollup,
 # etl_interventions_conditions, etl_calculated_values_rebuild,
 # unpivot_long (displaced by stream_hll_distinct), w3_lag_lead_first and

@@ -425,8 +425,6 @@ def f_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape that scales linearly with executors; none of this touches
     Python."""
     t = load_tables(tune(spark), sf_dir)
-    emb = F.col("embedding")
-    dbl = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     return t.embeddings.select(
         "vec_id",
         "label",

@@ -101,3 +101,12 @@ def save_as_table(df: DataFrame, name: str, bucket_by: tuple[int, str] | None = 
         n, col = bucket_by
         writer = writer.bucketBy(n, col).sortBy(col)
     writer.saveAsTable(name)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (Spark-native): same overwrite/partitioning contract as
+    write_parquet for warehouse consumers that expect ORC stripes."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

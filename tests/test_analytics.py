@@ -1,0 +1,182 @@
+"""Property tests for the round-6 analytics additions (SCD2, stats
+battery, PageRank, Markov transitions, array battery, chunk split) —
+invariants beyond the DuckDB differential in test_queries_oracle.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from clinical_bi_spark.queries import load_all
+from tests.conftest import SF_ORACLE, SF_SMALL
+
+REGISTRY = load_all()
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history invariants
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scd2_rows(spark):
+    return (
+        REGISTRY["etl_scd2_history"].fn(spark, SF_ORACLE).collect()
+    )
+
+
+def test_scd2_versions_dense_and_single_current(scd2_rows):
+    by_cust: dict = {}
+    for r in scd2_rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    assert by_cust
+    for rows in by_cust.values():
+        rows.sort(key=lambda r: r.version)
+        # versions are 1..k dense
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        # exactly one open interval, and it is the last version
+        currents = [r for r in rows if r.is_current]
+        assert len(currents) == 1 and currents[0].version == len(rows)
+
+
+def test_scd2_intervals_contiguous_and_segments_change(scd2_rows):
+    by_cust: dict = {}
+    for r in scd2_rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for rows in by_cust.values():
+        rows.sort(key=lambda r: r.version)
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from  # half-open chain, no gaps
+            assert a.segment != b.segment  # consecutive repeats collapsed
+        assert rows[-1].valid_to is None
+
+
+# ---------------------------------------------------------------------------
+# Stats battery vs numpy (independent second opinion on the formulas)
+# ---------------------------------------------------------------------------
+
+
+def test_stats_battery_matches_numpy(spark, oracle_con):
+    got = {
+        r.l_returnflag: r
+        for r in REGISTRY["agg_stats_battery"].fn(spark, SF_ORACLE).collect()
+    }
+    pdf = oracle_con.execute(
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, "
+        "CAST(ROUND(l_extendedprice) AS BIGINT) AS y FROM lineitem"
+    ).df()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp["x"].to_numpy(dtype=np.float64)
+        y = grp["y"].to_numpy(dtype=np.float64)
+        r = got[flag]
+        assert r.n == len(x)
+        assert r.mean_qty == pytest.approx(x.mean(), rel=1e-12)
+        assert r.stddev_qty == pytest.approx(x.std(ddof=1), rel=1e-9)
+        assert r.covar_qty_price == pytest.approx(
+            np.cov(x, y, ddof=1)[0, 1], rel=1e-9
+        )
+        assert r.corr_qty_price == pytest.approx(
+            np.corrcoef(x, y)[0, 1], rel=1e-9
+        )
+        slope = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+        assert r.regr_slope_price_on_qty == pytest.approx(slope, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# PageRank invariants
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_invariants(spark):
+    rows = REGISTRY["graph_pagerank"].fn(spark, SF_SMALL).collect()
+    assert rows
+    scale = 10**12
+    n = len(rows)
+    base = (15 * (scale // n)) // 100
+    for r in rows:
+        assert r.rank_micro >= base  # base floor: every node keeps (1-d)/N
+        assert r.rank == pytest.approx(r.rank_micro / 1e12, rel=0, abs=0)
+    # mass conservation up to the documented dangling leak + truncation:
+    # total never exceeds the initial SCALE
+    assert sum(r.rank_micro for r in rows) <= scale
+
+
+def test_pagerank_sink_dominates_source(spark):
+    # a node with in-edges must outrank the base-floor value whenever any
+    # in-neighbor has positive out-degree rank share
+    rows = REGISTRY["graph_pagerank"].fn(spark, SF_SMALL).collect()
+    ranked = sorted(rows, key=lambda r: r.rank_micro)
+    assert ranked[-1].rank_micro > ranked[0].rank_micro  # non-degenerate
+
+
+# ---------------------------------------------------------------------------
+# Markov transition invariants
+# ---------------------------------------------------------------------------
+
+
+def test_markov_rows_normalize_per_src(spark):
+    rows = REGISTRY["evt_markov_transitions"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    for src, grp in by_src.items():
+        total = sum(r.n_transitions for r in grp)
+        assert sum(r.prob for r in grp) == pytest.approx(1.0, abs=1e-9)
+        for r in grp:
+            assert r.prob == pytest.approx(r.n_transitions / total, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Array battery vs numpy
+# ---------------------------------------------------------------------------
+
+
+def test_array_battery_matches_numpy(spark, oracle_con):
+    got = {
+        r.vec_id: r
+        for r in REGISTRY["f_array_battery"].fn(spark, SF_ORACLE).collect()
+    }
+    pdf = oracle_con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 200"
+    ).df()
+    for _, row in pdf.iterrows():
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        r = got[row["vec_id"]]
+        assert r.n_pos == int((v > 0).sum())
+        assert r.sum_emb == pytest.approx(v.sum(), rel=1e-9)
+        assert r.l2_norm == pytest.approx(np.sqrt((v * v).sum()), rel=1e-9)
+        assert r.max_abs == pytest.approx(np.abs(v).max(), rel=0)
+        assert r.med_lo == pytest.approx(np.sort(v)[31], rel=0)
+        assert r.dot_rev == pytest.approx(v @ v[::-1], rel=1e-9)
+        assert r.has_big == bool((np.abs(v) > 2.0).any())
+
+
+# ---------------------------------------------------------------------------
+# Chunk split reconstruction property
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_split_reconstructs_token_stream(spark, oracle_con):
+    rows = REGISTRY["text_chunk_split"].fn(spark, SF_ORACLE).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    tok = {
+        doc_id: text.split()
+        for doc_id, text in oracle_con.execute(
+            "SELECT doc_id, text FROM documents"
+        ).fetchall()
+    }
+    # every doc with >=1 token appears; empty docs yield no rows
+    assert set(by_doc) == {d for d, tk in tok.items() if tk}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        # all but the last chunk are exactly full
+        for c in chunks[:-1]:
+            assert c.n_tokens == 64
+        assert 1 <= chunks[-1].n_tokens <= 64
+        rebuilt = " ".join(c.chunk_text for c in chunks).split()
+        assert rebuilt == tok[doc_id]

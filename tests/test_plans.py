@@ -338,3 +338,42 @@ def test_ohlc_is_single_aggregate_no_window(spark):
     assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
     # one shuffle: the detail section prints each node once as "(N) Exchange"
     assert plan.count(") Exchange") == 1
+
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def test_scd2_single_exchange(spark):
+    # both window passes share (partition key, sort key) — Catalyst must
+    # plan exactly one shuffle and ride the same partition-local sort
+    plan = explain(spark, "etl_scd2_history")
+    assert _n_exchanges(plan) == 1
+    assert plan.count(") Window") == 2 and plan.count(") Sort") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_array_battery_is_shuffle_free(spark):
+    plan = explain(spark, "f_array_battery")
+    assert "Exchange" not in plan, "per-row lambda pipeline must stay narrow"
+
+
+def test_chunk_split_is_shuffle_free(spark):
+    plan = explain(spark, "text_chunk_split")
+    assert "Exchange" not in plan, "chunk materialization must stay narrow"
+
+
+def test_pagerank_never_nested_loop(spark):
+    plan = explain(spark, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stats_battery_partial_aggregation(spark):
+    # the six power sums must partial-agg map-side (HashAggregate below
+    # the exchange) — that is the whole 1000-executor story
+    plan = explain(spark, "agg_stats_battery")
+    assert plan.count("HashAggregate") >= 2
+    assert _n_exchanges(plan) == 1

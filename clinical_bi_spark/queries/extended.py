@@ -328,7 +328,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
-@query("etl_scd2_history", oracle=_SCD2_ORACLE)
+@query("etl_scd2_history", oracle=_SCD2_ORACLE, bench=True)
 def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD history from a change log (the warehouse pattern behind
     the reference's derived-table rebuilds, ct_data.py's idea of 'current

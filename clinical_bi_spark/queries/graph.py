@@ -89,7 +89,7 @@ LEFT JOIN outdeg d ON d.src = it.node
 """
 
 
-@query("graph_pagerank", oracle=_PAGERANK_ORACLE)
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE, bench=True)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration (5) damped PageRank over the nation-level
     trade graph (customer nation -> supplier nation, one edge per

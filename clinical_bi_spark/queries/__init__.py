@@ -67,7 +67,14 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: which pytest already proves each session, while those queries' real
 #: contracts (recall floors on two fixture families, error bounds,
 #: parity pins) live in tests/ — the same reasoning that kept
-#: multimodal_resize_jpeg outside the window.
+#: multimodal_resize_jpeg outside the window. A second batch of four NEW
+#: exact-oracle queries (range window / dq report / fuzzy join / CDC
+#: upsert) displaced the r4-green-on-unchanged-code remainder
+#: (a3_multi_count_distinct, dedup_exact, evt_tumbling_window,
+#: evt_sessionization): those four carry r4 driver greens, per-session
+#: pytest oracle re-runs, and — for the latter three — bench floors
+#: re-confirmed twice this round; a never-adjudicated exact query
+#: outranks re-confirming them a third way.
 #: Streaming sits at the window's TAIL:
 #: a wedged stateful stream must only ever cost later *streaming* rows,
 #: never a batch family (round-1 lesson; all six streaming queries
@@ -106,6 +113,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "evt_markov_transitions", # NEW r6: sequence transition matrix
     "f_array_battery",        # NEW r6: higher-order lambda surface
     "text_chunk_split",       # NEW r6: training-chunk materializer
+    "w5_rolling_range_window",   # NEW r6: time-RANGE frame window
+    "dq_constraint_report",   # NEW r6: expectation audit report
+    "j_fuzzy_editdist_pairs", # NEW r6: PassJoin edit-distance join
     # -- headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
@@ -118,11 +128,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "m6_one_hot",
     "multimodal_metadata",
     "multimodal_frame_sample",
-    # -- r4-green remainder due per the r5 brief --
-    "a3_multi_count_distinct",
-    "dedup_exact",            # bench watch item, re-adjudicate
-    "evt_tumbling_window",
-    "evt_sessionization",
     # -- streaming LAST within the checked window (a wedged stream must
     #    only cost streaming rows); all six changed this round --
     "stream_tumbling_window",
@@ -132,6 +137,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_stateful_user_stats",
     "stream_corpus_curation",
     "stream_hll_distinct",    # NEW r6: windowed sketch state, exact oracle
+    "stream_upsert_cdc",      # NEW r6: foreachBatch CDC upsert (streaming
+                              # entries stay at the tail, newest last)
 )
 # Deferred to r7 (r4/r5-green, ≤3 rounds stale after this rotation, code
 # unchanged; the four etl_* domain entries were displaced from the r6
@@ -176,6 +183,7 @@ def load_all() -> dict[str, QuerySpec]:
         graph,
         mlops,
         multimodalops,
+        quality,
         sketchops,
         streamingops,
     )

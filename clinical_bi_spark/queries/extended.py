@@ -495,3 +495,95 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'shippriority', cast(o_custkey as double)) AS (metric, value)"
         ),
     ).select("o_orderkey", "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# Time-range rolling window (RANGE frame over event time).
+# ---------------------------------------------------------------------------
+
+_ROLLING_RANGE_ORACLE = """
+SELECT o_custkey AS o_custkey,
+       o_orderkey AS o_orderkey,
+       o_orderdate AS o_orderdate,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS roll_cents,
+       COUNT(*) OVER w AS roll_n,
+       CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                 AS BIGINT) AS DOUBLE) / 100.0 AS roll_usd
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("w5_rolling_range_window", oracle=_ROLLING_RANGE_ORACLE)
+def w5_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling revenue per customer — a RANGE frame over event
+    time, the window shape rows-based frames cannot express when events
+    are irregularly spaced. The ORDER BY key is integer DAYS since epoch
+    (datediff — date arithmetic, deliberately timezone-free: an epoch-
+    seconds key would shift frame membership across DST transitions
+    depending on session timezone). Summing integer CENTS keeps the
+    rolling aggregate order-independent (range frames include all ORDER
+    BY ties at once, and a float sum's value would depend on the
+    engine's tie visit order); the usd column is one correctly-rounded
+    division of the exact total. One shuffle on the partition key."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(tune(spark), sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+        .rangeBetween(-30, 0)
+    )
+    roll = F.sum(cents).over(w)
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        roll.alias("roll_cents"),
+        F.count("*").over(w).alias("roll_n"),
+        (roll.cast("double") / 100.0).alias("roll_usd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) self-join via PassJoin segment blocking.
+# ---------------------------------------------------------------------------
+
+# The oracle is the NAIVE all-pairs form on purpose (same contract as
+# dedup_simhash_blocked): a green driver row proves the segment blocking
+# loses no pair within the radius, not just that the arithmetic matches.
+_FUZZY_ORACLE = """
+SELECT a.p_partkey AS a_id,
+       b.p_partkey AS b_id,
+       a.p_name AS a_text,
+       b.p_name AS b_text,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("j_fuzzy_editdist_pairs", oracle=_FUZZY_ORACLE)
+def j_fuzzy_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All part-name pairs within Levenshtein distance 2 — record
+    linkage without a cross join (operators/fuzzy.py, PassJoin segment
+    blocking: candidates come from ONE hash equi-join on
+    (length, segment_index, segment_text) keys; exact levenshtein runs
+    only on blocked candidates). The all-pairs oracle proves the
+    blocking is lossless on this data."""
+    from clinical_bi_spark.operators.fuzzy import editdist_self_join
+
+    t = load_tables(tune(spark), sf_dir)
+    out = editdist_self_join(t.part, "p_partkey", "p_name", k=2)
+    return out.select(
+        F.col("a_id"),
+        F.col("b_id"),
+        "a_text",
+        "b_text",
+        F.col("dist").cast("int").alias("dist"),
+    )

@@ -298,3 +298,37 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err_pct",
         )
     )
+
+
+_UPSERT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_updates
+  FROM events
+)
+SELECT user_id AS user_id,
+       ts AS last_ts,
+       event_id AS last_event_id,
+       event_type AS last_type,
+       value AS last_value,
+       n_updates AS n_updates
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("stream_upsert_cdc", oracle=_UPSERT_ORACLE)
+def stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (foreachBatch MERGE emulation): the final
+    current-state table — latest event per user plus a running update
+    count — is arrival-order independent (max over the unique
+    (ts, event_id) struct; counts add), so it equals the batch
+    last-event-per-key query however the input splits into micro-batches
+    (3-batch run exercised in tests/test_streaming.py)."""
+    from clinical_bi_spark.streaming.windows import (
+        stream_upsert_current_state,
+    )
+
+    return stream_upsert_current_state(tune(spark), sf_dir)

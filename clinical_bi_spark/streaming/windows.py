@@ -360,3 +360,117 @@ def windowed_hll_registers(
         .select(F.col("w.start").alias("window_start"), "bucket", "r")
     )
     return _run_to_completion(regs, "complete", progress_sink)
+
+
+def stream_upsert_current_state(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
+) -> DataFrame:
+    """Streaming CDC upsert via foreachBatch: each micro-batch folds into
+    a keyed current-state table (one row per user: the latest event plus
+    a running update count) with the anti-join+union MERGE emulation —
+    the pattern a format-free warehouse uses for streaming upserts, and
+    the one that becomes ``MERGE INTO`` with Delta/Iceberg
+    (cf. sinks.write_jdbc for the batch-side equivalent).
+
+    The merge is associative and arrival-order independent: "latest" is
+    max over the unique (ts, event_id) struct key and counts add, so the
+    final table equals the batch last-event-per-key query no matter how
+    the input splits into micro-batches (the exact-oracle argument; the
+    multi-batch test drives 3 real batches through it).
+
+    Scale shape: per batch, ONE shuffle of the batch's per-key maxima
+    (struct-valued MAX, partial-agg'd map-side) plus one keyed merge
+    join against state; state is localCheckpoint'ed each epoch so
+    lineage stays flat over unbounded streams (the connected-components
+    recipe), and old epochs unpersist eagerly."""
+    from clinical_bi_spark.caching import (
+        local_checkpoint_tracked,
+        release_rdd_ids,
+    )
+
+    events = _events_stream(spark, sf_dir, max_files_per_trigger)
+    state: dict = {"df": None, "cached": None}
+
+    key = F.struct("ts", "event_id", "event_type", "value")
+
+    def batch_latest(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(F.max(key).alias("k"), F.count("*").alias("n_updates"))
+            .select(
+                "user_id",
+                F.col("k.ts").alias("last_ts"),
+                F.col("k.event_id").alias("last_event_id"),
+                F.col("k.event_type").alias("last_type"),
+                F.col("k.value").alias("last_value"),
+                "n_updates",
+            )
+        )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        incoming = batch_latest(batch_df)
+        if state["df"] is None:
+            merged = incoming
+        else:
+            both = state["df"].unionByName(incoming)
+            k2 = F.struct(
+                "last_ts", "last_event_id", "last_type", "last_value"
+            )
+            merged = (
+                both.groupBy("user_id")
+                .agg(
+                    F.max(k2).alias("k"),
+                    F.sum("n_updates").alias("n_updates"),
+                )
+                .select(
+                    "user_id",
+                    F.col("k.last_ts").alias("last_ts"),
+                    F.col("k.last_event_id").alias("last_event_id"),
+                    F.col("k.last_type").alias("last_type"),
+                    F.col("k.last_value").alias("last_value"),
+                    "n_updates",
+                )
+            )
+        # truncate lineage + materialize before batch_df goes stale;
+        # the tracked checkpoint registers its RDD blocks for release at
+        # the next query boundary, and superseded epochs release eagerly
+        checkpointed, rdd_ids = local_checkpoint_tracked(merged, eager=True)
+        old_ids = state["cached"]
+        state["df"] = checkpointed
+        state["cached"] = rdd_ids
+        if old_ids:
+            release_rdd_ids(spark, old_ids)
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(STREAM_TIMEOUT_SECS)
+    finally:
+        if progress_sink is not None:
+            progress_sink.extend(
+                p if isinstance(p, dict) else p.json
+                for p in (q.recentProgress or [])
+            )
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(
+            "stream_upsert_current_state did not complete within "
+            f"{STREAM_TIMEOUT_SECS}s — failing fast instead of hanging"
+        )
+    final = state["df"]
+    if final is None:  # empty source
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, last_ts timestamp, last_event_id bigint, "
+            "last_type string, last_value double, n_updates bigint",
+        )
+    # checkpoint blocks are already registered (local_checkpoint_tracked)
+    # for release at the next query boundary
+    return final

@@ -180,3 +180,66 @@ def test_chunk_split_reconstructs_token_stream(spark, oracle_con):
         assert 1 <= chunks[-1].n_tokens <= 64
         rebuilt = " ".join(c.chunk_text for c in chunks).split()
         assert rebuilt == tok[doc_id]
+
+
+# ---------------------------------------------------------------------------
+# PassJoin fuzzy self-join: randomized losslessness vs brute force
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_join_lossless_random_strings(spark):
+    """Segment blocking must find EVERY pair within distance K on adversarial
+    short strings with edits at segment boundaries (python brute force is
+    the independent referee; the registry oracle proves the same on part
+    names)."""
+    import itertools
+    import random
+
+    from clinical_bi_spark.operators.fuzzy import editdist_self_join
+
+    rng = random.Random(607)
+    alphabet = "abc"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(3, 9)))
+            for _ in range(40)]
+    # mutate copies: substitutions, insertions, deletions near boundaries
+    variants = []
+    for s in base:
+        variants.append(s)
+        for _ in range(2):
+            t = list(s)
+            op = rng.choice("sid")
+            pos = rng.randrange(len(t))
+            if op == "s":
+                t[pos] = rng.choice(alphabet)
+            elif op == "i":
+                t.insert(pos, rng.choice(alphabet))
+            elif len(t) > 3:
+                del t[pos]
+            variants.append("".join(t))
+    rows = [(i, s) for i, s in enumerate(variants)]
+
+    def ed(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if ed(a, b) <= 2
+    }
+    df = spark.createDataFrame(rows, "sid bigint, name string")
+    got = {
+        (r.a_id, r.b_id)
+        for r in editdist_self_join(df, "sid", "name", k=2).collect()
+    }
+    assert got == expected and expected, (
+        f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
+    )

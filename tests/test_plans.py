@@ -377,3 +377,12 @@ def test_stats_battery_partial_aggregation(spark):
     plan = explain(spark, "agg_stats_battery")
     assert plan.count("HashAggregate") >= 2
     assert _n_exchanges(plan) == 1
+
+
+def test_fuzzy_join_is_hash_equijoin(spark):
+    # PassJoin's whole point: the similarity predicate never reaches a
+    # join condition — candidates come from hash equi-joins on segment
+    # keys, verification is a post-join filter
+    plan = explain(spark, "j_fuzzy_editdist_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

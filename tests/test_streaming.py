@@ -424,3 +424,62 @@ def test_multibatch_ohlc_equals_batch(spark, split_sf):
     s = {tuple(r) for r in out.collect()}
     b = {tuple(r) for r in ohlc(batch).collect()}
     assert s == b and len(s) > 0
+
+
+def test_multibatch_upsert_cdc_equals_batch_last_per_key(spark, split_sf):
+    """The foreachBatch CDC upsert must fold 3 real micro-batches into
+    the same current-state table the batch last-event-per-key query
+    produces (merge is associative + arrival-order independent)."""
+    from pyspark.sql.window import Window
+
+    from clinical_bi_spark.sources import normalize_events
+    from clinical_bi_spark.streaming.windows import (
+        stream_upsert_current_state,
+    )
+
+    prog: list = []
+    out = stream_upsert_current_state(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog
+    )
+    assert _n_batches(prog) >= 3, "split fixture did not produce >=3 batches"
+
+    batch = normalize_events(
+        spark.read.option("basePath", split_sf).parquet(
+            f"{split_sf}/events.parquet*"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_updates", F.count("*").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            "n_updates",
+        )
+    )
+    s = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in expected.collect()}
+    assert s == b and len(s) > 0
+    # cross-batch fold really happened: some user's updates span batches
+    per_batch_users = [
+        set(
+            r.user_id
+            for r in spark.read.parquet(
+                f"{split_sf}/events.parquet/part-{i}.parquet"
+            ).select("user_id").distinct().collect()
+        )
+        for i in range(3)
+    ]
+    assert per_batch_users[0] & per_batch_users[2], (
+        "no user spans first and last batch — fixture no longer exercises "
+        "the cross-batch merge"
+    )

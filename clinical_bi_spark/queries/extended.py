@@ -587,3 +587,98 @@ def j_fuzzy_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_text",
         F.col("dist").cast("int").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation from exact integer doubled ranks.
+# ---------------------------------------------------------------------------
+
+# Tied values take the average rank; avg_rank = rank + (ties-1)/2 can be a
+# half-integer, so both engines compute DOUBLED ranks r2 = 2*rank+ties-1
+# (always integral — rank() is the min rank of the tie group). Pearson
+# correlation is invariant under the x -> 2x affine map, so rho over r2
+# equals rho over the average ranks, and the exact-BIGINT power-sum
+# technique from agg_stats_battery applies unchanged.
+_SPEARMAN_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY qx)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, qx) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY qy)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, qy) - 1 AS ry
+  FROM (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS qx,
+           CAST(ROUND(l_extendedprice) AS BIGINT) AS qy
+    FROM lineitem
+  ) t
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(rx)::BIGINT AS sx, SUM(ry)::BIGINT AS sy,
+         SUM(rx * rx)::BIGINT AS sxx, SUM(ry * ry)::BIGINT AS syy,
+         SUM(rx * ry)::BIGINT AS sxy
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT l_returnflag AS l_returnflag,
+       n AS n,
+       (CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+         AS spearman_rho
+FROM s
+"""
+
+
+@query("agg_spearman_corr", oracle=_SPEARMAN_ORACLE)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group, EXACTLY oracled: tie-average
+    ranks doubled into integers (see _SPEARMAN_ORACLE), then the
+    agg_stats_battery power-sum pipeline — bit-identical across engines.
+    Scale shape: one exchange on the group key serves all four window
+    computations (two rank sorts + two tie counts), then the six sums
+    partial-agg map-side."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(tune(spark), sf_dir)
+    g = "l_returnflag"
+    base = t.lineitem.select(
+        F.col(g),
+        F.col("l_quantity").cast("bigint").alias("qx"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("qy"),
+    )
+    rx = (
+        2 * F.rank().over(Window.partitionBy(g).orderBy("qx"))
+        + F.count("*").over(Window.partitionBy(g, "qx"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(Window.partitionBy(g).orderBy("qy"))
+        + F.count("*").over(Window.partitionBy(g, "qy"))
+        - 1
+    )
+    ranked = base.select(F.col(g), rx.alias("rx"), ry.alias("ry"))
+    s = ranked.groupBy(g).agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        g,
+        "n",
+        (
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("spearman_rho"),
+    )

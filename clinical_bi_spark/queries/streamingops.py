@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from clinical_bi_spark.queries import query
-from clinical_bi_spark.queries.events import _TUMBLING_ORACLE
+from clinical_bi_spark.queries.events import (
+    _SLIDING_ORACLE as _SLIDING_ORACLE_STREAM,
+    _TUMBLING_ORACLE,
+)
 from clinical_bi_spark.session import tune
 from clinical_bi_spark.streaming.windows import (
     dedup_with_watermark,
@@ -332,3 +335,14 @@ def stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_upsert_current_state(tune(spark), sf_dir)
+
+
+@query("stream_sliding_window", oracle=_SLIDING_ORACLE_STREAM)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding-window streaming aggregate (10-minute windows,
+    5-minute hop); equals the batch evt_sliding_window on bounded input
+    (complete mode recomputes final window state), so it shares that
+    query's hop-expansion oracle."""
+    from clinical_bi_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(tune(spark), sf_dir)

@@ -1480,3 +1480,128 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.select("doc_id", tk.alias("tk"))
         .select("doc_id", F.inline(chunks))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Jaccard similarity self-join via prefix filtering (ppjoin-style).
+# ---------------------------------------------------------------------------
+
+_JACCARD_TAU = 0.8
+
+# The oracle enumerates every pair sharing AT LEAST ONE token (token
+# equi-join + group), a strict superset of the prefix-filter candidates,
+# then applies the exact threshold — so a green row proves the prefix
+# filter loses no qualifying pair, the same contract as the all-pairs
+# oracles behind simhash_blocked and the fuzzy join.
+_JACCARD_PREFIX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_LTOKENS.format(col='text')} AS words FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id, UNNEST(words) AS w FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a AS doc_a,
+       doc_b AS doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.sz + sb.sz - n_inter AS BIGINT) AS n_union,
+       CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE)
+      / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= {_JACCARD_TAU}
+"""
+
+
+@query("dedup_jaccard_prefix", oracle=_JACCARD_PREFIX_ORACLE)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-set Jaccard >= 0.8 self-join, UNBLOCKED, via prefix
+    filtering (the ppjoin family, public literature): order each
+    document's token set by ascending document frequency (tie-break:
+    token), keep only the first |x| - ceil(tau*|x|) + 1 tokens as the
+    candidate prefix — if two sets' prefixes are disjoint their overlap
+    cannot reach tau — and equi-join on prefix tokens. The prefix holds
+    each document's RAREST tokens, so the candidate join key is
+    anti-skewed by construction (the frequency ordering exists precisely
+    to keep hot tokens out of join keys). A length-ratio filter prunes
+    candidates before the exact array_intersect verification.
+
+    This is the exact-threshold scale path that dedup_ngram_jaccard's
+    source-blocked quadratic form approximates and MinHash-LSH
+    randomizes; unlike both, it is lossless at any corpus size — proved
+    by the superset oracle."""
+    t = load_tables(tune(spark), sf_dir)
+    tau = _JACCARD_TAU
+    toks = (
+        t.documents.select(
+            "doc_id",
+            F.array_distinct(word_tokens(F.lower(F.col("text")))).alias(
+                "words"
+            ),
+        )
+        .filter(F.size("words") >= 1)
+    )
+    toks = persist_tracked(toks)
+    tok = toks.select("doc_id", F.explode("words").alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(df, w))), x -> x.w)"
+            ).alias("ow")
+        )
+        .select(
+            "doc_id",
+            "ow",
+            F.size("ow").alias("sz"),
+            F.expr(
+                f"slice(ow, 1, size(ow) - CAST(ceil({tau} * size(ow)) AS INT)"
+                " + 1)"
+            ).alias("prefix"),
+        )
+    )
+    ordered = persist_tracked(ordered)
+    pfx = ordered.select(
+        "doc_id", "sz", F.explode("prefix").alias("w")
+    )
+    a = pfx.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"), "w"
+    )
+    b = pfx.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"), "w"
+    )
+    cand = (
+        a.join(b, "w")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length-ratio pruning: J >= tau forces tau <= |A|/|B| <= 1/tau
+            & (F.col("sb").cast("double") >= tau * F.col("sa"))
+            & (F.col("sa").cast("double") >= tau * F.col("sb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wsa"))
+    wb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wsb"))
+    inter = F.size(F.array_intersect(F.col("wsa"), F.col("wsb")))
+    union = F.size("wsa") + F.size("wsb") - inter
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_inter"),
+            union.cast("bigint").alias("n_union"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )

@@ -474,3 +474,37 @@ def stream_upsert_current_state(
     # checkpoint blocks are already registered (local_checkpoint_tracked)
     # for release at the next query boundary
     return final
+
+
+def sliding_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
+) -> DataFrame:
+    """Watermarked SLIDING-window counts (hop < length, every event in
+    length/hop windows) — streaming twin of evt_sliding_window; complete
+    output mode so the final memory table equals the batch result. The
+    hop expansion happens map-side (each event expands to its covering
+    windows before the state store), so state rows = live windows x
+    types, not input size."""
+    events = _events_stream(
+        spark, sf_dir, max_files_per_trigger
+    ).withWatermark("ts", watermark)
+    agg = (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_completion(agg, "complete", progress_sink)

@@ -386,3 +386,11 @@ def test_fuzzy_join_is_hash_equijoin(spark):
     plan = explain(spark, "j_fuzzy_editdist_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_prefix_is_hash_equijoin(spark):
+    # prefix-filter candidates must come from a token hash equi-join;
+    # nested-loop would be the all-pairs scan the prefix filter avoids
+    plan = explain(spark, "dedup_jaccard_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -483,3 +483,18 @@ def test_multibatch_upsert_cdc_equals_batch_last_per_key(spark, split_sf):
         "no user spans first and last batch — fixture no longer exercises "
         "the cross-batch merge"
     )
+
+
+def test_multibatch_sliding_window_equals_batch(spark, split_sf):
+    from clinical_bi_spark.queries import load_all
+    from clinical_bi_spark.streaming.windows import sliding_counts
+
+    prog: list = []
+    out = sliding_counts(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog
+    )
+    assert _n_batches(prog) >= 3
+    batch = load_all()["evt_sliding_window"].fn(spark, split_sf)
+    s = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0

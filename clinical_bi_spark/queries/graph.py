@@ -89,22 +89,10 @@ LEFT JOIN outdeg d ON d.src = it.node
 """
 
 
-@query("graph_pagerank", oracle=_PAGERANK_ORACLE, bench=True)
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration (5) damped PageRank over the nation-level
-    trade graph (customer nation -> supplier nation, one edge per
-    distinct trading pair), in exact integer micro-units:
-
-        r0       = SCALE div N
-        base     = (15 * r0) div 100
-        r'(v)    = base + (85 * sum_{{u->v}} (r(u) div outdeg(u))) div 100
-
-    Truncating div and BIGINT sums are order-independent, so the result
-    is bit-identical however Spark partitions the contributions — the
-    property that lets an iterative algorithm carry an exact SQL oracle
-    (unrolled CTEs, one per iteration)."""
-    t = load_tables(tune(spark), sf_dir)
-    edges = (
+def _trade_edges(t) -> DataFrame:
+    """Distinct (customer_nation -> supplier_nation) edges — the shared
+    fact-derivation behind every graph query here (mirrors _EDGES_SQL)."""
+    return (
         t.lineitem.select("l_orderkey", "l_suppkey")
         .join(
             t.orders.select("o_orderkey", "o_custkey"),
@@ -124,8 +112,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE, bench=True)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (5) damped PageRank over the nation-level
+    trade graph (customer nation -> supplier nation, one edge per
+    distinct trading pair), in exact integer micro-units:
+
+        r0       = SCALE div N
+        base     = (15 * r0) div 100
+        r'(v)    = base + (85 * sum_{{u->v}} (r(u) div outdeg(u))) div 100
+
+    Truncating div and BIGINT sums are order-independent, so the result
+    is bit-identical however Spark partitions the contributions — the
+    property that lets an iterative algorithm carry an exact SQL oracle
+    (unrolled CTEs, one per iteration)."""
+    t = load_tables(tune(spark), sf_dir)
     # node-count-sized relations: persist once, iterate against the cache
-    edges = persist_tracked(edges)
+    edges = persist_tracked(_trade_edges(t))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -172,4 +177,122 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").alias("rank_micro"),
             (F.col("rank").cast("double") / F.lit(1000000000000.0)).alias("rank"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-hop distances from a source node (fixed-iteration frontier).
+# ---------------------------------------------------------------------------
+
+_BFS_SOURCE = 0  # nation 0 as the BFS root
+_BFS_ITERS = 4
+
+
+def _bfs_cte(k: int) -> str:
+    prev = f"d{k - 1}"
+    return f"""d{k} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + 1 AS dist
+    FROM {prev} p JOIN edges e ON e.src = p.node
+  ) u GROUP BY node
+)"""
+
+
+_BFS_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+d0 AS (
+  SELECT CAST({_BFS_SOURCE} AS INT) AS node, CAST(0 AS INT) AS dist
+),
+{",".join(_bfs_cte(k) for k in range(1, _BFS_ITERS + 1))}
+SELECT n.node AS node,
+       CAST(d.dist AS INT) AS dist
+FROM nodes n JOIN d{_BFS_ITERS} d ON d.node = n.node
+"""
+
+
+@query("graph_bfs_distance", oracle=_BFS_ORACLE)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop distances from nation 0 over the directed trade
+    graph, 4 relaxation rounds (covers the graph's diameter here;
+    unreached nodes are absent, exactly as in the oracle). Each round is
+    one hash join frontier-expansion + a MIN groupBy — integer
+    distances, so the fold is order-independent and exactly oracled via
+    unrolled CTEs. Same 100 TB posture as PageRank: persist edges once,
+    iterate; rounds shuffle (node, candidate_dist) pairs with map-side
+    partial MIN."""
+    t = load_tables(tune(spark), sf_dir)
+    edges = _trade_edges(t)
+    edges = persist_tracked(edges)
+    dist = spark.createDataFrame(
+        [(_BFS_SOURCE, 0)], "node int, dist int"
+    )
+    for _ in range(_BFS_ITERS):
+        expanded = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return nodes.join(dist, "node").select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the undirected trade graph.
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = f"""
+WITH raw AS ({_EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.u = e1.v
+JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+@query("graph_triangles", oracle=_TRIANGLES_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the undirected trade graph: canonicalize each
+    edge to (min, max), drop self-loops, and count ordered wedges
+    u < v < w closed by a third edge — two hash equi-joins on edge
+    endpoints (the standard node-ordering trick that counts each
+    triangle exactly once and bounds wedge fan-out by the smaller
+    endpoint's degree)."""
+    t = load_tables(tune(spark), sf_dir)
+    raw = _trade_edges(t)
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    und = persist_tracked(und)
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )

@@ -243,3 +243,54 @@ def test_fuzzy_join_lossless_random_strings(spark):
     assert got == expected and expected, (
         f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph family: BFS + triangles vs python brute force on collected edges
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_and_triangles_match_python_graph(spark):
+    from clinical_bi_spark.queries.graph import _BFS_SOURCE, _trade_edges
+    from clinical_bi_spark.sources import load_tables
+    from clinical_bi_spark.session import tune
+
+    t = load_tables(tune(spark), SF_ORACLE)
+    edges = [(r.src, r.dst) for r in _trade_edges(t).collect()]
+
+    # BFS reference (unbounded — the query's 4 rounds must cover it)
+    from collections import deque
+
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    dist = {_BFS_SOURCE: 0}
+    q = deque([_BFS_SOURCE])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {
+        r.node: r.dist
+        for r in REGISTRY["graph_bfs_distance"].fn(spark, SF_ORACLE).collect()
+    }
+    assert got == dist  # 4 rounds really cover the diameter at this SF
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    tri = 0
+    nbr: dict = {}
+    for u, v in und:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    for u, v in und:
+        tri += len(
+            {w for w in nbr[u] & nbr[v] if (min(u, w), max(u, w)) in und
+             and (min(v, w), max(v, w)) in und and w != u and w != v}
+        )
+    tri //= 3  # each triangle counted once per edge
+    got_tri = (
+        REGISTRY["graph_triangles"].fn(spark, SF_ORACLE).collect()[0].n_triangles
+    )
+    assert got_tri == tri and tri > 0

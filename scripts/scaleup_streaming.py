@@ -37,7 +37,9 @@ from clinical_bi_spark.streaming.stateful import user_running_stats
 from clinical_bi_spark.streaming.windows import (
     dedup_with_watermark,
     session_windows,
+    sliding_counts,
     stream_stream_interval_join,
+    stream_upsert_current_state,
     tumbling_counts,
     windowed_hll_registers,
 )
@@ -71,6 +73,18 @@ QUERIES = {
     "stream_hll": lambda sp, d, ps: windowed_hll_registers(
         sp, d, m=32,
         max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,
+    ),
+    # r6 additions: the sliding hop expansion (state = live windows x
+    # types x hop factor, constant in users) and the foreachBatch CDC
+    # upsert (no state-store operator — its "state" is the merged
+    # current-state table, one row per user, so it scales with the user
+    # multiplier by design; state_rows reads 0 because foreachBatch
+    # keeps no watermark state)
+    "stream_sliding": lambda sp, d, ps: sliding_counts(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
+    ),
+    "stream_upsert": lambda sp, d, ps: stream_upsert_current_state(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
     ),
 }
 

@@ -225,12 +225,23 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     kmeans_centroids: bool = True,
+    exact_arithmetic: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer (default; seeded Spark ML
     KMeans fit — deterministic run-to-run) or, with
     ``kmeans_centroids=False``, the dependency-free fallback of taking
     the ``n_cells`` lowest-id corpus vectors. Every corpus row joins its
     nearest cell; a query probes its ``nprobe`` nearest cells only.
+
+    ``exact_arithmetic=True`` scores cell assignment, probes, and the
+    candidate verify with the sequential-order Catalyst cosine
+    (functions.vectors.cosine_similarity) instead of the numpy batch
+    form — bit-reproducible against DuckDB. Combined with the
+    deterministic fallback centroids this makes the ENTIRE IVF pipeline
+    (assignment, multi-probe, candidate equi-join, ranked top-k) exactly
+    SQL-oracle-checkable; only the learned k-means quantizer itself
+    stays outside the oracle's reach (the same boundary the sign-LSH
+    graduation drew in r6).
     """
     if kmeans_centroids:
         centroids = _kmeans_centroids(corpus, emb_col, n_cells)
@@ -241,7 +252,8 @@ def ivf_topk(
                 F.col(id_col).alias("cell_id"), F.col(emb_col).alias("cell_emb")
             )
         )
-    cos_cell = cosine_pandas(F.col(emb_col), F.col("cell_emb"))
+    cos_fn = cosine_similarity if exact_arithmetic else cosine_pandas
+    cos_cell = cos_fn(F.col(emb_col), F.col("cell_emb"))
 
     # assign each corpus row to its best cell (broadcast centroids, rank 1)
     assigned = (
@@ -278,7 +290,7 @@ def ivf_topk(
     cand = assigned.join(probes, "cell_id").filter(
         F.col("neighbor_id") != F.col("q_id")
     )
-    cos = F.round(cosine_pandas(F.col("c_emb"), F.col("q_emb")), 6)
+    cos = F.round(cos_fn(F.col("c_emb"), F.col("q_emb")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         cand.select("q_id", "neighbor_id", cos.alias("cos_sim"))

@@ -449,3 +449,76 @@ def f_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dot_rev"),
         F.expr("exists(embedding, x -> abs(x) > 2.0F)").alias("has_big"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN with a deterministic quantizer — full exact oracle.
+# ---------------------------------------------------------------------------
+
+# The k-means IVF (sim_ann_ivf) is rows-only because the quantizer is
+# learned; THIS variant swaps in the deterministic lowest-id centroid
+# fallback + sequential-arithmetic cosine, making the entire IVF
+# pipeline — cell assignment, multi-probe selection, candidate
+# equi-join, ranked top-k — exactly SQL-checkable. Same boundary the
+# sign-LSH graduation drew: the mechanics get an exact oracle, only the
+# learned codebook stays outside it.
+_IVF_EXACT_ORACLE = """
+WITH cent AS (
+  SELECT vec_id AS cell_id, embedding AS cell_emb
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), assigned AS (
+  SELECT neighbor_id, c_emb, cell_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                             c.cell_emb::DOUBLE[]) DESC,
+                      c.cell_id) AS rnk
+    FROM embeddings e, cent c
+  ) a WHERE rnk = 1
+), probes AS (
+  SELECT q_id, q_emb, cell_id FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                             c.cell_emb::DOUBLE[]) DESC,
+                      c.cell_id) AS rnk
+    FROM embeddings q, cent c WHERE q.vec_id < 8
+  ) p WHERE rnk <= 4
+), cand AS (
+  SELECT p.q_id, a.neighbor_id,
+         ROUND(list_cosine_similarity(a.c_emb::DOUBLE[],
+                                      p.q_emb::DOUBLE[]), 6) AS cos_sim
+  FROM assigned a JOIN probes p USING (cell_id)
+  WHERE a.neighbor_id <> p.q_id
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cand
+) r WHERE rank <= 5
+"""
+
+
+@query("sim_ann_ivf_exact", oracle=_IVF_EXACT_ORACLE)
+def sim_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the deterministic lowest-id quantizer and
+    sequential-arithmetic cosine — the exactly-adjudicable form of the
+    IVF mechanics (see _IVF_EXACT_ORACLE). The production path swaps the
+    quantizer for the seeded k-means codebook (sim_ann_ivf) with
+    identical assignment/probe/join/rank plumbing — THIS query is what
+    proves that plumbing correct."""
+    from clinical_bi_spark.operators.similarity import ivf_topk
+
+    t = load_tables(tune(spark), sf_dir)
+    emb = t.embeddings
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        n_cells=16,
+        nprobe=4,
+        kmeans_centroids=False,
+        exact_arithmetic=True,
+    )

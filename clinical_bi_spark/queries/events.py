@@ -565,3 +565,72 @@ def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(per_src).cast("double")
         ).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly thresholds: median absolute deviation per event type.
+# ---------------------------------------------------------------------------
+
+# Determinism note: the exact interpolated median equals Spark
+# `percentile` ≡ DuckDB `quantile_cont` (already proven hash-equal by
+# agg_percentiles); the MAD recomputes a median over |x - med| where
+# every input is one correctly-rounded subtraction of the same doubles
+# in both engines. The outlier count compares against ROUNDED thresholds
+# with the identical expression on both sides, so a boundary flip would
+# need the unrounded medians themselves to diverge — which the other
+# columns would catch first.
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m ON m.event_type = e.event_type
+  GROUP BY e.event_type
+)
+SELECT m.event_type AS event_type,
+       ROUND(m.med, 6) AS median_value,
+       ROUND(d.mad, 6) AS mad,
+       CAST(COUNT(*) FILTER (
+         WHERE ROUND(abs(e.value - m.med), 6) > ROUND(3.0 * d.mad, 6)
+       ) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_events
+FROM events e
+JOIN med m ON m.event_type = e.event_type
+JOIN mad d ON d.event_type = e.event_type
+GROUP BY m.event_type, m.med, d.mad
+"""
+
+
+@query("evt_anomaly_mad", oracle=_MAD_ORACLE)
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly thresholds: median + median absolute
+    deviation (the estimator mean/stddev z-scores cannot give once a few
+    outliers poison the moments — compare evt_group_zscore), plus the
+    count beyond 3 MADs. Three passes over a 5-type table: median agg,
+    MAD agg over the broadcast-joined residuals, outlier count — each
+    one shuffle with map-side partials; the medians ride broadcast joins
+    so the event stream never re-shuffles."""
+    t = load_tables(tune(spark), sf_dir)
+    med = t.events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    with_med = t.events.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5D)").alias("mad")
+    )
+    joined = with_med.join(F.broadcast(mad), "event_type")
+    outlier = F.round(F.abs(F.col("value") - F.col("med")), 6) > F.round(
+        3.0 * F.col("mad"), 6
+    )
+    return joined.groupBy("event_type", "med", "mad").agg(
+        F.count(F.when(outlier, 1)).cast("bigint").alias("n_outliers"),
+        F.count("*").alias("n_events"),
+    ).select(
+        "event_type",
+        F.round("med", 6).alias("median_value"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+        "n_events",
+    )

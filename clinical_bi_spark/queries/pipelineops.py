@@ -404,3 +404,91 @@ def data_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank_in_source", F.row_number().over(w).cast("int"))
         .filter(F.col("rank_in_source") <= _TOPK_PER_SOURCE)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture resampling (alpha = 0.5).
+# ---------------------------------------------------------------------------
+
+# p_s ∝ n_s^alpha with alpha=0.5 — the standard recipe for upweighting
+# small sources in an LLM mixture. alpha is 0.5 ON PURPOSE: n^0.5 is
+# sqrt, an IEEE correctly-rounded op, so source rates are bit-identical
+# across engines (generic pow() is not guaranteed correctly rounded).
+# The denominator folds sqrt(n_s) over SOURCES IN SORTED ORDER in both
+# engines (sequential list fold), so float addition order is pinned.
+_TEMP_MIX_ORACLE = f"""
+WITH stats AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_s)::BIGINT AS n_total,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(list_sort(list(n_s)), x -> sqrt(CAST(x AS DOUBLE)))),
+           (a, b) -> a + b) AS denom
+  FROM stats
+), rates AS (
+  SELECT s.source,
+         CAST(t.n_total AS DOUBLE) * sqrt(CAST(s.n_s AS DOUBLE)) / t.denom
+           / CAST(s.n_s AS DOUBLE) AS r_s
+  FROM stats s, tot t
+), n AS (
+  SELECT d.doc_id, d.source,
+         CAST(FLOOR(r.r_s)
+              + CASE WHEN {_U32_SQL.format(key="d.doc_id::VARCHAR || ':tmix'")}
+                          / 4294967296.0 < r.r_s - FLOOR(r.r_s)
+                     THEN 1 ELSE 0 END AS INT) AS n_copies
+  FROM documents d JOIN rates r ON r.source = d.source
+)
+SELECT doc_id AS doc_id, source AS source,
+       CAST(UNNEST(range(1, n_copies + 1)) AS INT) AS copy_id
+FROM n
+"""
+
+
+@query("data_temperature_mixture", oracle=_TEMP_MIX_ORACLE)
+def data_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixed resampling: per-source rates r_s = N * n_s^0.5
+    / (sum_s' n_s'^0.5) / n_s (alpha = 0.5 upweights small sources while
+    keeping the total expected size at N), per-doc copy counts via the
+    md5-coin Bernoulli — fully deterministic and exactly oracled (see
+    _TEMP_MIX_ORACLE for why alpha=0.5 and the sorted-fold denominator
+    make the float path engine-portable). Scale shape: source stats are
+    one tiny aggregate; the per-source sqrt-fold runs over a
+    sources-count-sized list; rates broadcast back onto the corpus and
+    the copy explosion is a pure map — same 100 TB posture as
+    data_mixture_sample."""
+    t = load_tables(tune(spark), sf_dir)
+    stats = t.documents.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = stats.agg(
+        F.sum("n_s").cast("bigint").alias("n_total"),
+        F.expr(
+            "aggregate(array_sort(collect_list(n_s)), 0.0D,"
+            " (a, x) -> a + sqrt(CAST(x AS DOUBLE)))"
+        ).alias("denom"),
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            F.col("n_total").cast("double")
+            * F.sqrt(F.col("n_s").cast("double"))
+            / F.col("denom")
+            / F.col("n_s").cast("double")
+        ).alias("r_s"),
+    )
+    u = _u32(F.concat(F.col("doc_id").cast("string"), F.lit(":tmix"))) / F.lit(
+        _U32_DENOM
+    )
+    n_copies = (
+        F.floor(F.col("r_s"))
+        + F.when(u < F.col("r_s") - F.floor(F.col("r_s")), 1).otherwise(0)
+    ).cast("int")
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array())
+    return (
+        t.documents.join(F.broadcast(rates), "source")
+        .select("doc_id", "source", F.explode(copies).alias("copy_raw"))
+        .select(
+            "doc_id", "source", F.col("copy_raw").cast("int").alias("copy_id")
+        )
+    )

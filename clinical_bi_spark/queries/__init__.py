@@ -160,10 +160,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # purpose: their driver checks would be rows-only (lossy by
 # construction) — a weak signal not worth more displacements; their
 # designated checks are the pytest error bounds, and r7 rotates them in.
-# The eight newest r6 queries (dedup_jaccard_prefix, agg_spearman_corr,
+# The twelve newest r6 queries (dedup_jaccard_prefix, agg_spearman_corr,
 # stream_sliding_window, graph_bfs_distance, graph_triangles,
-# sim_ann_ivf_exact, data_temperature_mixture, evt_anomaly_mad) landed
-# after this round's window was finalized at 50 exact slots; their oracles run green in tests/test_queries_oracle
+# sim_ann_ivf_exact, data_temperature_mixture, evt_anomaly_mad,
+# m14_kfold_assign, m15_confusion_metrics, m16_feature_hashing,
+# m17_target_encode_loo) landed after this round's window was finalized
+# at 50 exact slots; their oracles run green in tests/test_queries_oracle
 # every session and they rotate into the r7 window first.
 # agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
 # text_stats, text_quality_score, data_snapshot_diff, data_quality_select,

@@ -360,3 +360,228 @@ def m8_vocab_embedding_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source_idx").cast("int").alias("source_idx"),
         emb_csv.alias("source_embedding_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M14 — k-fold cross-validation assignment (deterministic).
+# ---------------------------------------------------------------------------
+
+_N_FOLDS = 5
+
+_KFOLD_ORACLE = f"""
+WITH f AS (
+  SELECT o_orderkey,
+         CAST(CAST('0x' || substr(md5(o_orderkey::VARCHAR || ':fold'), 1, 8)
+              AS UBIGINT) % {_N_FOLDS} AS INT) AS fold
+  FROM orders
+)
+SELECT fold AS fold,
+       COUNT(*) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM f GROUP BY fold
+"""
+
+
+@query("m14_kfold_assign", oracle=_KFOLD_ORACLE)
+def m14_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (md5 of the key — reproducible
+    across engines, partitionings, and reruns; shuffle-free like the
+    keyed split) summarized per fold with an exact key checksum so the
+    oracle pins the full assignment, not just fold sizes."""
+    t = load_tables(tune(spark), sf_dir)
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":fold"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _N_FOLDS
+    ).cast("int")
+    return (
+        t.orders.select("o_orderkey", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M15 — confusion-matrix metrics for a thresholded classifier.
+# ---------------------------------------------------------------------------
+
+# prediction: "order is URGENT-ish" if totalprice above a cut; label:
+# actual priority in (1-URGENT, 2-HIGH). All counts exact; every ratio
+# is one correctly-rounded division of exact integers.
+_CONFUSION_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN o_totalprice >= 250000 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+           AS label
+  FROM orders
+), c AS (
+  SELECT
+    COUNT(*) FILTER (WHERE pred = 1 AND label = 1) AS tp,
+    COUNT(*) FILTER (WHERE pred = 1 AND label = 0) AS fp,
+    COUNT(*) FILTER (WHERE pred = 0 AND label = 1) AS fn,
+    COUNT(*) FILTER (WHERE pred = 0 AND label = 0) AS tn
+  FROM scored
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+       CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1,
+       CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy
+FROM c
+"""
+
+
+@query("m15_confusion_metrics", oracle=_CONFUSION_ORACLE)
+def m15_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1/accuracy for a thresholded
+    classifier — single-pass conditional counts (one partial-agg'd
+    reduction to four BIGINTs), metrics as correctly-rounded exact-int
+    ratios. Completes the eval surface beside m13's rank-based AUC."""
+    t = load_tables(tune(spark), sf_dir)
+    pred = F.when(F.col("o_totalprice") >= 250000, 1).otherwise(0)
+    label = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    c = t.orders.select(pred.alias("pred"), label.alias("label")).agg(
+        F.count(F.when((F.col("pred") == 1) & (F.col("label") == 1), 1)).alias("tp"),
+        F.count(F.when((F.col("pred") == 1) & (F.col("label") == 0), 1)).alias("fp"),
+        F.count(F.when((F.col("pred") == 0) & (F.col("label") == 1), 1)).alias("fn"),
+        F.count(F.when((F.col("pred") == 0) & (F.col("label") == 0), 1)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x).cast("double") for x in ("tp", "fp", "fn", "tn"))
+    return c.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        (tp / (tp + fp)).alias("precision"),
+        (tp / (tp + fn)).alias("recall"),
+        ((F.lit(2) * F.col("tp")).cast("double") / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")).alias("f1"),
+        ((F.col("tp") + F.col("tn")).cast("double") / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).cast("double")).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M16 — feature hashing (the hashing trick) with signed buckets.
+# ---------------------------------------------------------------------------
+
+_N_HASH_BUCKETS = 32
+
+_FEATURE_HASH_ORACLE = f"""
+WITH feats AS (
+  SELECT o_orderkey, f.feature
+  FROM orders o,
+       UNNEST(['status=' || o.o_orderstatus,
+               'prio=' || o.o_orderpriority]) AS f(feature)
+), hashed AS (
+  SELECT o_orderkey,
+         CAST(CAST('0x' || substr(md5(feature || ':bucket'), 1, 8) AS UBIGINT)
+              % {_N_HASH_BUCKETS} AS INT) AS bucket,
+         CASE WHEN CAST('0x' || substr(md5(feature || ':sign'), 1, 8)
+                   AS UBIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM feats
+)
+SELECT o_orderkey AS o_orderkey,
+       bucket AS bucket,
+       CAST(SUM(sgn) AS BIGINT) AS feature_value
+FROM hashed GROUP BY o_orderkey, bucket
+"""
+
+
+@query("m16_feature_hashing", oracle=_FEATURE_HASH_ORACLE)
+def m16_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical features hash to one of 32 signed
+    buckets (md5 bucket + independent md5 sign — the signed variant that
+    keeps collision bias zero-mean), summed per (row, bucket) into the
+    sparse feature value. Fixed dimensionality at any vocabulary size,
+    no fitted dictionary to ship — the 100 TB alternative to
+    StringIndexer/OneHot's dictionary round-trip. Pure map + one
+    partial-agg'd groupBy on (row, bucket)."""
+    t = load_tables(tune(spark), sf_dir)
+    feats = t.orders.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                F.concat(F.lit("status="), F.col("o_orderstatus")),
+                F.concat(F.lit("prio="), F.col("o_orderpriority")),
+            )
+        ).alias("feature"),
+    )
+    u = lambda suffix: F.conv(
+        F.substring(F.md5(F.concat(F.col("feature"), F.lit(suffix))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = feats.select(
+        "o_orderkey",
+        (u(":bucket") % _N_HASH_BUCKETS).cast("int").alias("bucket"),
+        F.when(u(":sign") % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    return hashed.groupBy("o_orderkey", "bucket").agg(
+        F.sum("sgn").cast("bigint").alias("feature_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M17 — leave-one-out target encoding.
+# ---------------------------------------------------------------------------
+
+# Target = integer cents, so group sums are exact and the LOO mean
+# (S_g - y_i) / (n_g - 1) is one correctly-rounded division — the
+# category-leakage-free encoding, exactly oracled.
+_TARGET_ENCODE_ORACLE = """
+WITH y AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), g AS (
+  SELECT o_orderpriority, SUM(cents)::BIGINT AS s_g, COUNT(*) AS n_g
+  FROM y GROUP BY o_orderpriority
+)
+SELECT y.o_orderkey AS o_orderkey,
+       y.o_orderpriority AS o_orderpriority,
+       CAST(CAST(g.s_g - y.cents AS DOUBLE)
+            / CAST(g.n_g - 1 AS DOUBLE) / 100.0 AS DOUBLE) AS loo_target_mean
+FROM y JOIN g USING (o_orderpriority)
+"""
+
+
+@query("m17_target_encode_loo", oracle=_TARGET_ENCODE_ORACLE)
+def m17_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's category feature is the
+    mean target of all OTHER rows in its category — (S_g - y_i)/(n_g - 1)
+    from exact integer cents, so no training-row leaks its own label and
+    the float path is one correctly-rounded division. One tiny group
+    aggregate broadcast back onto the facts; the encoded stream never
+    re-shuffles."""
+    t = load_tables(tune(spark), sf_dir)
+    y = t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = y.groupBy("o_orderpriority").agg(
+        F.sum("cents").cast("bigint").alias("s_g"), F.count("*").alias("n_g")
+    )
+    return y.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (
+            (F.col("s_g") - F.col("cents")).cast("double")
+            / (F.col("n_g") - 1).cast("double")
+            / F.lit(100.0)
+        ).alias("loo_target_mean"),
+    )

@@ -682,3 +682,70 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (feature-store-correct) dimension lookup over SCD2.
+# ---------------------------------------------------------------------------
+
+# The training-data correctness operation: every fact row must see the
+# dimension version that was valid AT ITS EVENT TIME — never a later
+# one (future leakage) and never an earlier one once superseded. Facts
+# here are the orders themselves, looked up against the SCD2 segment
+# history they generated: each order must land in its own containing
+# [valid_from, valid_to) version, which doubles as a self-consistency
+# proof of the history build.
+_PIT_ORACLE = f"""
+WITH hist AS ({_SCD2_ORACLE}),
+-- unique right side per (key, ts): when two versions share a change
+-- date the later one (max version) is the survivor at that instant
+vers AS (
+  SELECT o_custkey, valid_from,
+         MAX(struct_pack(version := version, segment := segment)) AS vs
+  FROM hist GROUP BY o_custkey, valid_from
+), v2 AS (
+  SELECT o_custkey, valid_from,
+         vs.version AS version, vs.segment AS segment
+  FROM vers
+)
+SELECT o.o_orderkey AS o_orderkey,
+       o.o_custkey AS o_custkey,
+       o.o_orderdate AS o_orderdate,
+       v.version AS version_asof,
+       v.segment AS segment_asof
+FROM orders o
+ASOF LEFT JOIN v2 v
+  ON o.o_custkey = v.o_custkey AND o.o_orderdate >= v.valid_from
+"""
+
+
+@query("j_point_in_time_scd2", oracle=_PIT_ORACLE)
+def j_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of facts against SCD2 history (the
+    feature-store correctness primitive: no future leakage, no stale
+    reads) — composed from etl_scd2_history + the union+window as-of
+    operator, so the whole lookup costs ONE shuffle on the key and a
+    partition-local pass; right-side ties at a shared change date
+    pre-reduce to the max version (deterministic in both engines via
+    struct MAX)."""
+    t = load_tables(tune(spark), sf_dir)
+    hist = etl_scd2_history(spark, sf_dir)
+    vers = (
+        hist.groupBy("o_custkey", "valid_from")
+        .agg(F.max(F.struct("version", "segment")).alias("vs"))
+        .select(
+            "o_custkey",
+            F.col("valid_from").alias("o_orderdate"),
+            F.col("vs.version").alias("version"),
+            F.col("vs.segment").alias("segment"),
+        )
+    )
+    facts = t.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    out = asof_join(
+        facts, vers, key="o_custkey", ts="o_orderdate",
+        value_cols=["version", "segment"],
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.col("version_asof"), F.col("segment_asof"),
+    )

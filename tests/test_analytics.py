@@ -294,3 +294,36 @@ def test_bfs_and_triangles_match_python_graph(spark):
         REGISTRY["graph_triangles"].fn(spark, SF_ORACLE).collect()[0].n_triangles
     )
     assert got_tri == tri and tri > 0
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time SCD2 lookup: self-consistency invariant
+# ---------------------------------------------------------------------------
+
+
+def test_point_in_time_segment_is_day_end_state(spark, oracle_con):
+    """The SCD2 history derives from the orders themselves at DATE
+    granularity (valid_from is a date), so the version valid at an
+    order's date is the state after the LAST same-day change: every
+    order must see the priority of the last order (by (date, orderkey))
+    on-or-before its own date for its customer. A future-leak or
+    stale-read bug breaks this for some row; so would collapsing to the
+    wrong tie-survivor at a shared change date."""
+    rows = REGISTRY["j_point_in_time_scd2"].fn(spark, SF_ORACLE).collect()
+    orders = oracle_con.execute(
+        "SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority "
+        "FROM orders"
+    ).fetchall()
+    by_cust: dict = {}
+    for ck, ok, dt, prio in orders:
+        by_cust.setdefault(ck, []).append((dt, ok, prio))
+    for seq in by_cust.values():
+        seq.sort()
+    assert rows and len(rows) == len(orders)
+    for r in rows:
+        seq = by_cust[r.o_custkey]
+        # last order (date, key) with date <= this order's date
+        expected = max(
+            (e for e in seq if e[0] <= r.o_orderdate), key=lambda e: e[:2]
+        )[2]
+        assert r.segment_asof == expected, r

@@ -568,7 +568,7 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
-@query("j_fuzzy_editdist_pairs", oracle=_FUZZY_ORACLE)
+@query("j_fuzzy_editdist_pairs", oracle=_FUZZY_ORACLE, bench=True)
 def j_fuzzy_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All part-name pairs within Levenshtein distance 2 — record
     linkage without a cross join (operators/fuzzy.py, PassJoin segment

@@ -649,14 +649,19 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("qx"),
         F.round(F.col("l_extendedprice")).cast("bigint").alias("qy"),
     )
+    # tie counts ride the SAME sort as the ranks (RANGE CURRENT ROW frame
+    # = all order-value ties), so the plan is one exchange + two sorts,
+    # not four — values identical to a (group, value)-partitioned count
+    wx = Window.partitionBy(g).orderBy("qx")
+    wy = Window.partitionBy(g).orderBy("qy")
     rx = (
-        2 * F.rank().over(Window.partitionBy(g).orderBy("qx"))
-        + F.count("*").over(Window.partitionBy(g, "qx"))
+        2 * F.rank().over(wx)
+        + F.count("*").over(wx.rangeBetween(0, 0))
         - 1
     )
     ry = (
-        2 * F.rank().over(Window.partitionBy(g).orderBy("qy"))
-        + F.count("*").over(Window.partitionBy(g, "qy"))
+        2 * F.rank().over(wy)
+        + F.count("*").over(wy.rangeBetween(0, 0))
         - 1
     )
     ranked = base.select(F.col(g), rx.alias("rx"), ry.alias("ry"))

@@ -394,3 +394,15 @@ def test_jaccard_prefix_is_hash_equijoin(spark):
     plan = explain(spark, "dedup_jaccard_prefix")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spearman_one_exchange_two_sorts(spark):
+    # ranks and tie counts must share sorts (RANGE CURRENT ROW frame):
+    # one exchange on the group key, one sort per rank variable — a
+    # (group, value)-partitioned tie count would double the sorts
+    import re
+
+    plan = explain(spark, "agg_spearman_corr")
+    assert _n_exchanges(plan) == 1
+    assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2

@@ -634,3 +634,73 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: purchases credit their latest click within 7 days.
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+), matched AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value,
+         c.click_id AS raw_click, c.ts AS raw_click_ts
+  FROM purchases p
+  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT event_id AS purchase_id,
+       user_id AS user_id,
+       ts AS purchase_ts,
+       CASE WHEN raw_click_ts IS NOT NULL
+                 AND ts <= raw_click_ts + INTERVAL 7 DAY
+            THEN raw_click END AS attributed_click_id,
+       CASE WHEN raw_click_ts IS NOT NULL
+                 AND ts <= raw_click_ts + INTERVAL 7 DAY
+            THEN 'click' ELSE 'organic' END AS channel,
+       ROUND(value, 4) AS purchase_value
+FROM matched
+"""
+
+
+@query("evt_attribution_last_touch", oracle=_ATTRIBUTION_ORACLE)
+def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution with a 7-day lookback: each purchase
+    credits the user's most recent click (as-of join — one shuffle,
+    linear pass), demoted to 'organic' when the click is stale. Clicks
+    pre-reduce per (user, ts) to a deterministic max event_id so the
+    inclusive-tie pick matches DuckDB's ASOF exactly. The lookback test
+    uses calendar INTERVAL arithmetic on the naive timestamps — identical
+    in both engines and immune to session-timezone/DST effects that
+    epoch-seconds deltas would pick up."""
+    from clinical_bi_spark.operators.asof import asof_join
+
+    t = load_tables(tune(spark), sf_dir)
+    clicks = (
+        t.events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.col("ts").alias("click_ts"))
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    m = asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        value_cols=["click_id", "click_ts"],
+    )
+    fresh = F.col("click_ts_asof").isNotNull() & (
+        F.col("ts") <= F.col("click_ts_asof") + F.expr("INTERVAL 7 DAYS")
+    )
+    return m.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(fresh, F.col("click_id_asof")).alias("attributed_click_id"),
+        F.when(fresh, F.lit("click")).otherwise("organic").alias("channel"),
+        F.round("value", 4).alias("purchase_value"),
+    )

@@ -754,3 +754,62 @@ def j_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate",
         F.col("version_asof"), F.col("segment_asof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (mergeable partials).
+# ---------------------------------------------------------------------------
+
+# The incremental-ETL contract: merge(partial(old), partial(delta)) must
+# equal agg(old UNION delta). The query materializes both partials and
+# merges them; the oracle computes the full aggregate directly — a green
+# row proves the merge law holds in the engine, which is what lets a
+# nightly pipeline update a 100 TB rollup by aggregating ONLY the new
+# partition and folding it in.
+_INCR_AGG_ORACLE = """
+SELECT o_orderstatus AS o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order,
+       CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_order
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("etl_incremental_agg_maintenance", oracle=_INCR_AGG_ORACLE)
+def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the 'old' partition (orderkey
+    below the midpoint) and the 'delta' partition aggregate SEPARATELY
+    to partials (count/sum-cents/min/max — all mergeable), then fold
+    together; the full-recompute oracle proves merge-equals-recompute.
+    Integer cents keep the sum order-independent so the merged total is
+    exact, not merely close."""
+    t = load_tables(tune(spark), sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    cutoff = t.orders.agg(
+        F.floor(F.max("o_orderkey") / 2).cast("bigint").alias("c")
+    )
+    with_cut = t.orders.crossJoin(F.broadcast(cutoff))
+    old = partial(with_cut.filter(F.col("o_orderkey") < F.col("c")))
+    delta = partial(with_cut.filter(F.col("o_orderkey") >= F.col("c")))
+    return (
+        old.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+    )

@@ -301,3 +301,56 @@ def test_jsonl_roundtrip_explicit_schema(spark, tmp_path):
         back.agg(F.sum("n_nationkey")).collect()[0][0]
         == src.agg(F.sum("n_nationkey")).collect()[0][0]
     )
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from clinical_bi_spark.sinks import compact_parquet
+
+    src = load_tables(spark, SF_ORACLE).orders
+    frag = str(tmp_path / "fragmented")
+    # simulate the many-small-files problem: 64 splinter files
+    src.repartition(64).write.parquet(frag)
+    n_frag = len(glob.glob(f"{frag}/part-*.parquet"))
+    assert n_frag == 64
+    out = str(tmp_path / "compacted")
+    compact_parquet(spark, frag, out, target_file_mb=128)
+    n_out = len(glob.glob(f"{out}/part-*.parquet"))
+    assert n_out < n_frag and n_out >= 1
+    # lossless: same rows, same checksum
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert (
+        back.agg(F.sum("o_orderkey")).collect()[0][0]
+        == src.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
+
+
+def test_range_layout_files_have_disjoint_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from clinical_bi_spark.sinks import write_range_layout
+
+    src = load_tables(spark, SF_ORACLE).orders
+    out = str(tmp_path / "range_layout")
+    write_range_layout(src, out, "o_orderkey", n_files=8)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 8
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = [
+            md.schema.column(i).name for i in range(len(md.schema))
+        ].index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    # every file's key range is disjoint from every other's: a range
+    # predicate prunes whole files via footer statistics alone
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a < lo_b, spans
+    # lossless
+    assert spark.read.parquet(out).count() == src.count()

@@ -406,3 +406,12 @@ def test_spearman_one_exchange_two_sorts(spark):
     assert _n_exchanges(plan) == 1
     assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 2
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    # rank()<=k must plan WindowGroupLimit on BOTH sides of the exchange
+    # (partial group-limit map-side, final after) — each partition keeps
+    # a k-sized heap per group instead of sorting/materializing whole
+    # groups; this is what makes top-k-per-group survive 100TB groups
+    plan = explain(spark, "w1_topk_per_group")
+    assert plan.count("WindowGroupLimit") >= 2, plan[:800]

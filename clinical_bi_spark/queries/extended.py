@@ -813,3 +813,94 @@ def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             F.max("last_order").alias("last_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end entity resolution: fuzzy pairs -> components -> canon table.
+# ---------------------------------------------------------------------------
+
+_ENTITY_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS a_id, b.p_partkey AS b_id
+  FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+), nodes AS (
+  SELECT DISTINCT u FROM (
+    SELECT a_id AS u FROM pairs UNION ALL SELECT b_id AS u FROM pairs
+  )
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS entity_id FROM reach GROUP BY node
+), assigned AS (
+  SELECT p.p_partkey, COALESCE(c.entity_id, p.p_partkey) AS entity_id
+  FROM part p LEFT JOIN comp c ON c.node = p.p_partkey
+)
+SELECT a.p_partkey AS p_partkey,
+       CAST(a.entity_id AS BIGINT) AS entity_id,
+       canon.p_name AS canonical_name,
+       CAST(m.n_members AS BIGINT) AS n_members
+FROM assigned a
+JOIN part canon ON canon.p_partkey = a.entity_id
+JOIN (SELECT entity_id, COUNT(*) AS n_members FROM assigned
+      GROUP BY entity_id) m ON m.entity_id = a.entity_id
+"""
+
+
+@query("entity_resolution_parts", oracle=_ENTITY_ORACLE)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: PassJoin fuzzy pairs (distance <= 2)
+    -> connected components (A~B, B~C merge even when A,C never paired)
+    -> a canonical entity table (entity_id = min member key, canonical
+    name = that member's name, member counts; unmatched parts are
+    singleton entities). Composes two exactly-oracled operators into the
+    master-data deliverable, and stays exactly oracled end to end
+    (all-pairs edges + recursive-CTE components on the DuckDB side).
+
+    Scale shape: the pair miner's equi-join blocking + the adaptive CC
+    (single-task union-find under the edge threshold, min-label rounds
+    above it) — entity assembly itself is two broadcast-scale joins on
+    the entity key."""
+    from clinical_bi_spark.operators.dedup import connected_components
+    from clinical_bi_spark.operators.fuzzy import editdist_self_join
+
+    t = load_tables(tune(spark), sf_dir)
+    pairs = editdist_self_join(t.part, "p_partkey", "p_name", k=2).select(
+        "a_id", "b_id"
+    )
+    comp = connected_components(pairs, src_col="a_id", dst_col="b_id").select(
+        F.col("id").alias("p_partkey"), F.col("component").alias("entity_id")
+    )
+    assigned = (
+        t.part.select("p_partkey")
+        .join(comp, "p_partkey", "left")
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("entity_id"), F.col("p_partkey")).alias(
+                "entity_id"
+            ),
+        )
+    )
+    members = assigned.groupBy("entity_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    canon = t.part.select(
+        F.col("p_partkey").alias("entity_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return (
+        assigned.join(members, "entity_id")
+        .join(canon, "entity_id")
+        .select(
+            "p_partkey",
+            F.col("entity_id").cast("bigint").alias("entity_id"),
+            "canonical_name",
+            "n_members",
+        )
+    )

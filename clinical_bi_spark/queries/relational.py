@@ -1272,3 +1272,80 @@ def m13_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.cast("bigint").alias("n_pos"),
         (n - pos).cast("bigint").alias("n_neg"),
     )
+
+
+_SETOPS_ALL_ORACLE = """
+SELECT op AS op, k AS custkey, COUNT(*) AS multiplicity FROM (
+  SELECT 'inter_all' AS op, k FROM (
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+  ) a
+  UNION ALL
+  SELECT 'except_all' AS op, k FROM (
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+  ) b
+) u GROUP BY op, k
+"""
+
+
+@query("set_ops_all", oracle=_SETOPS_ALL_ORACLE)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL keeps min(m, n)
+    copies per key, EXCEPT ALL keeps max(m - n, 0): the multiplicity
+    semantics `set_ops`'s distinct forms erase. Output aggregates to
+    (op, key, multiplicity) so the oracle pins the exact copy counts."""
+    t = load_tables(tune(spark), sf_dir)
+    f_orders = t.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    inter = f_orders.intersectAll(urgent).select(
+        F.lit("inter_all").alias("op"), "k"
+    )
+    exc = f_orders.exceptAll(urgent).select(
+        F.lit("except_all").alias("op"), "k"
+    )
+    return (
+        inter.unionAll(exc)
+        .groupBy("op", F.col("k").alias("custkey"))
+        .agg(F.count("*").alias("multiplicity"))
+    )
+
+
+_BITWISE_ORACLE = """
+SELECT l_returnflag AS l_returnflag,
+       CAST(bit_and(l_orderkey) AS BIGINT) AS and_keys,
+       CAST(bit_or(l_orderkey) AS BIGINT) AS or_keys,
+       CAST(bit_xor(l_orderkey) AS BIGINT) AS xor_keys,
+       CAST(bit_xor((l_orderkey << 4) | CAST(l_linenumber AS BIGINT))
+            AS BIGINT) AS xor_mixed,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_bitwise_battery", oracle=_BITWISE_ORACLE)
+def agg_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate battery (bit_and / bit_or / bit_xor + shifted
+    scalar mixing): all three folds are associative, commutative, and
+    integer-exact, so they partial-agg map-side and cannot drift with
+    partitioning — XOR over a composite key is also the classic cheap
+    set-equality checksum for reconciliation jobs."""
+    t = load_tables(tune(spark), sf_dir)
+    mixed = F.expr("shiftleft(l_orderkey, 4)").bitwiseOR(
+        F.col("l_linenumber").cast("bigint")
+    )
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.expr("bit_and(l_orderkey)").alias("and_keys"),
+        F.expr("bit_or(l_orderkey)").alias("or_keys"),
+        F.expr("bit_xor(l_orderkey)").alias("xor_keys"),
+        F.expr(
+            "bit_xor(shiftleft(l_orderkey, 4) | CAST(l_linenumber AS BIGINT))"
+        ).alias("xor_mixed"),
+        F.count("*").alias("n"),
+    )

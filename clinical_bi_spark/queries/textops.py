@@ -1605,3 +1605,44 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= tau)
     )
+
+
+# ---------------------------------------------------------------------------
+# Regex function battery (portable pattern subset).
+# ---------------------------------------------------------------------------
+
+_REGEX_BATTERY_ORACLE = """
+SELECT doc_id AS doc_id,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+       regexp_extract(text, '[0-9]+') AS first_number,
+       regexp_matches(text, '(the|and|of)') AS has_stop,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT)
+         AS len_no_vowels,
+       CAST(length(regexp_replace(text, '[0-9]+', '#', 'g')) AS INT)
+         AS len_nums_collapsed
+FROM documents
+"""
+
+
+@query("f_regex_battery", oracle=_REGEX_BATTERY_ORACLE)
+def f_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface battery: extract-all counts, first match, boolean
+    match, global replace — restricted to the PORTABLE pattern subset
+    (character classes, alternation, quantifiers; no lookaround, no
+    engine-specific escapes) so Java regex and DuckDB's RE2 agree
+    byte-for-byte. Pure narrow projection, zero shuffle."""
+    t = load_tables(tune(spark), sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias(
+            "n_numbers"
+        ),
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_number"),
+        F.col("text").rlike("(the|and|of)").alias("has_stop"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias(
+            "len_no_vowels"
+        ),
+        F.length(F.regexp_replace("text", "[0-9]+", "#")).alias(
+            "len_nums_collapsed"
+        ),
+    )

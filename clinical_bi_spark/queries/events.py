@@ -704,3 +704,42 @@ def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.lit("click")).otherwise("organic").alias("channel"),
         F.round("value", 4).alias("purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON parsing (schema-on-read into struct columns).
+# ---------------------------------------------------------------------------
+
+_JSON_TYPED_ORACLE = """
+SELECT event_type AS event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("evt_json_typed_parse", oracle=_JSON_TYPED_ORACLE)
+def evt_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read: from_json parses the props column into a TYPED
+    struct ONCE (one parse per row, fields then free), the pattern that
+    replaces N get_json_object calls each re-parsing the document; the
+    integer aggregates over the extracted field are exact. The oracle
+    extracts with DuckDB's JSON path + cast — same values, proving the
+    typed parse lossless."""
+    t = load_tables(tune(spark), sf_dir)
+    parsed = t.events.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("p.k").cast("bigint").alias("sum_k"),
+        F.min("p.k").cast("bigint").alias("min_k"),
+        F.max("p.k").cast("bigint").alias("max_k"),
+        F.count("*").alias("n"),
+    )

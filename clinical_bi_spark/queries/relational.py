@@ -1349,3 +1349,37 @@ def agg_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xor_mixed"),
         F.count("*").alias("n"),
     )
+
+
+_STRING_BATTERY_ORACLE = """
+SELECT p_partkey AS p_partkey,
+       lpad(p_name, 20, '*') AS padded_l,
+       rpad(p_brand, 12, '.') AS padded_r,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       reverse(p_name) AS name_rev,
+       CAST(instr(p_name, ' ') AS BIGINT) AS space_at,
+       left(p_name, 4) AS name_head,
+       right(p_name, 3) AS name_tail,
+       repeat(p_brand, 2) AS brand_twice
+FROM part
+"""
+
+
+@query("f_string_battery", oracle=_STRING_BATTERY_ORACLE)
+def f_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery over the engines' COMMON surface
+    (lpad/rpad/translate/reverse/instr/left/right/repeat — initcap is
+    deliberately absent: DuckDB lacks it and title-casing rules are
+    locale-trapped anyway). Narrow projection, zero shuffle."""
+    t = load_tables(tune(spark), sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.lpad("p_name", 20, "*").alias("padded_l"),
+        F.rpad("p_brand", 12, ".").alias("padded_r"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.reverse("p_name").alias("name_rev"),
+        F.expr("CAST(instr(p_name, ' ') AS BIGINT)").alias("space_at"),
+        F.expr("left(p_name, 4)").alias("name_head"),
+        F.expr("right(p_name, 3)").alias("name_tail"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+    )

@@ -167,7 +167,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # m17_target_encode_loo, j_point_in_time_scd2,
 # etl_incremental_agg_maintenance, evt_attribution_last_touch,
 # entity_resolution_parts, set_ops_all, agg_bitwise_battery,
-# f_regex_battery, f_string_battery, evt_json_typed_parse, and the rest of the
+# f_regex_battery, f_string_battery, evt_json_typed_parse,
+# agg_equidepth_histogram, agg_chi_square, and the rest of the
 # late-r6 batch) landed after this round's window was finalized
 # at 50 exact slots; their oracles run green in tests/test_queries_oracle
 # every session and they rotate into the r7 window first.

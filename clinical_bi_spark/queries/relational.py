@@ -1383,3 +1383,149 @@ def f_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("right(p_name, 3)").alias("name_tail"),
         F.repeat("p_brand", 2).alias("brand_twice"),
     )
+
+
+_EQUIDEPTH_ORACLE = """
+SELECT l_returnflag AS l_returnflag,
+       CAST(bucket AS INT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(l_extendedprice), 4) AS lo,
+       ROUND(MAX(l_extendedprice), 4) AS hi
+FROM (
+  SELECT l_returnflag, l_extendedprice,
+         ntile(8) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) AS bucket
+  FROM lineitem
+) t
+GROUP BY l_returnflag, bucket
+"""
+
+
+@query("agg_equidepth_histogram", oracle=_EQUIDEPTH_ORACLE)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram via ntile over a TOTAL order (the
+    (price, orderkey, linenumber) tie-break makes bucket assignment
+    engine-independent) — the data-driven complement to the fixed-width
+    agg_histogram_quantiles: bucket populations equal by construction,
+    boundaries adapt to the distribution. One exchange on the group key."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(tune(spark), sf_dir)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        t.lineitem.select(
+            "l_returnflag", "l_extendedprice",
+            F.ntile(8).over(w).alias("bucket"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 4).alias("lo"),
+            F.round(F.max("l_extendedprice"), 4).alias("hi"),
+        )
+    )
+
+
+# Chi-square independence, deterministic-float edition: per-cell terms
+# (o*n - r*c)^2 / (n*r*c) are built from exact BIGINT counts (one
+# correctly-rounded division each), and the cross-cell reduction is a
+# SEQUENTIAL fold over cells in sorted key order — float addition order
+# pinned, so chi2 is bit-identical however Spark partitions (the same
+# sorted-fold trick as data_temperature_mixture's denominator).
+_CHISQ_ORACLE = """
+WITH cells AS (
+  SELECT dayofweek(ts) AS dow, event_type, COUNT(*) AS o
+  FROM events GROUP BY dayofweek(ts), event_type
+), rows_t AS (
+  SELECT dow, SUM(o)::BIGINT AS r FROM cells GROUP BY dow
+), cols_t AS (
+  SELECT event_type, SUM(o)::BIGINT AS c FROM cells GROUP BY event_type
+), tot AS (
+  SELECT SUM(o)::BIGINT AS n FROM cells
+), terms AS (
+  SELECT ce.dow, ce.event_type,
+         CAST((ce.o * t.n - rt.r * ct.c) AS DOUBLE)
+           * CAST((ce.o * t.n - rt.r * ct.c) AS DOUBLE)
+           / (CAST(t.n AS DOUBLE) * CAST(rt.r AS DOUBLE)
+              * CAST(ct.c AS DOUBLE)) AS term
+  FROM cells ce
+  JOIN rows_t rt USING (dow)
+  JOIN cols_t ct USING (event_type)
+  CROSS JOIN tot t
+)
+SELECT CAST((SELECT COUNT(*) FROM rows_t) - 1 AS INT)
+         * CAST((SELECT COUNT(*) FROM cols_t) - 1 AS INT) AS dof,
+       CAST((SELECT COUNT(*) FROM terms) AS BIGINT) AS n_cells,
+       list_reduce(
+         list_prepend(0.0::DOUBLE,
+           list_transform(
+             list_sort(list(struct_pack(dow := dow, et := event_type,
+                                        term := term))),
+             x -> x.term)),
+         (a, b) -> a + b) AS chi2
+FROM terms
+"""
+
+
+@query("agg_chi_square", oracle=_CHISQ_ORACLE)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (weekday x event_type): per-cell
+    terms come from exact BIGINT counts via the cross-multiplied form
+    (o*n - r*c)^2 / (n*r*c) — no float expected-counts intermediate —
+    and the cross-cell sum folds SEQUENTIALLY over sorted cell keys, so
+    the statistic is bit-identical across engines and partitionings
+    (native SUM over doubles would be order-nondeterministic).
+
+    Encoding note: Spark's dayofweek is 1-7 (Sun=1), DuckDB's is 0-6
+    (Sun=0) — a constant shift, so the cell PARTITION and the sorted
+    fold ORDER are identical; the dow value itself never reaches the
+    output, which is what makes the discrepancy harmless here (and why
+    the output exposes only dof/n_cells/chi2)."""
+    t = load_tables(tune(spark), sf_dir)
+    cells = (
+        t.events.select(
+            F.dayofweek("ts").alias("dow"), "event_type"
+        )
+        .groupBy("dow", "event_type")
+        .agg(F.count("*").alias("o"))
+    )
+    rows_t = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_t = cells.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("c")
+    )
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    terms = (
+        cells.join(rows_t, "dow")
+        .join(cols_t, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "event_type",
+            (
+                (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+                .cast("double")
+                * (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+                .cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("r").cast("double")
+                    * F.col("c").cast("double")
+                )
+            ).alias("term"),
+        )
+    )
+    n_rows = rows_t.count()
+    n_cols = cols_t.count()
+    return terms.agg(
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("int").alias("dof"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(dow, event_type AS et, term))), x -> x.term),"
+            " 0.0D, (a, b) -> a + b)"
+        ).alias("chi2"),
+    )

@@ -327,3 +327,98 @@ def test_point_in_time_segment_is_day_end_state(spark, oracle_con):
             (e for e in seq if e[0] <= r.o_orderdate), key=lambda e: e[:2]
         )[2]
         assert r.segment_asof == expected, r
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_fuzzy_join_lossless_other_radii(spark, k):
+    """PassJoin's pigeonhole must hold for K=1 (2 segments) and K=3
+    (4 segments), not just the registry's K=2 — the segment-count and
+    shift-window arithmetic generalizes or it's wrong."""
+    import itertools
+    import random
+
+    from clinical_bi_spark.operators.fuzzy import editdist_self_join
+
+    rng = random.Random(1000 + k)
+    alphabet = "ab"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(4, 8)))
+            for _ in range(25)]
+    variants = []
+    for s in base:
+        variants.append(s)
+        t = list(s)
+        for _ in range(k):
+            op = rng.choice("sid")
+            pos = rng.randrange(len(t))
+            if op == "s":
+                t[pos] = rng.choice(alphabet)
+            elif op == "i":
+                t.insert(pos, rng.choice(alphabet))
+            elif len(t) > 4:
+                del t[pos]
+        variants.append("".join(t))
+    rows = [(i, s) for i, s in enumerate(variants)]
+
+    def ed(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if ed(a, b) <= k
+    }
+    df = spark.createDataFrame(rows, "sid bigint, name string")
+    got = {
+        (r.a_id, r.b_id)
+        for r in editdist_self_join(df, "sid", "name", k=k).collect()
+    }
+    assert got == expected and expected
+
+
+def test_chi_square_matches_numpy(spark, oracle_con):
+    rows = REGISTRY["agg_chi_square"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    pdf = oracle_con.execute(
+        "SELECT dayofweek(ts) AS dow, event_type, COUNT(*) AS o "
+        "FROM events GROUP BY 1, 2"
+    ).df()
+    tbl = pdf.pivot_table(
+        index="dow", columns="event_type", values="o", fill_value=0
+    ).to_numpy(dtype=np.float64)
+    n = tbl.sum()
+    e = np.outer(tbl.sum(1), tbl.sum(0)) / n
+    mask = e > 0
+    chi2 = (((tbl - e) ** 2)[mask] / e[mask]).sum()
+    assert r.chi2 == pytest.approx(chi2, rel=1e-9)
+    assert r.dof == (tbl.shape[0] - 1) * (tbl.shape[1] - 1)
+    assert r.n_cells == int((tbl > 0).sum())
+
+
+def test_anomaly_mad_matches_numpy(spark, oracle_con):
+    got = {
+        r.event_type: r
+        for r in REGISTRY["evt_anomaly_mad"].fn(spark, SF_ORACLE).collect()
+    }
+    pdf = oracle_con.execute(
+        "SELECT event_type, value FROM events"
+    ).df()
+    for et, grp in pdf.groupby("event_type"):
+        v = grp["value"].to_numpy(dtype=np.float64)
+        r = got[et]
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        assert r.median_value == pytest.approx(med, rel=1e-9)
+        assert r.mad == pytest.approx(mad, rel=1e-9)
+        n_out = int((np.round(np.abs(v - med), 6) > np.round(3 * mad, 6)).sum())
+        assert r.n_outliers == n_out
+        assert r.n_events == len(v)

@@ -20,10 +20,16 @@ runs only on the blocked candidates. Segment-partition convention
 (mirrored by any oracle that re-derives it): segment i of a length-L
 string has length (L div (K+1)) + 1 extra for the first L mod (K+1)
 segments, start position i*(L div (K+1)) + min(i, L mod (K+1)) + 1
-(1-based). Strings shorter than K+1 produce empty segments and are
-filtered from blocking — callers with such strings should lower K or
-brute-force that residue (documented contract; the oracle's all-pairs
-form proves the blocking loses no pair for the actual data).
+(1-based). Strings shorter than K+1 stay in the segment index (they
+emit length-1 segments) but the PROBE side clamps the enumerated
+reference length at max(len(s)-K, K+1), so such references are
+unreachable through blocking. The operator therefore handles the
+short-string residue internally (r7 ADVICE fix): any pair with
+min(length) <= K has both lengths <= 2K, so the residue candidates
+come from a length-keyed hash equi-join between strings of length
+<= K (reference role) and strings of length <= 2K (probe role) —
+still no similarity predicate in a join condition, and the residue
+tables are empty for corpora whose strings all exceed K chars.
 """
 
 from __future__ import annotations
@@ -78,7 +84,7 @@ def editdist_self_join(
           x -> x.seg_len >= 1)
         """
     )
-    refs = s.select(
+    refs = s.filter(F.col("slen") >= kk).select(
         F.col("sid").alias("rid"),
         F.col("stext").alias("rtext"),
         F.col("slen").alias("rlen"),
@@ -126,9 +132,14 @@ def editdist_self_join(
         .select("sid", "rid", "rtext")
         .distinct()
     )
-    # verified DISTINCT-name pairs, one row per unordered text pair
+    # verified DISTINCT-name pairs, one row per unordered text pair.
+    # Restricted to pairs with BOTH lengths >= K+1: such pairs are
+    # discovered in both probe directions (each side's length falls in
+    # the other's clamped [len-K, len+K] probe range), so sid < rid
+    # keeps exactly one orientation.
     name_pairs = (
         cand.join(s, "sid")
+        .filter(F.col("slen") >= kk)
         .filter(F.levenshtein(F.col("stext"), F.col("rtext")) <= k)
         .filter(F.col("sid") < F.col("rid"))  # dedup the two directions
         .select(
@@ -138,6 +149,41 @@ def editdist_self_join(
         )
         .distinct()
     )
+    # ---- short-string residue: pairs with min(length) <= K ----
+    # Unreachable through segment blocking (probe lengths are clamped at
+    # K+1), but bounded by construction: ed <= K forces the partner's
+    # length <= 2K. Candidates via a LENGTH hash equi-join (short
+    # strings in the reference role x <=2K strings in the probe role);
+    # only one orientation is guaranteed discovered (the probe->short
+    # direction), so pairs normalize by uid ordering, then distinct.
+    refs_short = s.filter(F.col("slen") <= k).select(
+        F.col("sid").alias("rid"),
+        F.col("stext").alias("rtext"),
+        F.col("slen").alias("rlen"),
+    )
+    probe_lens = s.filter(F.col("slen") <= 2 * k).select(
+        "sid",
+        "stext",
+        F.explode(
+            F.expr(f"sequence(greatest(slen - {k}, 0), slen + {k})")
+        ).alias("rlen"),
+    )
+    resid_pairs = (
+        probe_lens.join(refs_short, "rlen")
+        .filter(F.col("sid") != F.col("rid"))
+        .filter(F.levenshtein(F.col("stext"), F.col("rtext")) <= k)
+        .select(
+            F.when(F.col("sid") < F.col("rid"), F.col("stext"))
+            .otherwise(F.col("rtext"))
+            .alias("na"),
+            F.when(F.col("sid") < F.col("rid"), F.col("rtext"))
+            .otherwise(F.col("stext"))
+            .alias("nb"),
+            F.levenshtein(F.col("stext"), F.col("rtext")).alias("dist"),
+        )
+        .distinct()
+    )
+    name_pairs = name_pairs.unionByName(resid_pairs)
     # expand name pairs back to id pairs (pure hash-join fan-out): every
     # id with text na pairs with every id with text nb
     a_ids = ids.select(F.col("gid").alias("ga"), F.col("gtext").alias("na"))

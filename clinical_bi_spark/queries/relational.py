@@ -1446,15 +1446,20 @@ WITH cells AS (
   SELECT event_type, SUM(o)::BIGINT AS c FROM cells GROUP BY event_type
 ), tot AS (
   SELECT SUM(o)::BIGINT AS n FROM cells
+), full_cells AS (
+  -- full row x column cross product: an EMPTY contingency cell still
+  -- contributes (0 - E)^2 / E = r*c/n to the statistic
+  SELECT rt.dow, ct.event_type, rt.r, ct.c, COALESCE(ce.o, 0)::BIGINT AS o
+  FROM rows_t rt
+  CROSS JOIN cols_t ct
+  LEFT JOIN cells ce ON ce.dow = rt.dow AND ce.event_type = ct.event_type
 ), terms AS (
-  SELECT ce.dow, ce.event_type,
-         CAST((ce.o * t.n - rt.r * ct.c) AS DOUBLE)
-           * CAST((ce.o * t.n - rt.r * ct.c) AS DOUBLE)
-           / (CAST(t.n AS DOUBLE) * CAST(rt.r AS DOUBLE)
-              * CAST(ct.c AS DOUBLE)) AS term
-  FROM cells ce
-  JOIN rows_t rt USING (dow)
-  JOIN cols_t ct USING (event_type)
+  SELECT fc.dow, fc.event_type,
+         CAST((fc.o * t.n - fc.r * fc.c) AS DOUBLE)
+           * CAST((fc.o * t.n - fc.r * fc.c) AS DOUBLE)
+           / (CAST(t.n AS DOUBLE) * CAST(fc.r AS DOUBLE)
+              * CAST(fc.c AS DOUBLE)) AS term
+  FROM full_cells fc
   CROSS JOIN tot t
 )
 SELECT CAST((SELECT COUNT(*) FROM rows_t) - 1 AS INT)
@@ -1480,6 +1485,14 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     the statistic is bit-identical across engines and partitionings
     (native SUM over doubles would be order-nondeterministic).
 
+    The contingency table is the FULL row x column cross product
+    (marginals cross-joined, observed counts left-joined with a 0
+    default): an empty cell still contributes (0 - E)^2 / E = r*c/n,
+    which the observed-cells-only form would silently omit whenever a
+    (dow, event_type) combination has no events (r7 ADVICE fix — at
+    SF_ORACLE all cells happen to be populated, so the numpy referee
+    pins the empty-cell path via a sparse fixture instead).
+
     Encoding note: Spark's dayofweek is 1-7 (Sun=1), DuckDB's is 0-6
     (Sun=0) — a constant shift, so the cell PARTITION and the sorted
     fold ORDER are identical; the dow value itself never reaches the
@@ -1498,10 +1511,22 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").cast("bigint").alias("c")
     )
     tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    # full row x column cross product (both marginal tables are tiny —
+    # 7 weekdays x #event_types — so the crossJoin broadcasts); empty
+    # cells left-join to o=0 and still contribute (0-E)^2/E = r*c/n
+    full_cells = (
+        rows_t.crossJoin(F.broadcast(cols_t))
+        .join(cells, ["dow", "event_type"], "left")
+        .select(
+            "dow",
+            "event_type",
+            "r",
+            "c",
+            F.coalesce("o", F.lit(0)).cast("bigint").alias("o"),
+        )
+    )
     terms = (
-        cells.join(rows_t, "dow")
-        .join(cols_t, "event_type")
-        .crossJoin(F.broadcast(tot))
+        full_cells.crossJoin(F.broadcast(tot))
         .select(
             "dow",
             "event_type",

@@ -460,6 +460,13 @@ def stream_upsert_current_state(
         if q.isActive:
             q.stop()
     if not finished:
+        # release the last epoch's tracked localCheckpoint blocks before
+        # failing: without this, a wedged stream leaks executor storage
+        # for the life of the session (r7 ADVICE fix)
+        if state["cached"]:
+            release_rdd_ids(spark, state["cached"])
+            state["cached"] = []
+            state["df"] = None
         raise TimeoutError(
             "stream_upsert_current_state did not complete within "
             f"{STREAM_TIMEOUT_SECS}s — failing fast instead of hanging"

@@ -2,12 +2,13 @@
 or more SF dirs — the same canonicalization/compare as driver_sim, but
 filtered, for fast iteration on new queries.
 
-Usage: python scripts/check_queries.py q1 q2 ... [--sf DIR]...
+Usage: python scripts/check_queries.py q1 q2 ... [--sf DIR | --sf=DIR]...
 (default SFs: sf0.001 and sf0.01)
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
@@ -19,11 +20,20 @@ from scripts.driver_sim import TABLES, canon, cells_equal  # noqa: E402
 
 
 def main() -> int:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sfs = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--sf=")] or [
-        "/root/testdata/sf0.001",
-        "/root/testdata/sf0.01",
-    ]
+    ap = argparse.ArgumentParser(
+        description="Spot-check registry queries against their DuckDB oracles"
+    )
+    ap.add_argument("names", nargs="+", help="registry query names")
+    ap.add_argument(
+        "--sf",
+        action="append",
+        default=None,
+        metavar="DIR",
+        help="SF dir (repeatable; accepts --sf DIR and --sf=DIR)",
+    )
+    ns = ap.parse_args()
+    names = ns.names
+    sfs = ns.sf or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as e

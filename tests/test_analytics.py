@@ -384,6 +384,51 @@ def test_fuzzy_join_lossless_other_radii(spark, k):
     assert got == expected and expected
 
 
+@pytest.mark.parametrize("k", [1, 2])
+def test_fuzzy_join_short_string_residue(spark, k):
+    """r7 ADVICE fix: strings shorter than K+1 were unreachable through
+    the probe-side length clamp; the internal residue path must recover
+    every pair involving them — including the empty string, short-short
+    pairs, and short-long pairs in both id orderings — against a full
+    brute-force reference."""
+    import itertools
+
+    from clinical_bi_spark.operators.fuzzy import editdist_self_join
+
+    # ids deliberately ordered so some short strings have LARGER ids
+    # than their long partners (the pre-fix code also dropped the
+    # orientation where only probe=short is discovered and sid > rid)
+    rows = [
+        (10, ""), (1, "a"), (7, "b"), (2, "ab"), (9, "ba"),
+        (3, "abc"), (8, "abcd"), (4, "xy"), (5, "xyz"), (6, "abcde"),
+        (11, "a"),  # duplicate short text
+    ]
+
+    def ed(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (min(i, j), max(i, j), ed(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if ed(a, b) <= k
+    }
+    df = spark.createDataFrame(rows, "sid bigint, name string")
+    got = {
+        (r.a_id, r.b_id, r.dist)
+        for r in editdist_self_join(df, "sid", "name", k=k).collect()
+    }
+    assert got == expected and expected
+
+
 def test_chi_square_matches_numpy(spark, oracle_con):
     rows = REGISTRY["agg_chi_square"].fn(spark, SF_ORACLE).collect()
     assert len(rows) == 1
@@ -396,12 +441,37 @@ def test_chi_square_matches_numpy(spark, oracle_con):
         index="dow", columns="event_type", values="o", fill_value=0
     ).to_numpy(dtype=np.float64)
     n = tbl.sum()
+    # full cross product: every cell of the pivot (fill_value=0) counts;
+    # marginals are strictly positive by construction so e > 0 everywhere
     e = np.outer(tbl.sum(1), tbl.sum(0)) / n
-    mask = e > 0
-    chi2 = (((tbl - e) ** 2)[mask] / e[mask]).sum()
+    chi2 = (((tbl - e) ** 2) / e).sum()
     assert r.chi2 == pytest.approx(chi2, rel=1e-9)
     assert r.dof == (tbl.shape[0] - 1) * (tbl.shape[1] - 1)
-    assert r.n_cells == int((tbl > 0).sum())
+    assert r.n_cells == tbl.size
+
+
+def test_chi_square_empty_cells_counted(spark, tmp_path):
+    """r7 ADVICE fix: an EMPTY contingency cell must still contribute
+    (0 - E)^2 / E = r*c/n. Sparse fixture: 2 weekdays x 2 event types
+    with one (dow, type) combination absent — the observed-cells-only
+    form would understate chi2 by exactly that cell's expected count."""
+    import datetime as dt
+
+    # Mon 2024-01-01 / Tue 2024-01-02; (Tue, 'b') cell left empty
+    rows = (
+        [(dt.datetime(2024, 1, 1, 10, 0, i), "a") for i in range(6)]
+        + [(dt.datetime(2024, 1, 1, 11, 0, i), "b") for i in range(4)]
+        + [(dt.datetime(2024, 1, 2, 10, 0, i), "a") for i in range(5)]
+    )
+    spark.createDataFrame(rows, "ts timestamp, event_type string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    r = REGISTRY["agg_chi_square"].fn(spark, str(tmp_path)).collect()[0]
+    tbl = np.array([[6.0, 4.0], [5.0, 0.0]])
+    e = np.outer(tbl.sum(1), tbl.sum(0)) / tbl.sum()
+    assert r.n_cells == 4
+    assert r.dof == 1
+    assert r.chi2 == pytest.approx((((tbl - e) ** 2) / e).sum(), rel=1e-9)
 
 
 def test_anomaly_mad_matches_numpy(spark, oracle_con):

@@ -30,6 +30,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # _annotate_recall_enabled). Adjudication/correctness runs keep it on.
 os.environ.setdefault("CLINICAL_BI_ANN_RECALL", "0")
 
+# Bench the numpy production path of oracle-graduated ANN queries: the
+# sequential exact-arithmetic form exists for DuckDB adjudication and
+# costs a measured 2.2x on sim_ann_lsh (r6 regression, PERF.md round-7);
+# the two paths are differential-pinned equal in tests/test_similarity.py,
+# which is what licenses timing one while adjudicating the other.
+os.environ.setdefault("CLINICAL_BI_EXACT_ARITH", "0")
+
 
 # The bench set as of round 4 — kept stable for round-over-round totals.
 _R4_SET = frozenset(
@@ -144,6 +151,10 @@ def main() -> None:
         # adjudicated variant runs with the exact-recall twin ON, so its
         # output differs from what these timings measure.
         "ann_recall_annotation": os.environ["CLINICAL_BI_ANN_RECALL"] != "0",
+        # sim_ann_lsh timing measures the numpy production path; the
+        # adjudicated variant (exact sequential arithmetic, 2.2x slower,
+        # differential-pinned equal) runs with this flag on.
+        "ann_exact_arithmetic": os.environ["CLINICAL_BI_EXACT_ARITH"] != "0",
     }
     print(json.dumps(result))
 

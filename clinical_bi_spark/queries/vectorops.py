@@ -143,6 +143,20 @@ def _annotate_recall_enabled() -> bool:
     return os.environ.get("CLINICAL_BI_ANN_RECALL", "1") != "0"
 
 
+def _exact_arith_enabled() -> bool:
+    """Whether oracle-graduated ANN queries run their SEQUENTIAL
+    exact-arithmetic signature/cosine path (bit-identical to the DuckDB
+    oracle — the adjudication form) or the vectorized numpy fast path
+    (the production form, differential-pinned equal to the exact path in
+    tests/test_similarity.py). The exact path costs a measured 2.2x on
+    sim_ann_lsh (BENCH_r06 2.241s vs r5's 1.008s — PERF.md round-7
+    entry), so bench.py sets CLINICAL_BI_EXACT_ARITH=0 to measure the
+    path production callers get, exactly as CLINICAL_BI_ANN_RECALL=0
+    already strips the recall-annotation twin; adjudication/correctness
+    runs default on."""
+    return os.environ.get("CLINICAL_BI_EXACT_ARITH", "1") != "0"
+
+
 def _exact_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     """The brute-force top-k twin (same queries, same tie-break) used to
     annotate approximate results with their measured recall."""
@@ -265,7 +279,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_embedding_lsh technique). The former rows-only self-evidence
     (recall@k annotation) is superseded by the oracle; recall floors vs
     brute force stay pinned in tests/test_similarity.py, and the
-    numpy fast path is differential-pinned to this exact path."""
+    numpy fast path is differential-pinned to this exact path.
+
+    Adjudication runs the exact-arithmetic path (default); bench.py
+    flips CLINICAL_BI_EXACT_ARITH=0 to measure the numpy production
+    path instead — exactness costs a measured 2.2x (PERF.md round-7),
+    and the differential pin is what licenses timing one while
+    adjudicating the other."""
     from clinical_bi_spark.operators.similarity import lsh_bucket_topk
 
     t = load_tables(tune(spark), sf_dir)
@@ -275,7 +295,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pruning most of the corpus per query.
     return lsh_bucket_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, nbits=8, max_hamming=3,
-        exact_arithmetic=True,
+        exact_arithmetic=_exact_arith_enabled(),
     )
 
 

@@ -301,3 +301,17 @@ def test_embedding_lsh_exact_arithmetic_matches_fast_path(spark, embeddings):
     exact = embedding_neardup_pairs(
         embeddings, exact_arithmetic=True, **kw).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, exact))
+
+
+def test_ann_lsh_exact_arithmetic_matches_fast_path(spark, embeddings):
+    """Same pin for the top-k form: bench.py times the numpy path
+    (CLINICAL_BI_EXACT_ARITH=0) while the driver adjudicates the
+    sequential exact path — legal only because the two are identical on
+    the corpus. Row-for-row including rank, since top-k tie-breaks are
+    part of the contract."""
+    kw = dict(k=5, nbits=8, max_hamming=3)
+    queries_df = embeddings.filter(F.col("vec_id") < 8)
+    fast = lsh_bucket_topk(embeddings, queries_df, **kw).collect()
+    exact = lsh_bucket_topk(
+        embeddings, queries_df, exact_arithmetic=True, **kw).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, exact))

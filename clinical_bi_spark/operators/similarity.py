@@ -216,6 +216,84 @@ def _kmeans_centroids(
     )
 
 
+def det_kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    n_train: int = 512,
+    iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic spherical Lloyd's fit — every float operation has a
+    pinned order, so the ENTIRE quantizer is replicable in ANSI SQL
+    (unrolled CTEs) and the IVF query it feeds carries an exact oracle.
+
+    Three determinism devices:
+    * bounded training sample = the ``n_train`` lowest-id vectors (the
+      standard IVF practice of fitting the codebook on a sample — FAISS
+      trains on a subset too — which is also what keeps the sorted folds
+      below driver/task-memory bounds at any corpus size);
+    * init = the ``n_cells`` lowest-id sample vectors; assignment =
+      argmax sequential cosine with (cos DESC, cell_id) tie-break;
+    * update = elementwise sum of member embeddings folded in ascending
+      vec_id order — NO normalization step, because cosine is
+      scale-invariant in the centroid (cos(x, a*c) = cos(x, c)), so the
+      raw sorted-order sum is a valid spherical centroid and the update
+      contains no division or sqrt to diverge. A cell that loses all
+      members keeps its previous centroid (left join + coalesce).
+
+    Fixed ``iters`` Lloyd rounds (no convergence test — determinism over
+    optimality); recall floors for the resulting quantizer are pinned in
+    tests/test_similarity.py."""
+    train = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_train)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).cast("array<double>").alias("emb"),
+        )
+    )
+    cent = (
+        train.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cell_id"),
+            F.col("emb").alias("cell_emb"),
+        )
+    )
+    # sorted-order elementwise fold: bit-identical however Spark
+    # partitions, and equal to DuckDB's list_reduce over the same order
+    sum_expr = F.expr(
+        "aggregate("
+        "transform(array_sort(collect_list(struct(vec_id, emb))), x -> x.emb),"
+        f" array_repeat(0.0D, {dim}),"
+        " (a, b) -> zip_with(a, b, (p, q) -> p + q))"
+    )
+    for _ in range(iters):
+        cos = cosine_similarity(F.col("emb"), F.col("cell_emb"))
+        assigned = (
+            train.crossJoin(F.broadcast(cent))
+            .select("vec_id", "emb", "cell_id", cos.alias("cell_cos"))
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("cell_cos").desc(), F.col("cell_id")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") == 1)
+        )
+        sums = assigned.groupBy("cell_id").agg(sum_expr.alias("s_emb"))
+        cent = cent.join(sums, "cell_id", "left").select(
+            "cell_id", F.coalesce("s_emb", "cell_emb").alias("cell_emb")
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -226,6 +304,7 @@ def ivf_topk(
     nprobe: int = 4,
     kmeans_centroids: bool = True,
     exact_arithmetic: bool = False,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer (default; seeded Spark ML
     KMeans fit — deterministic run-to-run) or, with
@@ -241,9 +320,15 @@ def ivf_topk(
     (assignment, multi-probe, candidate equi-join, ranked top-k) exactly
     SQL-oracle-checkable; only the learned k-means quantizer itself
     stays outside the oracle's reach (the same boundary the sign-LSH
-    graduation drew in r6).
+    graduation drew in r6). Passing ``centroids`` explicitly (e.g. the
+    deterministic :func:`det_kmeans_centroids` fit) overrides both
+    built-in quantizers — with that fit the oracle covers the quantizer
+    TRAINING too, which is how the registered ``sim_ann_ivf`` carries a
+    fully exact oracle.
     """
-    if kmeans_centroids:
+    if centroids is not None:
+        pass
+    elif kmeans_centroids:
         centroids = _kmeans_centroids(corpus, emb_col, n_cells)
     else:
         centroids = (

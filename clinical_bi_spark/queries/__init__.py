@@ -48,7 +48,43 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 
 #: The driver records correctness rows for registry[:50] only, so ordering
-#: decides which queries get a driver verdict each round. Round-6 priority:
+#: decides which queries get a driver verdict each round.
+#:
+#: ROUND-7 WINDOW (replaces the r6 ordering below; the r6 rationale is
+#: kept as history). Slot budget, in priority order:
+#: (1) queries whose implementation or oracle CHANGED this round —
+#:     agg_chi_square (empty-cell fix), j_fuzzy_editdist_pairs +
+#:     entity_resolution_parts (short-string residue in the PassJoin
+#:     operator), sim_ann_lsh (exact-arith env gate; the driver runs the
+#:     exact default), sim_ann_ivf (GRADUATED: deterministic Lloyd's fit
+#:     + fully exact oracle, new code);
+#: (2) the 25 never-adjudicated late-r6 queries — every one gets its
+#:     first driver row so the r1–r7 union covers all 146 registry
+#:     entries (the r6 verdict's top ask). The two rows-only media
+#:     entries (multimodal_resize_jpeg / multimodal_video_mjpeg_frames)
+#:     ride along as promised: lossy codecs, rows-only by construction,
+#:     error bounds pinned in pytest;
+#: (3) headliners (flagship / dashboard), every round;
+#: (4) the r4-green blocks at the 3-round staleness ceiling: the four
+#:     etl_* domain entries and the w3/cube/pivot/unpivot window block;
+#: (5) stale rows-only entries per the r6 verdict's "cycle 2–3 per
+#:     round": m9 / a3_approx / agg_percentiles_approx (r3 rows) and
+#:     sim_ann_pq (r4 row);
+#: (6) the oldest remaining r4-green entries that fit: asof_join_events,
+#:     dedup_exact, dedup_embedding_cosine, a3_multi_count_distinct,
+#:     agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
+#:     evt_tumbling_window.
+#: Streaming stays at the TAIL (a wedged stream must only cost
+#: streaming rows): stream_sliding_window is the one streaming entry
+#: this round and sits last. Still r4-green and deferred to r8 (window
+#: full): the evt_* remainder (sliding/sessionization/json_extract/
+#: dedup_window/group_zscore/group_zscore_window/funnel/retention),
+#: text_stats, text_quality_score, m8_vocab_embedding,
+#: multimodal_features, multimodal_resize_bmp, data_quality_select,
+#: data_snapshot_diff — they are due FIRST in r8, before anything
+#: r5/r6-green rotates again.
+#:
+#: Round-6 rationale (history):
 #: (1) every query whose implementation or oracle changed this round —
 #: sim_ann_lsh's new exact oracle, the repartitioned multimodal entries,
 #: the tracked-persist refactor (touches every dedup/similarity/textops/
@@ -83,101 +119,83 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- implementation / oracle changed this round (r6) --
-    "sim_ann_lsh",            # graduated to an exact oracle
-    "multimodal_resize",      # repartition before synthesis (5x)
-    "multimodal_audio_features",
-    "dedup_cluster_winnow",   # CC checkpoint tracking/early release
-    "dedup_minhash_lsh",      # tracked-persist refactor touched all dedup
-    "dedup_simhash",
-    "dedup_simhash_blocked",
-    "dedup_embedding_lsh",
-    "pipeline_corpus_curation",  # textops tracked persists
-    "dedup_decontaminate",
-    "dedup_winnow_pairs",
-    "text_sequence_packing",  # packing.py tracked persist
-    "text_bm25_topk",         # NEW r6: exactly-oracled BM25 selection
-    "a3_hll_portable",        # NEW r6: register-exact HLL sketch
-    "sketch_countmin_topk",   # NEW r6: cell-exact count-min heavy hitters
-    "j_bloom_prefilter_join", # NEW r6: bit-exact Bloom runtime filter
-    "dedup_span_ngram",       # NEW r6: repeated-span (substring) dedup
-    "a3_hll_merge",           # NEW r6: sketch mergeability, exact oracle
-    "agg_histogram_quantiles",  # NEW r6: 256-bin quantile scale path
-    "evt_ohlc_downsample",    # NEW r6: hypertable OHLC rollup
-    "j_range_interval_join",  # NEW r6: grid-cell interval equi-join
-    "multimodal_resize_png",  # NEW r6: real compressed codec, pixel oracle
-    "multimodal_resize_gif",  # NEW r6: real LZW codec, lossless, exact
-    "etl_scd2_history",       # NEW r6: type-2 SCD history build
-    "agg_stats_battery",      # NEW r6: exact-integer second moments
-    "graph_pagerank",         # NEW r6: integer-exact iterative PageRank
-    "evt_markov_transitions", # NEW r6: sequence transition matrix
-    "f_array_battery",        # NEW r6: higher-order lambda surface
-    "text_chunk_split",       # NEW r6: training-chunk materializer
-    "w5_rolling_range_window",   # NEW r6: time-RANGE frame window
-    "dq_constraint_report",   # NEW r6: expectation audit report
-    "j_fuzzy_editdist_pairs", # NEW r6: PassJoin edit-distance join
-    # -- headliners, every round --
+    # -- (1) implementation / oracle changed this round (r7) --
+    "agg_chi_square",         # empty-cell fix (full cross product)
+    "j_fuzzy_editdist_pairs", # short-string residue path
+    "entity_resolution_parts",  # inherits the residue; first driver row
+    "sim_ann_lsh",            # exact-arith env gate (driver = exact)
+    "sim_ann_ivf",            # GRADUATED: deterministic fit, exact oracle
+    # -- (2) never-adjudicated late-r6 queries: first driver rows --
+    "dedup_jaccard_prefix",
+    "j_point_in_time_scd2",
+    "graph_bfs_distance",
+    "graph_triangles",
+    "sim_ann_ivf_exact",
+    "m14_kfold_assign",
+    "m15_confusion_metrics",
+    "m16_feature_hashing",
+    "m17_target_encode_loo",
+    "agg_spearman_corr",
+    "agg_equidepth_histogram",
+    "agg_bitwise_battery",
+    "f_string_battery",
+    "f_regex_battery",
+    "evt_anomaly_mad",
+    "evt_attribution_last_touch",
+    "evt_json_typed_parse",
+    "etl_incremental_agg_maintenance",
+    "data_temperature_mixture",
+    "set_ops_all",
+    "multimodal_resize_jpeg",        # rows-only (lossy), as promised
+    "multimodal_video_mjpeg_frames", # rows-only (lossy), as promised
+    # -- (3) headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- the whole r3 block: at the 3-round staleness ceiling --
-    "agg_percentiles",
-    "agg_grouping_sets",
-    "m5_bucketize",
-    "m1_exact_split_sizes",
-    "m1_distributed_split_sizes",
-    "m6_one_hot",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    # -- streaming LAST within the checked window (a wedged stream must
-    #    only cost streaming rows); all six changed this round --
-    "stream_tumbling_window",
-    "stream_stream_join",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_stateful_user_stats",
-    "stream_corpus_curation",
-    "stream_hll_distinct",    # NEW r6: windowed sketch state, exact oracle
-    "stream_upsert_cdc",      # NEW r6: foreachBatch CDC upsert (streaming
-                              # entries stay at the tail, newest last)
+    # -- (4) r4-green blocks at the 3-round staleness ceiling --
+    "etl_cohort_literal_joins",
+    "etl_name_keyed_rollup",
+    "etl_interventions_conditions",
+    "etl_calculated_values_rebuild",
+    "w3_lag_lead_first",
+    "agg_cube",
+    "agg_pivot",
+    "unpivot_long",
+    # -- (5) stale rows-only rotation (r3/r4 rows) --
+    "m9_mlp_train_eval",
+    "a3_approx_count_distinct",
+    "agg_percentiles_approx",
+    "sim_ann_pq",
+    # -- (6) oldest remaining r4-green entries that fit --
+    "asof_join_events",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "a3_multi_count_distinct",
+    "agg_pricing_summary",
+    "p_filter_conjunction",
+    "f_scalar_battery",
+    "evt_tumbling_window",
+    # -- streaming LAST within the checked window --
+    "stream_sliding_window",  # the one never-adjudicated streaming entry
 )
-# Deferred to r7 (r4/r5-green, ≤3 rounds stale after this rotation, code
-# unchanged; the four etl_* domain entries were displaced from the r6
-# window by the four NEW r6 sketch/span queries — new queries have never
-# had a verdict, which outranks a 3-round-stale green on unchanged code;
-# additionally sim_ann_ivf, sim_ann_pq, m8_vocab_embedding_trained,
-# m9_mlp_train_eval, a3_approx_count_distinct and agg_percentiles_approx
-# — all rows-only by construction — were displaced mid-round by the six
-# NEW exact-oracle queries, see the priority-block comment):
-# etl_cohort_literal_joins, etl_name_keyed_rollup,
-# etl_interventions_conditions, etl_calculated_values_rebuild,
-# unpivot_long (displaced by stream_hll_distinct), w3_lag_lead_first and
-# agg_pivot (displaced by a3_hll_merge + agg_histogram_quantiles),
-# agg_cube and dedup_embedding_cosine (displaced by evt_ohlc_downsample +
-# j_range_interval_join), evt_group_zscore_window (r5-green, displaced by
-# multimodal_resize_png), asof_join_events (lesson-20 floor confirmed,
-# displaced by multimodal_resize_gif). multimodal_resize_jpeg and
-# multimodal_video_mjpeg_frames (NEW r6) sit OUTSIDE the window on
-# purpose: their driver checks would be rows-only (lossy by
-# construction) — a weak signal not worth more displacements; their
-# designated checks are the pytest error bounds, and r7 rotates them in.
-# The twelve newest r6 queries (dedup_jaccard_prefix, agg_spearman_corr,
-# stream_sliding_window, graph_bfs_distance, graph_triangles,
-# sim_ann_ivf_exact, data_temperature_mixture, evt_anomaly_mad,
-# m14_kfold_assign, m15_confusion_metrics, m16_feature_hashing,
-# m17_target_encode_loo, j_point_in_time_scd2,
-# etl_incremental_agg_maintenance, evt_attribution_last_touch,
-# entity_resolution_parts, set_ops_all, agg_bitwise_battery,
-# f_regex_battery, f_string_battery, evt_json_typed_parse,
-# agg_equidepth_histogram, agg_chi_square, and the rest of the
-# late-r6 batch) landed after this round's window was finalized
-# at 50 exact slots; their oracles run green in tests/test_queries_oracle
-# every session and they rotate into the r7 window first.
-# agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
-# text_stats, text_quality_score, data_snapshot_diff, data_quality_select,
-# m8_vocab_embedding, multimodal_features, multimodal_resize_bmp,
-# evt_sliding_window, evt_json_extract, evt_dedup_window,
-# evt_group_zscore, evt_funnel_conversion, evt_retention_cohorts, and the
-# r5-green block.
+# Deferred to r8, due FIRST (still r4-green after this rotation — the
+# window could not hold all 31 r4-green entries alongside the 25
+# never-adjudicated ones, and first-ever driver rows outrank
+# re-greening unchanged code): evt_sliding_window, evt_sessionization,
+# evt_json_extract, evt_dedup_window, evt_group_zscore,
+# evt_group_zscore_window, evt_funnel_conversion, evt_retention_cohorts,
+# text_stats, text_quality_score, m8_vocab_embedding,
+# multimodal_features, multimodal_resize_bmp, data_quality_select,
+# data_snapshot_diff. Also r5-green and aging: the relational/text core
+# (j2_selfjoin_fanout, f3/f6/f10, m1_keyed_split, m2_encoder_chain,
+# w1/w2/w4, set_ops, sort_limit_topn, j7, j_semi_anti_exists, m12, m13,
+# text_language_id, dedup_ngram_jaccard, text_corpus_rollup,
+# text_repetition, text_winnow_fingerprint, text_redact_pii,
+# text_tfidf_topk, text_lm_score, sim_bruteforce_topk, vec_norm_rollup,
+# dedup_incremental, data_mixture_sample, data_global_shuffle,
+# text_chunk_dedup, agg_rollup, merge_upsert_emulation,
+# agg_salted_count, etl_cohort_conditional_agg) plus the r5 rows-only
+# pair (m3_feature_importance, m8_vocab_embedding_trained) — those two
+# cycle in r8 per the 2–3-per-round rows-only policy.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -58,6 +58,41 @@ def test_ivf_recall(embeddings, truth):
     assert r >= 0.4, f"IVF recall {r}"
 
 
+def test_ivf_det_kmeans_recall_and_cell_balance(spark, embeddings, truth):
+    """The deterministic sequential-arithmetic Lloyd's quantizer (the r7
+    graduation behind sim_ann_ivf's exact oracle) must keep useful
+    recall and bounded cell imbalance — determinism must not cost the
+    properties the learned k-means quantizer was chosen for."""
+    from pyspark.sql.window import Window
+
+    from clinical_bi_spark.functions.vectors import cosine_pandas
+    from clinical_bi_spark.operators.similarity import det_kmeans_centroids
+
+    cent = det_kmeans_centroids(embeddings, n_cells=16, n_train=512, iters=3)
+    out = ivf_topk(
+        embeddings, embeddings.filter(F.col("vec_id") < 8),
+        k=5, n_cells=16, nprobe=8, centroids=cent,
+    ).collect()
+    assert _recall(out, truth) >= 0.5
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cell_id")
+    sizes = (
+        embeddings.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cell_id",
+            cosine_pandas(F.col("embedding"), F.col("cell_emb")).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .groupBy("cell_id")
+        .count()
+        .collect()
+    )
+    n_total = sum(r["count"] for r in sizes)
+    ideal = n_total / 16
+    assert max(r["count"] for r in sizes) <= 2.5 * ideal, sizes
+
+
 def test_identical_vector_is_top1(spark, embeddings):
     """A query identical to a corpus vector must return it at rank 1 with
     cosine 1.0 — sanity for both ANN paths."""
@@ -160,7 +195,7 @@ def test_pq_recall_and_planted_twin(spark, embeddings, truth):
 
 @pytest.mark.parametrize(
     "name,floor",
-    [("sim_ann_ivf", 0.4), ("sim_ann_pq", 0.5)],
+    [("sim_ann_pq", 0.5)],
 )
 def test_registry_ann_recall_column_floor(spark, name, floor):
     """The registry ANN queries emit their measured recall@k as an output
@@ -172,6 +207,26 @@ def test_registry_ann_recall_column_floor(spark, name, floor):
     per_q = {r.q_id: r.recall_at_k for r in rows}
     mean_recall = sum(per_q.values()) / len(per_q)
     assert mean_recall >= floor, f"{name} mean recall {mean_recall}"
+
+
+def test_sim_ann_ivf_recall_floor(spark):
+    """sim_ann_ivf graduated from the recall@k annotation to a fully
+    exact SQL oracle (r7 — deterministic Lloyd's fit), so its recall
+    floor is asserted HERE against the brute-force registry query, the
+    same move sim_ann_lsh made in r6."""
+    registry = load_all()
+    ann = registry["sim_ann_ivf"].fn(spark, SF_ORACLE)
+    assert "recall_at_k" not in ann.columns  # superseded by the oracle
+    ann_pairs = {(r.q_id, r.neighbor_id) for r in ann.collect()}
+    exact_by_q: dict[int, set[int]] = {}
+    for r in registry["sim_bruteforce_topk"].fn(spark, SF_ORACLE).collect():
+        exact_by_q.setdefault(r.q_id, set()).add(r.neighbor_id)
+    recalls = [
+        len({n for (q2, n) in ann_pairs if q2 == q} & hits) / len(hits)
+        for q, hits in exact_by_q.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"sim_ann_ivf mean recall {mean_recall}"
 
 
 def test_sim_ann_lsh_recall_floor_and_fast_path_parity(spark):

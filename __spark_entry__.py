@@ -7,6 +7,17 @@ value-hash → CORRECTNESS_r{N}.json).
 
 The real implementation lives in ``clinical_bi_spark/``; this module just
 adapts the query registry (clinical_bi_spark.queries) to the contract.
+
+CONTRACT INVARIANT (sequential driver): ``queries()`` callables release
+the PREVIOUS query's tracked operator caches on entry (``_released``),
+so executor storage stays flat only when queries run strictly
+sequentially — build, collect, then the next call. A concurrent harness
+running N callables at once would accumulate up to N queries' caches and
+may release a cache another in-flight query still reads; if you need
+concurrency, call ``clinical_bi_spark.caching.release_all`` yourself at
+your own barriers instead of relying on these wrappers
+(tests/test_caching.py::test_sequential_replay_storage_flat pins the
+sequential-replay flatness this module promises).
 """
 
 from __future__ import annotations

@@ -18,6 +18,10 @@ state rows scale with ACTIVE KEYS (users / windows / join horizon), not
 with total input — watermarks evict the rest.
 
 Usage: python scripts/scaleup_streaming.py [sf_dir] [out_root]
+Env:   CBS_STATE_PROVIDER=rocksdb  → run every query under the RocksDB
+       state store provider (r7: the 100 TB posture says state stays
+       disk-backed and memory-bounded; cells then also record the
+       provider's memoryUsedBytes as state_mem).
 """
 
 from __future__ import annotations
@@ -131,6 +135,13 @@ def materialize(spark, base, mult: int, id_offset: int) -> str:
 def main() -> None:
     spark = get_spark("scaleup-streaming")
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("CBS_STATE_PROVIDER", "").lower() == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        print("state store provider: RocksDB", flush=True)
     warm(spark)
     base = load_tables(tune(spark), SF_DIR).events
     n_base = base.count()
@@ -157,6 +168,14 @@ def main() -> None:
                         ),
                         default=0,
                     )
+                    state_mem = max(
+                        (
+                            op.get("memoryUsedBytes", 0)
+                            for p in prog
+                            for op in p.get("stateOperators", [])
+                        ),
+                        default=0,
+                    )
                     metrics = {
                         "sec": round(wall, 2),
                         "out": n_out,
@@ -164,6 +183,7 @@ def main() -> None:
                             1 for p in prog if p.get("numInputRows", 0) > 0
                         ),
                         "state_rows": state_rows,
+                        "state_mem_kb": state_mem // 1024,
                         "max_batch_ms": max(
                             (
                                 p.get("durationMs", {}).get("triggerExecution", 0)

@@ -82,3 +82,37 @@ def test_connected_components_bounds_checkpoint_leaves(spark):
     assert len(caching._CHECKPOINT_RDD_IDS) == 1
     caching.release_all(spark)
     assert len(caching._CHECKPOINT_RDD_IDS) == 0
+
+
+def test_sequential_replay_storage_flat(spark):
+    """The driver-contract invariant (__spark_entry__._released): under a
+    STRICTLY SEQUENTIAL driver (build → collect → next query), executor
+    storage stays flat because each query's entry releases the previous
+    query's tracked caches. Replay 10 cache-heavy registry queries
+    through the ACTUAL contract wrappers and assert the persistent-RDD
+    count never ratchets above one query's working set."""
+    import __spark_entry__ as e
+
+    caching.release_all(spark)
+    spark.catalog.clearCache()
+    baseline = _persistent_rdd_count(spark)
+
+    qs = e.queries()
+    replay = [
+        "dedup_minhash_lsh", "dedup_cluster_winnow", "dedup_winnow_pairs",
+        "pipeline_corpus_curation", "dedup_decontaminate", "dedup_simhash",
+        "text_sequence_packing", "dedup_jaccard_prefix",
+        "entity_resolution_parts", "dedup_exact",
+    ]
+    peaks = []
+    for name in replay:
+        qs[name](spark, SF_SMALL).collect()
+        peaks.append(_persistent_rdd_count(spark))
+    # each step may leave ITS OWN caches alive (consumed lazily, released
+    # at the next entry) but never accumulates prior queries': the count
+    # after step N must stay within one query's working set of baseline,
+    # not grow ~linearly to N working sets
+    assert max(peaks) <= baseline + max(6, 2 * max(peaks[:1] or [1])), peaks
+    # and the LAST query's leftovers release at the next boundary
+    caching.release_all(spark)
+    assert _persistent_rdd_count(spark) == baseline

@@ -1646,3 +1646,111 @@ def f_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "len_nums_collapsed"
         ),
     )
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1 —
+# public literature; the reference has no corpus-filter stage at all, so
+# this is a north-star extension). The five document-level rules kept are
+# the SQL-expressible core of the published battery; thresholds are the
+# paper's. Ratios round to 6 so the oracle compares stable doubles.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_TOKENS.format(col='text')} AS toks,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_words,
+         ROUND(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+               / greatest(len(toks), 1), 6) AS mean_word_len,
+         ROUND((n_hash + n_ellipsis)::DOUBLE
+               / greatest(len(toks), 1), 6) AS symbol_ratio,
+         ROUND(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / greatest(len(toks), 1), 6) AS alpha_word_frac,
+         CAST(len(list_filter(
+           [{",".join("'" + w + "'" for w in _GOPHER_STOPWORDS)}],
+           s -> list_contains(list_transform(toks, x -> lower(x)), s)
+         )) AS INT) AS n_stopwords_present
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+       n_stopwords_present,
+       n_words BETWEEN 50 AND 100000 AS pass_word_count,
+       mean_word_len BETWEEN 3 AND 10 AS pass_mean_word_len,
+       symbol_ratio <= 0.1 AS pass_symbol_ratio,
+       alpha_word_frac >= 0.8 AS pass_alpha_words,
+       n_stopwords_present >= 2 AS pass_stopwords,
+       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+         AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+         AND n_stopwords_present >= 2 AS pass_all
+FROM m
+"""
+
+
+@query("text_gopher_filters", oracle=_GOPHER_ORACLE)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule battery (Rae et al. 2021 A1.1): word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio (# / ellipsis) <= 0.1, >= 80% words with an alphabetic char,
+    >= 2 of the paper's 8 stopwords present — per-rule verdicts plus the
+    conjunction, the standard pre-training corpus gate.
+
+    Pure narrow projection (one pass over text, no shuffle, whole-stage
+    codegen): at 100 TB this runs at scan speed and the pass_all column
+    drives the downstream curation filter. Symbol counts use literal
+    replace-difference on BOTH engines so non-overlapping-match
+    semantics agree byte-for-byte."""
+    from clinical_bi_spark.functions.text import word_tokens
+
+    t = load_tables(tune(spark), sf_dir)
+    toks = word_tokens(F.col("text"))
+    n_words = F.size(toks)
+    denom = F.greatest(n_words, F.lit(1))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ellipsis = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / F.lit(3)
+    n_ellipsis = n_ellipsis.cast("long")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    lower_toks = F.transform(toks, lambda x: F.lower(x))
+    stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(lower_toks, s))
+    )
+    mean_word_len = F.round(sum_len.cast("double") / denom, 6)
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / denom, 6)
+    alpha_frac = F.round(n_alpha.cast("double") / denom, 6)
+    out = t.documents.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_stopwords_present"),
+    )
+    pass_wc = F.col("n_words").between(50, 100000)
+    pass_mwl = F.col("mean_word_len").between(3, 10)
+    pass_sym = F.col("symbol_ratio") <= 0.1
+    pass_alpha = F.col("alpha_word_frac") >= 0.8
+    pass_stop = F.col("n_stopwords_present") >= 2
+    return out.select(
+        "*",
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_sym.alias("pass_symbol_ratio"),
+        pass_alpha.alias("pass_alpha_words"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_wc & pass_mwl & pass_sym & pass_alpha & pass_stop).alias(
+            "pass_all"
+        ),
+    )

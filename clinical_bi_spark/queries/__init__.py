@@ -170,10 +170,17 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_embedding_cosine",
     "a3_multi_count_distinct",
-    "agg_pricing_summary",
-    "p_filter_conjunction",
-    "f_scalar_battery",
-    "evt_tumbling_window",
+    # -- (7) NEW r7 exact-oracle queries (Gopher gate, KMV sketch pair,
+    #    C4-style boilerplate rewrite): never-adjudicated new code
+    #    outranks re-confirming r4-green unchanged code (the established
+    #    rotation policy), and including them keeps the r1-r7 union
+    #    covering the ENTIRE registry. Displaced to r8 (r4-green, due
+    #    first there with the rest): agg_pricing_summary,
+    #    p_filter_conjunction, f_scalar_battery, evt_tumbling_window.
+    "text_gopher_filters",
+    "sketch_kmv_distinct",
+    "sketch_kmv_merge",
+    "text_boilerplate_strip",
     # -- streaming LAST within the checked window --
     "stream_sliding_window",  # the one never-adjudicated streaming entry
 )

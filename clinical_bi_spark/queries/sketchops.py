@@ -565,3 +565,210 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(exact), "q").select(
         "q", "bin", "est_price", "exact_price"
     )
+
+
+# --- KMV (k-minimum-values / bottom-k theta) distinct sketch -------------
+# Beyer et al. 2007 ("On Synopses for Distinct-Value Estimation Under
+# Multiset Operations" — public literature): keep the k smallest DISTINCT
+# hash values; with U the kth smallest over a domain of size D, the
+# unbiased estimator is (k-1) * D / U. Complements HLL: the sketch IS a
+# set of hashes, so union-merge is set-union-then-truncate (exact at the
+# sketch level, no register algebra), and intersection/Jaccard estimates
+# come free — the property theta sketches are used for in production
+# pipelines. Same portability premise as the HLL family: hashes are
+# md5-u32 words combined into a 62-bit value with integer arithmetic, so
+# the DuckDB oracle reproduces every sketch element exactly.
+
+_KMV_K = 256
+_KMV_DOMAIN = float(1 << 62)
+_KMV_HV = (
+    "(CAST(CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8) AS UBIGINT)"
+    f" AS BIGINT) * {1 << 30}"
+    " + (CAST(CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 9, 8) AS"
+    f" UBIGINT) AS BIGINT) % {1 << 30}))"
+)
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT l_returnflag AS g,
+         {_KMV_HV.format(col='l_orderkey')} AS hv
+  FROM lineitem
+), ranked AS (
+  SELECT g, hv,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv) AS rn
+  FROM h
+), sk AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+         MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY g
+), ex AS (
+  SELECT l_returnflag AS g,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+  FROM lineitem GROUP BY g
+)
+SELECT sk.g AS l_returnflag, sk.n_sketch, ex.exact_distinct,
+       ROUND(CASE WHEN sk.n_sketch < {_KMV_K}
+                  THEN CAST(sk.n_sketch AS DOUBLE)
+                  ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_DOMAIN!r}
+                       / CAST(sk.kth AS DOUBLE) END, 4) AS est_distinct
+FROM sk JOIN ex ON ex.g = sk.g
+"""
+
+
+def _kmv_hash(col: F.Column) -> F.Column:
+    """Portable 62-bit hash: md5-u32 high word << 30 | low word mod 2^30
+    — integer arithmetic only, inside int64 under ANSI mode."""
+    from clinical_bi_spark.operators.dedup import _md5_word
+
+    s = col.cast("string")
+    return _md5_word(s, 1) * F.lit(1 << 30) + F.pmod(
+        _md5_word(s, 9), F.lit(1 << 30)
+    )
+
+
+def _kmv_sketch(df: DataFrame, group_col, value_col: str, k: int) -> DataFrame:
+    """The k-row KMV sketch per group: k smallest distinct hashes.
+    Shuffle carries (group, hash) int pairs (distinct-reduced map-side);
+    the RESULT is k rows per group — the bounded state that merges."""
+    from pyspark.sql.window import Window
+
+    h = (
+        df.select(group_col.alias("g"), _kmv_hash(F.col(value_col)).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("hv")
+    return h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def _kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """(k-1) * D / kth for full sketches; the exact sketch size below k
+    (a sketch with < k entries has seen every distinct value)."""
+    return sketch.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n_sketch"),
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("kth"),
+    ).select(
+        "g",
+        "n_sketch",
+        F.round(
+            F.when(
+                F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+            ).otherwise(
+                F.lit(float(_KMV_K - 1))
+                * F.lit(_KMV_DOMAIN)
+                / F.col("kth").cast("double")
+            ),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+@query("sketch_kmv_distinct", oracle=_KMV_ORACLE)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct estimate next to the exact count — the
+    bottom-k complement of a3_hll_portable (hash-set sketch instead of
+    register algebra; unions/intersections stay exact at sketch level).
+    Exactly oracled: hashes are engine-portable md5-u32 arithmetic and
+    the estimator is one double expression over exact integers.
+
+    Scale shape: the distinct-reduce shuffles (group, hash) int pairs
+    with map-side partial dedup — the same exchange an exact
+    count-distinct pays — but the sketch RESULT is k=256 rows per group
+    forever: incremental maintenance and cross-slice merging (see
+    sketch_kmv_merge) never rescan history, which is the production
+    win at 100 TB."""
+    t = load_tables(tune(spark), sf_dir)
+    sk = _kmv_sketch(t.lineitem, F.col("l_returnflag"), "l_orderkey", _KMV_K)
+    est = _kmv_estimate(sk, _KMV_K)
+    exact = t.lineitem.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "g").select(
+        F.col("g").alias("l_returnflag"),
+        "n_sketch",
+        "exact_distinct",
+        "est_distinct",
+    )
+
+
+_KMV_MERGE_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT
+         CASE WHEN l_shipdate < DATE '{_MERGE_SPLIT}' THEN 0 ELSE 1 END AS half,
+         {_KMV_HV.format(col='l_orderkey')} AS hv
+  FROM lineitem
+), ranked AS (
+  SELECT half, hv,
+         ROW_NUMBER() OVER (PARTITION BY half ORDER BY hv) AS rn
+  FROM h
+), slices AS (
+  SELECT half, hv FROM ranked WHERE rn <= {_KMV_K}
+), est_slice AS (
+  SELECT half,
+         ROUND(CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_DOMAIN!r}
+                         / CAST(MAX(CASE WHEN rn = {_KMV_K} THEN hv END)
+                                AS DOUBLE) END, 4) AS est
+  FROM (SELECT half, hv, ROW_NUMBER() OVER (PARTITION BY half ORDER BY hv)
+               AS rn FROM slices) s
+  GROUP BY half
+), merged AS (
+  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+  FROM (SELECT DISTINCT hv FROM slices) u
+), est_merged AS (
+  SELECT ROUND(CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_DOMAIN!r}
+                         / CAST(MAX(CASE WHEN rn = {_KMV_K} THEN hv END)
+                                AS DOUBLE) END, 4) AS est_union
+  FROM (SELECT hv, rn FROM merged WHERE rn <= {_KMV_K}) m
+)
+SELECT (SELECT est FROM est_slice WHERE half = 0) AS est_h1,
+       (SELECT est FROM est_slice WHERE half = 1) AS est_h2,
+       (SELECT est_union FROM est_merged) AS est_union,
+       (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+         AS exact_union
+"""
+
+
+@query("sketch_kmv_merge", oracle=_KMV_MERGE_ORACLE)
+def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV MERGEABILITY: sketches built independently over two
+    overlapping shipdate halves merge by set-union + re-truncate to the
+    k smallest — structurally exact (the merged sketch IS the sketch of
+    the union), which is what lets per-day / per-executor k-row sketches
+    roll up without rescanning history. est_h1 + est_h2 overcounts the
+    overlap; est_union does not — the exact column makes that visible.
+    Merge state: 2k int64s in, k out."""
+    t = load_tables(tune(spark), sf_dir)
+    split = F.lit(_MERGE_SPLIT).cast("date")
+    half = F.when(F.col("l_shipdate") < split, F.lit(0)).otherwise(F.lit(1))
+    sk = _kmv_sketch(t.lineitem, half, "l_orderkey", _KMV_K)
+
+    est_slice = _kmv_estimate(sk, _KMV_K)
+    from pyspark.sql.window import Window
+
+    merged = (
+        sk.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .filter(F.col("rn") <= _KMV_K)
+        .withColumn("g", F.lit(0))
+    )
+    est_union = _kmv_estimate(merged, _KMV_K).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    exact = t.lineitem.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_union")
+    )
+    h1 = est_slice.filter(F.col("g") == 0).select(
+        F.col("est_distinct").alias("est_h1")
+    )
+    h2 = est_slice.filter(F.col("g") == 1).select(
+        F.col("est_distinct").alias("est_h2")
+    )
+    return (
+        h1.crossJoin(F.broadcast(h2))
+        .crossJoin(F.broadcast(est_union))
+        .crossJoin(F.broadcast(exact))
+    )

@@ -1754,3 +1754,141 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pass_all"
         ),
     )
+
+
+# C4/Dolma-style boilerplate stripping: remove every occurrence of any
+# word 3-gram whose DOCUMENT frequency crosses a threshold, then rewrite
+# the text from the surviving words in order (Raffel et al. 2020's C4
+# repeated-span policy and Dolma's paragraph dedup, at word-gram
+# granularity because the fixture documents are single-line). Distinct
+# from dedup_span_ngram, which REPORTS repeated spans per document pair —
+# this op performs the corpus-level in-place rewrite a training pipeline
+# actually ships.
+_BOILERPLATE_DF = 4  # document-frequency threshold for a 3-gram
+
+_BOILER_F1 = "CAST(CAST('0x' || substr(md5(gram), 1, 8) AS UBIGINT) AS BIGINT)"
+_BOILER_F2 = "CAST(CAST('0x' || substr(md5(gram), 9, 8) AS UBIGINT) AS BIGINT)"
+
+_BOILERPLATE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), words AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+), grams AS (
+  SELECT doc_id, pos, gram FROM (
+    SELECT doc_id, pos,
+           word || ' ' || lead(word, 1) OVER win
+                || ' ' || lead(word, 2) OVER win AS gram
+    FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  ) g WHERE gram IS NOT NULL
+), gh AS (
+  SELECT doc_id, pos, {_BOILER_F1} AS f1, {_BOILER_F2} AS f2 FROM grams
+), boil AS (
+  SELECT f1, f2 FROM gh GROUP BY f1, f2
+  HAVING COUNT(DISTINCT doc_id) >= {_BOILERPLATE_DF}
+), covered AS (
+  SELECT DISTINCT g.doc_id, g.pos + d AS pos
+  FROM gh g JOIN boil USING (f1, f2), unnest([0, 1, 2]) AS t(d)
+), kept AS (
+  SELECT words.doc_id, words.pos, words.word
+  FROM words ANTI JOIN covered USING (doc_id, pos)
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+       CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
+       COALESCE(a.cleaned_text, '') AS cleaned_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("text_boilerplate_strip", oracle=_BOILERPLATE_ORACLE)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal with in-place rewrite: any word
+    3-gram appearing in >= _BOILERPLATE_DF (4) documents is stripped
+    from every document (all covered word positions), and the text is
+    rebuilt from the survivors in order — the C4 repeated-span / Dolma
+    paragraph-dedup rewrite at word-gram granularity.
+
+    Plan shape for 100 TB: one exchange on doc_id (the lead() window +
+    the final rebuild reuse it), one fingerprint-only exchange for the
+    df count — grams shuffle as md5-u32 int PAIRS, never as text (the
+    engine-wide no-text-in-exchanges rule); the boilerplate set joins
+    back by hash equi-join (AQE broadcasts it when small) and covered
+    positions expand to an int equi-anti-join. Only the final rebuild
+    carries words, and that is the output itself."""
+    from pyspark.sql.window import Window
+
+    from clinical_bi_spark.operators.dedup import _md5_word
+
+    t = load_tables(tune(spark), sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        words.select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.lead("word", 2).over(win).isNotNull(),
+                F.concat_ws(
+                    " ",
+                    "word",
+                    F.lead("word", 1).over(win),
+                    F.lead("word", 2).over(win),
+                ),
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+    gh = grams.select(
+        "doc_id",
+        "pos",
+        _md5_word(F.col("gram"), 1).alias("f1"),
+        _md5_word(F.col("gram"), 9).alias("f2"),
+    )
+    boil = (
+        gh.groupBy("f1", "f2")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILERPLATE_DF)
+        .select("f1", "f2")
+    )
+    covered = (
+        gh.join(boil, ["f1", "f2"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(F.col("pos"), F.col("pos") + 1, F.col("pos") + 2)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("int").alias("n_words")
+        )
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

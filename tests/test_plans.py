@@ -415,3 +415,30 @@ def test_topk_per_group_uses_window_group_limit(spark):
     # groups; this is what makes top-k-per-group survive 100TB groups
     plan = explain(spark, "w1_topk_per_group")
     assert plan.count("WindowGroupLimit") >= 2, plan[:800]
+
+
+def test_boilerplate_strip_no_fulltext_shuffle(spark):
+    """The boilerplate rewrite may shuffle (doc_id, pos, word) rows — the
+    rewrite needs the words back — but the full document text column
+    must never reach an Exchange, and grams travel only as md5-u32
+    fingerprint pairs (no gram strings in any exchange)."""
+    import re
+
+    plan = explain(spark, "text_boilerplate_strip")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.finditer(r"\(\d+\) Exchange\b[^\n]*\n((?:[^\n]*\n)*?)\n", plan):
+        body = m.group(1)
+        assert "text#" not in body, body
+        assert "gram#" not in body, body
+
+
+def test_kmv_distinct_partial_aggregates_mapside(spark):
+    """The KMV distinct-reduce must partial-aggregate before its
+    exchange (HashAggregate below and above), mirroring the HLL
+    register test — the shuffle carries distinct (group, hash) partials,
+    not raw rows."""
+    plan = explain(spark, "sketch_kmv_distinct")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -165,3 +165,46 @@ def test_histogram_quantiles_within_bin_resolution(spark):
     assert len(rows) == 4
     for r in rows:
         assert abs(r["est_price"] - r["exact_price"]) <= width, r
+
+
+def test_kmv_estimate_within_theory_error(spark):
+    """KMV with k=256 has relative standard error ~1/sqrt(k-2) ~ 6.3%;
+    assert every per-group estimate lands within 3 sigma (19%) and the
+    sketch is exactly full (the fixture has >> k distinct keys)."""
+    from clinical_bi_spark.queries import load_all
+
+    rows = load_all()["sketch_kmv_distinct"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_sketch == 256
+        rel = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+        assert rel < 0.19, (r.l_returnflag, rel)
+
+
+def test_kmv_merge_is_sketch_of_union(spark):
+    """Structural mergeability: union-then-truncate of the two slice
+    sketches must EQUAL the sketch built directly over the union — the
+    set-level exactness that distinguishes KMV from register sketches."""
+    from clinical_bi_spark.queries.sketchops import (
+        _KMV_K,
+        _kmv_sketch,
+    )
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    split = F.lit("1997-06-01").cast("date")
+    half = F.when(F.col("l_shipdate") < split, F.lit(0)).otherwise(F.lit(1))
+    slices = _kmv_sketch(li, half, "l_orderkey", _KMV_K)
+    merged = {
+        r.hv
+        for r in slices.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .filter(F.col("rn") <= _KMV_K)
+        .collect()
+    }
+    direct = {
+        r.hv
+        for r in _kmv_sketch(li, F.lit(0), "l_orderkey", _KMV_K).collect()
+    }
+    assert merged == direct and len(direct) == _KMV_K

@@ -160,27 +160,32 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "agg_pivot",
     "unpivot_long",
-    # -- (5) stale rows-only rotation (r3/r4 rows) --
+    # -- (5) stale rows-only rotation (the two oldest r3 rows; the
+    #    r4-row pair sim_ann_pq / agg_percentiles_approx cycles in r8 —
+    #    slots went to never-adjudicated NEW exact queries below) --
     "m9_mlp_train_eval",
     "a3_approx_count_distinct",
-    "agg_percentiles_approx",
-    "sim_ann_pq",
     # -- (6) oldest remaining r4-green entries that fit --
     "asof_join_events",
     "dedup_exact",
     "dedup_embedding_cosine",
-    "a3_multi_count_distinct",
     # -- (7) NEW r7 exact-oracle queries (Gopher gate, KMV sketch pair,
-    #    C4-style boilerplate rewrite): never-adjudicated new code
-    #    outranks re-confirming r4-green unchanged code (the established
-    #    rotation policy), and including them keeps the r1-r7 union
-    #    covering the ENTIRE registry. Displaced to r8 (r4-green, due
-    #    first there with the rest): agg_pricing_summary,
-    #    p_filter_conjunction, f_scalar_battery, evt_tumbling_window.
+    #    C4-style boilerplate rewrite, MATCH_RECOGNIZE-style CEP,
+    #    integer-exact closed-form linreg, deterministic LPA
+    #    communities): never-adjudicated new code outranks re-confirming
+    #    r4-green unchanged code (the established rotation policy), and
+    #    including them keeps the r1-r7 union covering the ENTIRE
+    #    registry. Displaced to r8 (r4-green/r4-rows, due first there):
+    #    agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
+    #    evt_tumbling_window, a3_multi_count_distinct, sim_ann_pq,
+    #    agg_percentiles_approx.
     "text_gopher_filters",
     "sketch_kmv_distinct",
     "sketch_kmv_merge",
     "text_boilerplate_strip",
+    "evt_cep_pattern",
+    "m18_linreg_exact",
+    "graph_label_propagation",
     # -- streaming LAST within the checked window --
     "stream_sliding_window",  # the one never-adjudicated streaming entry
 )

@@ -743,3 +743,116 @@ def evt_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p.k").cast("bigint").alias("max_k"),
         F.count("*").alias("n"),
     )
+
+
+# MATCH_RECOGNIZE-style complex-event-processing pattern: the strict
+# contiguous sequence view+ click+ purchase inside each user's event
+# stream (SQL:2016 row pattern matching — Spark has no MATCH_RECOGNIZE,
+# so the engine re-expresses it with the gaps-and-islands technique:
+# collapse maximal same-type runs to islands, then pattern-match over
+# the island sequence with lead()). Non-overlapping maximal matches,
+# exactly the PATTERN (V+ C+ P) / AFTER MATCH SKIP PAST LAST ROW
+# semantics.
+_CEP_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rnt
+  FROM events
+), isl AS (
+  SELECT user_id, event_type,
+         MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(rn) AS first_rn
+  FROM (SELECT *, rn - rnt AS grp FROM e) g
+  GROUP BY user_id, event_type, grp
+), seqd AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY first_rn)
+              AS isl_seq
+  FROM isl
+), pat AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3,
+         start_ts AS match_start,
+         lead(end_ts, 2) OVER w AS match_end,
+         n_events AS n_view,
+         lead(n_events, 1) OVER w AS n_click,
+         lead(n_events, 2) OVER w AS n_purchase
+  FROM seqd WINDOW w AS (PARTITION BY user_id ORDER BY isl_seq)
+)
+SELECT user_id, match_start, match_end,
+       CAST(n_view AS BIGINT) AS n_view,
+       CAST(n_click AS BIGINT) AS n_click,
+       CAST(n_purchase AS BIGINT) AS n_purchase,
+       ROUND(epoch(match_end) - epoch(match_start), 6) AS duration_sec
+FROM pat
+WHERE t1 = 'view' AND t2 = 'click' AND t3 = 'purchase'
+"""
+
+
+@query("evt_cep_pattern", oracle=_CEP_ORACLE)
+def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP row-pattern matching (view+ click+ purchase, strictly
+    contiguous per user): SQL:2016 MATCH_RECOGNIZE semantics rebuilt
+    from gaps-and-islands — rn minus per-type rn is constant exactly
+    within a maximal same-type run, runs collapse to islands, and a
+    3-wide lead() over the island sequence finds the pattern. Matches
+    are maximal and non-overlapping (AFTER MATCH SKIP PAST LAST ROW).
+
+    One exchange on user_id: every window partitions by user_id and the
+    island groupBy includes it, so Catalyst reuses the same hash
+    partitioning end to end — at 100 TB the cost is one shuffle of
+    (user, ts, type) plus partition-local sorts."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    t = load_tables(tune(spark), sf_dir)
+    e = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w_user).alias("rn"),
+        F.row_number().over(w_type).alias("rnt"),
+    ).withColumn("grp", F.col("rn") - F.col("rnt"))
+    isl = e.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("rn").alias("first_rn"),
+    )
+    w_isl = Window.partitionBy("user_id").orderBy("first_rn")
+    seqd = isl.withColumn("isl_seq", F.row_number().over(w_isl))
+    w_seq = Window.partitionBy("user_id").orderBy("isl_seq")
+    pat = seqd.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w_seq).alias("t2"),
+        F.lead("event_type", 2).over(w_seq).alias("t3"),
+        F.col("start_ts").alias("match_start"),
+        F.lead("end_ts", 2).over(w_seq).alias("match_end"),
+        F.col("n_events").alias("n_view"),
+        F.lead("n_events", 1).over(w_seq).alias("n_click"),
+        F.lead("n_events", 2).over(w_seq).alias("n_purchase"),
+    )
+    return pat.filter(
+        (F.col("t1") == "view")
+        & (F.col("t2") == "click")
+        & (F.col("t3") == "purchase")
+    ).select(
+        "user_id",
+        "match_start",
+        "match_end",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(
+            F.col("match_end").cast("double")
+            - F.col("match_start").cast("double"),
+            6,
+        ).alias("duration_sec"),
+    )

@@ -585,3 +585,93 @@ def m17_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("loo_target_mean"),
     )
+
+
+# Closed-form least squares from integer-exact moments: the
+# agg_stats_battery trick applied to model FITTING. Features scale to
+# exact integers (quantity is integral; price in cents), the five
+# moment sums are plain integer SUMs — map-side combinable and
+# order-independent, so the distributed fit is EXACT and adjudicable,
+# unlike any float-accumulation SGD. y^2 sums exceed int64 at bench SF,
+# so Syy uses decimal(38)/HUGEINT (both engines sum exactly); the final
+# slope/intercept/r2 are single double expressions over exact integers,
+# written with identical text on both engines.
+_LINREG_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         SUM(CAST(l_quantity AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy,
+         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT))
+           AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS slope_cents_per_unit,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_cents,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM m
+"""
+
+
+@query("m18_linreg_exact", oracle=_LINREG_ORACLE)
+def m18_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price-cents on quantity) fit
+    CLOSED-FORM from integer-exact moment sums: n, Sx, Sy, Sxx, Sxy in
+    BIGINT, Syy in decimal(38) (exceeds int64 at bench SF; DuckDB's
+    HUGEINT twin is exact too). The moments are plain SUMs — map-side
+    partial aggregation keeps the distributed fit bit-exact however
+    Spark partitions, which no gradient loop over floats can claim;
+    slope/intercept/r2 are then single double expressions over exact
+    integers, identical text on both engines. The 1000-executor story:
+    a model fit that is one partial-agg'd scan, no iterations, no
+    driver-side math beyond the closed form."""
+    t = load_tables(tune(spark), sf_dir)
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = t.lineitem.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y.cast("decimal(38,0)") * y.cast("decimal(38,0)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_unit"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept_cents"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    )

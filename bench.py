@@ -71,6 +71,16 @@ _R6_SET = _R5_SET | frozenset(
     }
 )
 
+# The bench set as of round 7 (r6 set + the boilerplate rewrite, KMV
+# sketch, CEP pattern and LPA communities added this round) — pinned now
+# so round 8 has a comparable subtotal that includes them.
+_R7_SET = _R6_SET | frozenset(
+    {
+        "text_boilerplate_strip", "sketch_kmv_distinct",
+        "evt_cep_pattern", "graph_label_propagation",
+    }
+)
+
 
 def main() -> None:
     registry = load_all()
@@ -124,6 +134,8 @@ def main() -> None:
     assert not missing_r5, f"r5-set queries missing from bench: {missing_r5}"
     missing_r6 = _R6_SET - set(timings)
     assert not missing_r6, f"r6-set queries missing from bench: {missing_r6}"
+    missing_r7 = _R7_SET - set(timings)
+    assert not missing_r7, f"r7-set queries missing from bench: {missing_r7}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -145,6 +157,9 @@ def main() -> None:
         ),
         "subtotal_r6_set": round(
             sum(t for n, t in timings.items() if n in _R6_SET), 3
+        ),
+        "subtotal_r7_set": round(
+            sum(t for n, t in timings.items() if n in _R7_SET), 3
         ),
         # Self-describing variant flag: sim_ann_* timings measure the bare
         # pruned operator (recall-annotation twin disabled below); the

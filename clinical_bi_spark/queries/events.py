@@ -793,7 +793,7 @@ WHERE t1 = 'view' AND t2 = 'click' AND t3 = 'purchase'
 """
 
 
-@query("evt_cep_pattern", oracle=_CEP_ORACLE)
+@query("evt_cep_pattern", oracle=_CEP_ORACLE, bench=True)
 def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP row-pattern matching (view+ click+ purchase, strictly
     contiguous per user): SQL:2016 MATCH_RECOGNIZE semantics rebuilt

@@ -365,7 +365,7 @@ JOIN nation nt ON nt.n_nationkey = f.node
 """
 
 
-@query("graph_label_propagation", oracle=_LPA_ORACLE)
+@query("graph_label_propagation", oracle=_LPA_ORACLE, bench=True)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection via deterministic synchronous label
     propagation ({i} fixed iterations, min-label tie-break) over the

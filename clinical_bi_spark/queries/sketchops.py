@@ -664,7 +664,7 @@ def _kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
     )
 
 
-@query("sketch_kmv_distinct", oracle=_KMV_ORACLE)
+@query("sketch_kmv_distinct", oracle=_KMV_ORACLE, bench=True)
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group KMV distinct estimate next to the exact count — the
     bottom-k complement of a3_hll_portable (hash-set sketch instead of

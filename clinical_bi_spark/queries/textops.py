@@ -1806,7 +1806,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
-@query("text_boilerplate_strip", oracle=_BOILERPLATE_ORACLE)
+@query("text_boilerplate_strip", oracle=_BOILERPLATE_ORACLE, bench=True)
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate removal with in-place rewrite: any word
     3-gram appearing in >= _BOILERPLATE_DF (4) documents is stripped

@@ -20,6 +20,9 @@ Env:
   CBS_LINK_ER=1            also time entity resolution (PassJoin -> CC
                            -> canonical entities) on the replicated parts
   CBS_LINK_REPEATS=N       timing repeats per cell (default 2)
+  CBS_LINK_SKIP_JACCARD=1  fuzzy/ER only (the x50 jaccard shuffle spills
+                           ~10x the fuzzy one; run it as its own pass so
+                           one cell's disk peak never kills another's)
 """
 
 from __future__ import annotations
@@ -119,6 +122,9 @@ def main() -> None:
             row["er_sec"], row["er_entities"] = round(best, 2), n_ent
         parts.unpersist()
 
+        if os.environ.get("CBS_LINK_SKIP_JACCARD", "0") == "1":
+            print(f"x{mult}", row, flush=True)
+            continue
         docs = replicate(
             t.documents.select("doc_id", "text"), mult, "doc_id", "text",
             100_000_000, n_tokens=jac_tokens,

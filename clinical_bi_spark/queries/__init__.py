@@ -165,10 +165,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     #    slots went to never-adjudicated NEW exact queries below) --
     "m9_mlp_train_eval",
     "a3_approx_count_distinct",
-    # -- (6) oldest remaining r4-green entries that fit --
+    # -- (6) oldest remaining r4-green entries that fit
+    #    (dedup_embedding_cosine displaced by stream_cep_pattern: new
+    #    streaming code with an exact oracle outranks an r4-green
+    #    re-confirmation; its scale path dedup_embedding_lsh is r6-green
+    #    on the same operator family) --
     "asof_join_events",
     "dedup_exact",
-    "dedup_embedding_cosine",
     # -- (7) NEW r7 exact-oracle queries (Gopher gate, KMV sketch pair,
     #    C4-style boilerplate rewrite, MATCH_RECOGNIZE-style CEP,
     #    integer-exact closed-form linreg, deterministic LPA
@@ -187,7 +190,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "m18_linreg_exact",
     "graph_label_propagation",
     # -- streaming LAST within the checked window --
-    "stream_sliding_window",  # the one never-adjudicated streaming entry
+    "stream_sliding_window",  # never-adjudicated streaming entry
+    "stream_cep_pattern",     # NEW r7: streaming MATCH_RECOGNIZE (newest
+                              # last, per the streaming-tail rule)
 )
 # Deferred to r8, due FIRST (still r4-green after this rotation — the
 # window could not hold all 31 r4-green entries alongside the 25

@@ -346,3 +346,21 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_bi_spark.streaming.windows import sliding_counts
 
     return sliding_counts(tune(spark), sf_dir)
+
+
+from clinical_bi_spark.queries.events import _CEP_ORACLE as _CEP_STREAM_ORACLE
+
+@query("stream_cep_pattern", oracle=_CEP_STREAM_ORACLE)
+def stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE: the view+ click+ purchase contiguous
+    pattern as a custom applyInPandasWithState operator — O(1) state per
+    user (last two closed islands + the open one), runs stitch across
+    micro-batches, matches finalize on purchase-run close with a
+    provisional tail snapshot so bounded streams keep trailing matches;
+    final dedup by (user, match_start) keeps the latest. Equals the
+    batch evt_cep_pattern exactly, so it shares that query's
+    gaps-and-islands oracle (multi-batch equality pinned in
+    tests/test_streaming.py)."""
+    from clinical_bi_spark.streaming.stateful import stream_cep_matches
+
+    return stream_cep_matches(tune(spark), sf_dir)

@@ -628,3 +628,23 @@ def test_rocksdb_multibatch_hll_registers_equal_batch(
     assert s == b and len(s) > 0
     assert _n_batches(prog) >= 3
     _assert_rocksdb_engaged(prog)
+
+
+def test_multibatch_cep_equals_batch(spark, split_sf):
+    """Streaming MATCH_RECOGNIZE over 3 chronological micro-batches must
+    produce the IDENTICAL match table as the batch gaps-and-islands
+    query — type runs that span batch boundaries stitch through the
+    O(1) per-user island state, and provisional tail matches are
+    superseded by their final snapshots."""
+    from clinical_bi_spark.queries import load_all
+    from clinical_bi_spark.streaming.stateful import stream_cep_matches
+
+    prog: list = []
+    out = stream_cep_matches(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog
+    )
+    assert _n_batches(prog) >= 3
+    batch = load_all()["evt_cep_pattern"].fn(spark, split_sf)
+    s = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0

@@ -402,18 +402,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
-    thresh = pairs.agg(
-        (F.sum("cnt") / F.count("*")).cast("bigint").alias("avg_cnt")
+    # one-row aggregate read on the driver (the mlops scalar pattern):
+    # inlining the threshold as a literal keeps the sparsification a pure
+    # map-side filter instead of a 1-row broadcast nested-loop join
+    avg_cnt = int(
+        pairs.agg(
+            (F.sum("cnt") / F.count("*")).cast("bigint").alias("a")
+        ).first()["a"]
     )
-    heavy = (
-        pairs.crossJoin(F.broadcast(thresh))
-        .filter(F.col("cnt") > F.col("avg_cnt"))
-        .select("src", "dst")
-    )
-    uedges = persist_tracked(
+    heavy = pairs.filter(F.col("cnt") > avg_cnt).select("src", "dst")
+    # localCheckpoint truncates the fact-join lineage so each of the 4
+    # iterations plans against the materialized edge list, not a
+    # re-derivation (the connected-components recipe); blocks release at
+    # the next query boundary via the tracked registry
+    from clinical_bi_spark.caching import local_checkpoint_tracked
+
+    uedges, _ids = local_checkpoint_tracked(
         heavy.union(
             heavy.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        ).distinct(),
+        eager=True,
     )
     labels = uedges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

@@ -648,3 +648,21 @@ def test_multibatch_cep_equals_batch(spark, split_sf):
     s = {tuple(r) for r in out.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_rocksdb_multibatch_cep_equals_batch(spark, split_sf, rocksdb_state):
+    """The streaming CEP island state must survive the RocksDB provider
+    swap bit-for-bit: same final match table as the batch query over 3
+    micro-batches, with the provider's metrics proving engagement."""
+    from clinical_bi_spark.queries import load_all
+    from clinical_bi_spark.streaming.stateful import stream_cep_matches
+
+    prog: list = []
+    out = stream_cep_matches(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog
+    )
+    s = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in load_all()["evt_cep_pattern"].fn(spark, split_sf).collect()}
+    assert s == b and len(s) > 0
+    assert _n_batches(prog) >= 3
+    _assert_rocksdb_engaged(prog)

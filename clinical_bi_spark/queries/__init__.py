@@ -166,11 +166,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "m9_mlp_train_eval",
     "a3_approx_count_distinct",
     # -- (6) oldest remaining r4-green entries that fit
-    #    (dedup_embedding_cosine displaced by stream_cep_pattern: new
-    #    streaming code with an exact oracle outranks an r4-green
-    #    re-confirmation; its scale path dedup_embedding_lsh is r6-green
-    #    on the same operator family) --
-    "asof_join_events",
+    #    (dedup_embedding_cosine displaced by stream_cep_pattern, and
+    #    asof_join_events by sketch_kmv_jaccard: new exact-oracle code
+    #    outranks an r4-green re-confirmation; asof's lesson-20 floor
+    #    was re-confirmed in this round's bench at 0.68 s and it is due
+    #    first in r8 with the rest of the r4 block) --
     "dedup_exact",
     # -- (7) NEW r7 exact-oracle queries (Gopher gate, KMV sketch pair,
     #    C4-style boilerplate rewrite, MATCH_RECOGNIZE-style CEP,
@@ -185,6 +185,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_gopher_filters",
     "sketch_kmv_distinct",
     "sketch_kmv_merge",
+    "sketch_kmv_jaccard",
     "text_boilerplate_strip",
     "evt_cep_pattern",
     "m18_linreg_exact",

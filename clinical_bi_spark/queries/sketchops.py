@@ -772,3 +772,111 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(est_union))
         .crossJoin(F.broadcast(exact))
     )
+
+
+_KMV_JACCARD_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT
+         CASE WHEN l_shipdate < DATE '{_MERGE_SPLIT}' THEN 0 ELSE 1 END AS half,
+         {_KMV_HV.format(col='l_orderkey')} AS hv
+  FROM lineitem
+), ranked AS (
+  SELECT half, hv,
+         ROW_NUMBER() OVER (PARTITION BY half ORDER BY hv) AS rn
+  FROM h
+), sk AS (
+  SELECT half, hv FROM ranked WHERE rn <= {_KMV_K}
+), u AS (
+  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+  FROM (SELECT DISTINCT hv FROM sk) d
+), uk AS (
+  SELECT hv FROM u WHERE rn <= {_KMV_K}
+), est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_eff,
+         CAST(SUM(CASE WHEN a.hv IS NOT NULL AND b.hv IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM uk
+  LEFT JOIN (SELECT hv FROM sk WHERE half = 0) a ON a.hv = uk.hv
+  LEFT JOIN (SELECT hv FROM sk WHERE half = 1) b ON b.hv = uk.hv
+), ex AS (
+  SELECT CAST(COUNT(DISTINCT CASE WHEN l_shipdate < DATE '{_MERGE_SPLIT}'
+                                  THEN l_orderkey END) AS BIGINT) AS n_a,
+         CAST(COUNT(DISTINCT CASE WHEN l_shipdate >= DATE '{_MERGE_SPLIT}'
+                                  THEN l_orderkey END) AS BIGINT) AS n_b,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_union
+  FROM lineitem
+)
+SELECT est.k_eff, est.n_both,
+       ROUND(CAST(est.n_both AS DOUBLE) / CAST(est.k_eff AS DOUBLE), 6)
+         AS est_jaccard,
+       ROUND(CAST(ex.n_a + ex.n_b - ex.n_union AS DOUBLE)
+             / CAST(ex.n_union AS DOUBLE), 6) AS exact_jaccard
+FROM est CROSS JOIN ex
+"""
+
+
+@query("sketch_kmv_jaccard", oracle=_KMV_JACCARD_ORACLE)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap estimation FROM SKETCHES ALONE — the theta-sketch use
+    case register sketches cannot serve: with U the k smallest hashes of
+    the union of two slice sketches, |U ∩ A ∩ B| / |U| is the standard
+    KMV Jaccard estimator (Beyer et al. 2007). Everything after the two
+    k-row sketches touches only 3k integers, so cross-corpus overlap
+    audits (eval-contamination checks, crawl-snapshot drift) run on
+    sketch tables without rescanning either corpus. Exactly oracled:
+    portable hashes + integer membership counts + one rounded division;
+    the exact Jaccard column sits alongside for the error to be
+    visible."""
+    t = load_tables(tune(spark), sf_dir)
+    split = F.lit(_MERGE_SPLIT).cast("date")
+    half = F.when(F.col("l_shipdate") < split, F.lit(0)).otherwise(F.lit(1))
+    sk = _kmv_sketch(t.lineitem, half, "l_orderkey", _KMV_K)
+
+    from pyspark.sql.window import Window
+
+    uk = (
+        sk.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("hv")
+    )
+    a = sk.filter(F.col("g") == 0).select(F.col("hv").alias("hv_a"))
+    b = sk.filter(F.col("g") == 1).select(F.col("hv").alias("hv_b"))
+    est = (
+        uk.join(a, uk["hv"] == a["hv_a"], "left")
+        .join(b, uk["hv"] == b["hv_b"], "left")
+        .agg(
+            F.count("*").cast("bigint").alias("k_eff"),
+            F.sum(
+                (F.col("hv_a").isNotNull() & F.col("hv_b").isNotNull())
+                .cast("bigint")
+            ).alias("n_both"),
+        )
+    )
+    exact = t.lineitem.agg(
+        F.countDistinct(
+            F.when(F.col("l_shipdate") < split, F.col("l_orderkey"))
+        ).cast("bigint").alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("l_shipdate") >= split, F.col("l_orderkey"))
+        ).cast("bigint").alias("n_b"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_union"),
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "k_eff",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") / F.col("k_eff").cast("double"),
+                6,
+            ).alias("est_jaccard"),
+            F.round(
+                (F.col("n_a") + F.col("n_b") - F.col("exact_union"))
+                .cast("double")
+                / F.col("exact_union").cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -208,3 +208,14 @@ def test_kmv_merge_is_sketch_of_union(spark):
         for r in _kmv_sketch(li, F.lit(0), "l_orderkey", _KMV_K).collect()
     }
     assert merged == direct and len(direct) == _KMV_K
+
+
+def test_kmv_jaccard_within_theory_error(spark):
+    """The sketch-only Jaccard estimate must land within 3 sigma of the
+    exact overlap (sigma ~ 1/sqrt(k) for the |U ∩ A ∩ B|/k estimator at
+    k=256 -> 0.0625; allow 0.19 absolute)."""
+    from clinical_bi_spark.queries import load_all
+
+    r = load_all()["sketch_kmv_jaccard"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.k_eff == 256
+    assert abs(r.est_jaccard - r.exact_jaccard) < 0.19, r

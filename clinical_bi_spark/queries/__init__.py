@@ -170,8 +170,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     #    asof_join_events by sketch_kmv_jaccard: new exact-oracle code
     #    outranks an r4-green re-confirmation; asof's lesson-20 floor
     #    was re-confirmed in this round's bench at 0.68 s and it is due
-    #    first in r8 with the rest of the r4 block) --
-    "dedup_exact",
+    #    first in r8 with the rest of the r4 block; dedup_exact likewise
+    #    displaced by text_chunk_overlap_split — r4-green, benched
+    #    0.263 s this round, due r8) --
     # -- (7) NEW r7 exact-oracle queries (Gopher gate, KMV sketch pair,
     #    C4-style boilerplate rewrite, MATCH_RECOGNIZE-style CEP,
     #    integer-exact closed-form linreg, deterministic LPA
@@ -187,6 +188,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "sketch_kmv_merge",
     "sketch_kmv_jaccard",
     "text_boilerplate_strip",
+    "text_chunk_overlap_split",
     "evt_cep_pattern",
     "m18_linreg_exact",
     "graph_label_propagation",

@@ -1892,3 +1892,58 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+# Overlapping-stride chunking (window W=64 tokens, stride S=48 -> 16
+# tokens of context overlap between consecutive chunks): the standard
+# pretraining/RAG splitter when examples must not lose cross-boundary
+# context. Chunk i covers tokens [i*S, i*S+W); the last chunk starts at
+# the largest i*S < n (so a short tail still carries its overlap
+# context), and single-chunk documents emit exactly one row.
+_CHUNK_W, _CHUNK_S = 64, 48
+
+_CHUNK_OVERLAP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS.format(col='text')} AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(len(tk[i * {_CHUNK_S} + 1 : i * {_CHUNK_S} + {_CHUNK_W}]) AS INT)
+         AS n_tokens,
+       array_to_string(tk[i * {_CHUNK_S} + 1 : i * {_CHUNK_S} + {_CHUNK_W}],
+                       ' ') AS chunk_text
+FROM t, unnest(range(0, CAST(ceil(greatest(len(tk) - {_CHUNK_W}, 0)
+                                  / {_CHUNK_S}.0) AS BIGINT) + 1)) AS u(i)
+WHERE len(tk) > 0
+"""
+
+
+@query("text_chunk_overlap_split", oracle=_CHUNK_OVERLAP_ORACLE)
+def text_chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-stride training chunks (W=64, S=48 — 16-token context
+    overlap): chunk count = ceil(max(n-W, 0)/S) + 1 for non-empty
+    documents, so boundaries never orphan context and short documents
+    emit exactly one chunk. Same zero-shuffle narrow shape as
+    text_chunk_split (tokenize once, transform over the chunk-start
+    sequence, inline) — at 100 TB the overlap multiplies output bytes by
+    ~W/S, a declared storage trade, not a shuffle."""
+    t = load_tables(tune(spark), sf_dir)
+    w, s = _CHUNK_W, _CHUNK_S
+    tk = word_tokens(F.col("text"))
+    chunks = F.expr(
+        f"""
+        CASE WHEN size(tk) = 0 THEN array()
+             ELSE transform(
+               sequence(0, CAST(ceil(greatest(size(tk) - {w}, 0)
+                                     / {s}.0) AS INT)),
+               i -> struct(
+                 CAST(i AS INT) AS chunk_id,
+                 CAST(size(slice(tk, i * {s} + 1, {w})) AS INT) AS n_tokens,
+                 array_join(slice(tk, i * {s} + 1, {w}), ' ') AS chunk_text))
+        END
+        """
+    )
+    return (
+        t.documents.select("doc_id", tk.alias("tk"))
+        .select("doc_id", F.inline(chunks))
+    )

@@ -370,3 +370,24 @@ def test_ann_lsh_exact_arithmetic_matches_fast_path(spark, embeddings):
     exact = lsh_bucket_topk(
         embeddings, queries_df, exact_arithmetic=True, **kw).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, exact))
+
+
+def test_det_kmeans_partitioning_invariant(spark, embeddings):
+    """The claim under the sim_ann_ivf oracle: the deterministic Lloyd's
+    fit is bit-identical HOWEVER Spark partitions the corpus (sorted
+    folds pin the float-addition order). Re-fit under adversarial
+    repartitionings and require byte-equal centroids."""
+    from clinical_bi_spark.operators.similarity import det_kmeans_centroids
+
+    def fit(df):
+        return sorted(
+            (r.cell_id, tuple(r.cell_emb))
+            for r in det_kmeans_centroids(
+                df, n_cells=16, n_train=512, iters=3
+            ).collect()
+        )
+
+    base = fit(embeddings)
+    assert fit(embeddings.repartition(64)) == base
+    assert fit(embeddings.repartition(1)) == base
+    assert fit(embeddings.orderBy(F.col("vec_id").desc())) == base

@@ -745,15 +745,56 @@ def evt_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MATCH_RECOGNIZE-style complex-event-processing pattern: the strict
-# contiguous sequence view+ click+ purchase inside each user's event
-# stream (SQL:2016 row pattern matching — Spark has no MATCH_RECOGNIZE,
-# so the engine re-expresses it with the gaps-and-islands technique:
-# collapse maximal same-type runs to islands, then pattern-match over
-# the island sequence with lead()). Non-overlapping maximal matches,
-# exactly the PATTERN (V+ C+ P) / AFTER MATCH SKIP PAST LAST ROW
-# semantics.
-_CEP_ORACLE = """
+# MATCH_RECOGNIZE-style complex-event-processing patterns (SQL:2016 row
+# pattern matching — Spark has no MATCH_RECOGNIZE, so the engine
+# re-expresses it with the gaps-and-islands technique: collapse maximal
+# same-type runs to islands, then pattern-match over the island sequence
+# with lead()). Generalized (r8) to a parameterized PATTERN SPEC: an
+# ordered tuple of (event_type, min_count) steps, where each step matches
+# one maximal island of that type with at least min_count events —
+# min_count=1 is the `type+` quantifier, min_count=m is `type{m,}`.
+# Step types must be pairwise distinct: islands are maximal, so adjacent
+# islands always differ in type, which makes matches of a distinct-type
+# pattern non-overlapping by construction — exactly the
+# AFTER MATCH SKIP PAST LAST ROW semantics.
+#
+# The streaming twin (streaming/stateful.py make_cep_update) runs the
+# same spec with O(1) per-user state; both share the unrolled-CTE oracle
+# generated by _cep_oracle below.
+
+CepStep = tuple[str, int]
+
+CEP_DEFAULT_PATTERN: tuple[CepStep, ...] = (
+    ("view", 1), ("click", 1), ("purchase", 1),
+)
+CEP_DEFAULT_NAMES: tuple[str, ...] = ("n_view", "n_click", "n_purchase")
+#: r8 quantified pattern: signup+ error{2,} view+  — same machinery,
+#: different step types AND a non-trivial min-count quantifier.
+CEP_QUANTIFIED_PATTERN: tuple[CepStep, ...] = (
+    ("signup", 1), ("error", 2), ("view", 1),
+)
+CEP_QUANTIFIED_NAMES: tuple[str, ...] = ("n_signup", "n_error", "n_view")
+
+
+def _cep_oracle(pattern: tuple[CepStep, ...], out_names: tuple[str, ...]) -> str:
+    """Unrolled gaps-and-islands CTE oracle for an arbitrary pattern spec
+    (k-1 leads over the island sequence + type/min-count predicates)."""
+    k = len(pattern)
+    t_cols = ["event_type AS t1"] + [
+        f"lead(event_type, {j}) OVER w AS t{j + 1}" for j in range(1, k)
+    ]
+    c_cols = [f"n_events AS {out_names[0]}"] + [
+        f"lead(n_events, {j}) OVER w AS {out_names[j]}" for j in range(1, k)
+    ]
+    preds = [f"t{j + 1} = '{pattern[j][0]}'" for j in range(k)] + [
+        f"{out_names[j]} >= {pattern[j][1]}"
+        for j in range(k)
+        if pattern[j][1] > 1
+    ]
+    casts = ",\n       ".join(
+        f"CAST({n} AS BIGINT) AS {n}" for n in out_names
+    )
+    return f"""
 WITH e AS (
   SELECT user_id, event_id, ts, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id
@@ -773,45 +814,42 @@ WITH e AS (
               AS isl_seq
   FROM isl
 ), pat AS (
-  SELECT user_id, event_type AS t1,
-         lead(event_type, 1) OVER w AS t2,
-         lead(event_type, 2) OVER w AS t3,
+  SELECT user_id, {", ".join(t_cols)},
          start_ts AS match_start,
-         lead(end_ts, 2) OVER w AS match_end,
-         n_events AS n_view,
-         lead(n_events, 1) OVER w AS n_click,
-         lead(n_events, 2) OVER w AS n_purchase
+         lead(end_ts, {k - 1}) OVER w AS match_end,
+         {", ".join(c_cols)}
   FROM seqd WINDOW w AS (PARTITION BY user_id ORDER BY isl_seq)
 )
 SELECT user_id, match_start, match_end,
-       CAST(n_view AS BIGINT) AS n_view,
-       CAST(n_click AS BIGINT) AS n_click,
-       CAST(n_purchase AS BIGINT) AS n_purchase,
+       {casts},
        ROUND(epoch(match_end) - epoch(match_start), 6) AS duration_sec
 FROM pat
-WHERE t1 = 'view' AND t2 = 'click' AND t3 = 'purchase'
+WHERE {" AND ".join(preds)}
 """
 
 
-@query("evt_cep_pattern", oracle=_CEP_ORACLE, bench=True)
-def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CEP row-pattern matching (view+ click+ purchase, strictly
-    contiguous per user): SQL:2016 MATCH_RECOGNIZE semantics rebuilt
-    from gaps-and-islands — rn minus per-type rn is constant exactly
-    within a maximal same-type run, runs collapse to islands, and a
-    3-wide lead() over the island sequence finds the pattern. Matches
-    are maximal and non-overlapping (AFTER MATCH SKIP PAST LAST ROW).
+def cep_pattern_match(
+    events: DataFrame,
+    pattern: tuple[CepStep, ...],
+    out_names: tuple[str, ...],
+) -> DataFrame:
+    """Match a parameterized island pattern over each user's event stream:
+    rn minus per-type rn is constant exactly within a maximal same-type
+    run, runs collapse to islands, and a k-wide lead() over the island
+    sequence finds the pattern; min-count quantifiers filter island sizes.
 
     One exchange on user_id: every window partitions by user_id and the
     island groupBy includes it, so Catalyst reuses the same hash
     partitioning end to end — at 100 TB the cost is one shuffle of
-    (user, ts, type) plus partition-local sorts."""
+    (user, ts, type) plus partition-local sorts, independent of k."""
+    k = len(pattern)
+    if len({t for t, _ in pattern}) != k:
+        raise ValueError("pattern step types must be pairwise distinct")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_type = Window.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id"
     )
-    t = load_tables(tune(spark), sf_dir)
-    e = t.events.select(
+    e = events.select(
         "user_id",
         "event_id",
         "ts",
@@ -831,28 +869,63 @@ def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     pat = seqd.select(
         "user_id",
         F.col("event_type").alias("t1"),
-        F.lead("event_type", 1).over(w_seq).alias("t2"),
-        F.lead("event_type", 2).over(w_seq).alias("t3"),
+        *[
+            F.lead("event_type", j).over(w_seq).alias(f"t{j + 1}")
+            for j in range(1, k)
+        ],
         F.col("start_ts").alias("match_start"),
-        F.lead("end_ts", 2).over(w_seq).alias("match_end"),
-        F.col("n_events").alias("n_view"),
-        F.lead("n_events", 1).over(w_seq).alias("n_click"),
-        F.lead("n_events", 2).over(w_seq).alias("n_purchase"),
+        F.lead("end_ts", k - 1).over(w_seq).alias("match_end"),
+        F.col("n_events").alias(out_names[0]),
+        *[
+            F.lead("n_events", j).over(w_seq).alias(out_names[j])
+            for j in range(1, k)
+        ],
     )
-    return pat.filter(
-        (F.col("t1") == "view")
-        & (F.col("t2") == "click")
-        & (F.col("t3") == "purchase")
-    ).select(
+    cond = F.lit(True)
+    for j, (step_type, min_n) in enumerate(pattern):
+        cond = cond & (F.col(f"t{j + 1}") == step_type)
+        if min_n > 1:
+            cond = cond & (F.col(out_names[j]) >= min_n)
+    return pat.filter(cond).select(
         "user_id",
         "match_start",
         "match_end",
-        "n_view",
-        "n_click",
-        "n_purchase",
+        *out_names,
         F.round(
             F.col("match_end").cast("double")
             - F.col("match_start").cast("double"),
             6,
         ).alias("duration_sec"),
+    )
+
+
+@query(
+    "evt_cep_pattern",
+    oracle=_cep_oracle(CEP_DEFAULT_PATTERN, CEP_DEFAULT_NAMES),
+    bench=True,
+)
+def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP row-pattern matching (view+ click+ purchase, strictly
+    contiguous per user): SQL:2016 MATCH_RECOGNIZE semantics via the
+    parameterized gaps-and-islands machinery (cep_pattern_match).
+    Matches are maximal and non-overlapping (AFTER MATCH SKIP PAST
+    LAST ROW)."""
+    t = load_tables(tune(spark), sf_dir)
+    return cep_pattern_match(t.events, CEP_DEFAULT_PATTERN, CEP_DEFAULT_NAMES)
+
+
+@query(
+    "evt_cep_pattern_quantified",
+    oracle=_cep_oracle(CEP_QUANTIFIED_PATTERN, CEP_QUANTIFIED_NAMES),
+)
+def evt_cep_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP with a QUANTIFIED pattern — signup+ error{2,} view+ — proving
+    the machinery is parameterized, not a hard-coded three-type match:
+    different step types than the flagship pattern plus a non-trivial
+    min-count quantifier on the middle step (the error island must hold
+    at least 2 events). Same single user_id exchange; the oracle is the
+    unrolled CTE generated for THIS spec."""
+    t = load_tables(tune(spark), sf_dir)
+    return cep_pattern_match(
+        t.events, CEP_QUANTIFIED_PATTERN, CEP_QUANTIFIED_NAMES
     )

@@ -368,7 +368,7 @@ JOIN nation nt ON nt.n_nationkey = f.node
 @query("graph_label_propagation", oracle=_LPA_ORACLE, bench=True)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection via deterministic synchronous label
-    propagation ({i} fixed iterations, min-label tie-break) over the
+    propagation (_LPA_ITERS = 4 fixed iterations, min-label tie-break) over the
     above-average-volume trade lanes, symmetrized. Exactly oracled —
     the randomized-visit-order nondeterminism of textbook LPA is
     replaced by the synchronous (count DESC, label ASC) rule, the same

@@ -348,9 +348,19 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(tune(spark), sf_dir)
 
 
-from clinical_bi_spark.queries.events import _CEP_ORACLE as _CEP_STREAM_ORACLE
+from clinical_bi_spark.queries.events import (
+    CEP_DEFAULT_NAMES,
+    CEP_DEFAULT_PATTERN,
+    CEP_QUANTIFIED_NAMES,
+    CEP_QUANTIFIED_PATTERN,
+    _cep_oracle,
+)
 
-@query("stream_cep_pattern", oracle=_CEP_STREAM_ORACLE)
+
+@query(
+    "stream_cep_pattern",
+    oracle=_cep_oracle(CEP_DEFAULT_PATTERN, CEP_DEFAULT_NAMES),
+)
 def stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MATCH_RECOGNIZE: the view+ click+ purchase contiguous
     pattern as a custom applyInPandasWithState operator — O(1) state per
@@ -364,3 +374,24 @@ def stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_bi_spark.streaming.stateful import stream_cep_matches
 
     return stream_cep_matches(tune(spark), sf_dir)
+
+
+@query(
+    "stream_cep_pattern_quantified",
+    oracle=_cep_oracle(CEP_QUANTIFIED_PATTERN, CEP_QUANTIFIED_NAMES),
+)
+def stream_cep_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE with a QUANTIFIED parameterized spec —
+    signup+ error{2,} view+ — the same stateful island machinery as
+    stream_cep_pattern instantiated for a different pattern (different
+    step types plus a min-count quantifier on the middle step), proving
+    the streaming operator is parameterized end-to-end. Shares the batch
+    evt_cep_pattern_quantified's unrolled-CTE oracle."""
+    from clinical_bi_spark.streaming.stateful import stream_cep_matches
+
+    return stream_cep_matches(
+        tune(spark),
+        sf_dir,
+        pattern=CEP_QUANTIFIED_PATTERN,
+        out_names=CEP_QUANTIFIED_NAMES,
+    )

@@ -1,16 +1,43 @@
-"""Custom stateful streaming operator via applyInPandasWithState —
+"""Custom stateful streaming operators via applyInPandasWithState —
 the escape hatch for semantics Structured Streaming's built-in aggregations
 can't express (per-key running state with arbitrary transition logic).
 
-Demonstrated operator: per-user running counters with a high-value alert
-flag — each micro-batch folds into (n_events, total_value, n_alerts) state
-per user and emits the updated snapshot. State is bounded by watermark
-timeout (state for idle users is dropped), which is what keeps the state
-store finite on an unbounded 100 TB stream.
+Operators:
+
+* ``user_running_stats`` — per-user running counters with a high-value
+  alert flag; each micro-batch folds into (n_events, total_value,
+  n_alerts) state per user and emits the updated snapshot.
+* ``stream_cep_matches`` — streaming MATCH_RECOGNIZE over a
+  PARAMETERIZED island-pattern spec (the batch twin is
+  queries/events.cep_pattern_match); O(1) state per user: the last k-1
+  closed same-type islands plus the open one.
+
+State-boundedness contract (dual path, the ``CLINICAL_BI_EXACT_ARITH``
+pattern):
+
+* **Adjudication path (default, ``CLINICAL_BI_STATE_EVICTION=0``)**:
+  ``GroupStateTimeout.NoTimeout`` — state is never dropped, so the final
+  snapshot per key equals the batch fold over ALL input regardless of
+  batch slicing. This is the path the driver's exact oracle adjudicates;
+  per-key state is O(1) but total state grows with distinct keys, which
+  is only acceptable on bounded replays.
+* **Production path (``CLINICAL_BI_STATE_EVICTION=1``)**: watermarked
+  input + ``GroupStateTimeout.EventTimeTimeout``; every update arms an
+  event-time timeout at (last event ts + TTL) and a ``hasTimedOut``
+  branch drops the key's state once the watermark passes it. Total state
+  is bounded by the ACTIVE key set (keys seen within the TTL horizon) —
+  the property that keeps the state store finite on an unbounded 100 TB
+  stream. The semantic trade is explicit: a key idle past the TTL that
+  later re-appears restarts from empty state (its running counters /
+  island context reset at the horizon), so snapshots are exact only
+  within the eviction horizon. tests/test_streaming.py asserts state
+  rows FALL after the watermark passes idle keys, on both state-store
+  providers.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -24,6 +51,21 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+STATE_EVICTION_ENV = "CLINICAL_BI_STATE_EVICTION"
+#: production-path knobs: watermark delay on the event-time column and
+#: per-key idle TTL before state is dropped (event-time, not wall-clock)
+EVICTION_WATERMARK = "1 hour"
+EVICTION_TTL_MS = 24 * 3600 * 1000  # 1 day of event-time idleness
+
+
+def _eviction_enabled(evict: bool | None) -> bool:
+    """Resolve the dual-path switch: explicit argument wins, else the
+    process-global env flag (default OFF = exact adjudication path)."""
+    if evict is not None:
+        return evict
+    return os.environ.get(STATE_EVICTION_ENV, "0") == "1"
+
 
 STATE_SCHEMA = StructType(
     [
@@ -44,34 +86,62 @@ OUTPUT_SCHEMA = StructType(
 ALERT_THRESHOLD = 95.0
 
 
-def _update_user_state(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n_events, total_value, n_alerts = (
-        state.get if state.exists else (0, 0.0, 0)
-    )
-    for pdf in batches:
-        n_events += len(pdf)
-        total_value += float(pdf["value"].fillna(0.0).sum())
-        n_alerts += int((pdf["value"] > ALERT_THRESHOLD).sum())
-    # State keeps the UNROUNDED running sum; rounding is display-only on
-    # the emitted snapshot. Rounding inside the state fold would compound
-    # across micro-batches (round(round(a)+b) != round(a+b)) and make the
-    # final snapshot drift off the batch ROUND(SUM(value), 4) oracle —
-    # invisible in a single-batch run, real under maxFilesPerTrigger=1
-    # (the multi-batch battery in tests/test_streaming.py covers this).
-    state.update((n_events, total_value, n_alerts))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n_events],
-            "total_value": [round(total_value, 4)],
-            "n_alerts": [n_alerts],
-        }
-    )
+def _arm_timeout(state: GroupState, last_event_ms: int) -> None:
+    """Arm the event-time timeout at (last event + TTL), clamped above the
+    current watermark (Spark rejects a timeout timestamp <= watermark —
+    reachable when a key's only events arrive already near-expired)."""
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(last_event_ms + EVICTION_TTL_MS, wm + 1))
+
+
+def _make_user_update(evict: bool):
+    """Build the per-user running-stats transition fn. ``evict=True`` adds
+    the EventTimeTimeout arm + hasTimedOut drop branch (production path);
+    the fold itself is identical on both paths."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if evict and state.hasTimedOut:
+            # idle past the TTL: the last emitted snapshot stands; drop
+            # the state row (emit nothing — update-mode consumers keep
+            # the latest snapshot per key)
+            state.remove()
+            return
+        n_events, total_value, n_alerts = (
+            state.get if state.exists else (0, 0.0, 0)
+        )
+        last_ms = 0
+        for pdf in batches:
+            n_events += len(pdf)
+            total_value += float(pdf["value"].fillna(0.0).sum())
+            n_alerts += int((pdf["value"] > ALERT_THRESHOLD).sum())
+            if evict and len(pdf):
+                last_ms = max(
+                    last_ms, int(pdf["ts"].astype("int64").max()) // 1_000_000
+                )
+        # State keeps the UNROUNDED running sum; rounding is display-only on
+        # the emitted snapshot. Rounding inside the state fold would compound
+        # across micro-batches (round(round(a)+b) != round(a+b)) and make the
+        # final snapshot drift off the batch ROUND(SUM(value), 4) oracle —
+        # invisible in a single-batch run, real under maxFilesPerTrigger=1
+        # (the multi-batch battery in tests/test_streaming.py covers this).
+        state.update((n_events, total_value, n_alerts))
+        if evict:
+            _arm_timeout(state, last_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n_events],
+                "total_value": [round(total_value, 4)],
+                "n_alerts": [n_alerts],
+            }
+        )
+
+    return update
 
 
 def user_running_stats(
@@ -79,123 +149,193 @@ def user_running_stats(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     progress_sink: list | None = None,
+    evict: bool | None = None,
 ) -> DataFrame:
     """Run the stateful operator over the bounded events stream and return
     the final per-user snapshots (one per micro-batch a user appears in;
     the LAST one equals the batch groupBy regardless of batch slicing —
-    tests pin that equivalence both single- and multi-batch)."""
+    tests pin that equivalence both single- and multi-batch).
+
+    ``evict`` selects the state-boundedness path (see module docstring);
+    default = the ``CLINICAL_BI_STATE_EVICTION`` env flag, OFF for exact
+    adjudication."""
     from clinical_bi_spark.streaming.windows import _events_stream, _run_to_completion
 
+    evicting = _eviction_enabled(evict)
     events = _events_stream(spark, sf_dir, max_files_per_trigger).select(
         "user_id", "ts", "value"
     )
+    if evicting:
+        events = events.withWatermark("ts", EVICTION_WATERMARK)
     updated = events.groupBy("user_id").applyInPandasWithState(
-        _update_user_state,
+        _make_user_update(evicting),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evicting
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return _run_to_completion(updated, "update", progress_sink)
 
 
 # ---------------------------------------------------------------------------
-# Streaming CEP: MATCH_RECOGNIZE (view+ click+ purchase, strictly
-# contiguous per user) as a custom stateful operator — the batch twin is
-# evt_cep_pattern's gaps-and-islands rewrite. State per user is O(1):
-# the last TWO closed islands plus the currently-open island (type,
+# Streaming CEP: MATCH_RECOGNIZE over a parameterized pattern spec
+# (ordered (event_type, min_count) steps matched against strictly
+# contiguous maximal same-type islands per user) as a custom stateful
+# operator — the batch twin is queries/events.cep_pattern_match's
+# gaps-and-islands rewrite, and both share its unrolled-CTE oracle.
+# State per user is O(1) in the stream and O(k) in the pattern length:
+# the last k-1 CLOSED islands plus the currently-open island (type,
 # start, end, count as int64 nanos) — runs spanning micro-batches stitch
-# through it. A match finalizes when a purchase run CLOSES with (view,
-# click) context; an OPEN tail purchase run additionally emits a
-# provisional snapshot each batch (update semantics) so bounded streams
-# don't lose trailing matches — the consumer dedupes by (user,
-# match_start) keeping the latest (done in stream_cep_matches below), so
-# the final table equals the batch query however the input splits.
+# through it. A match finalizes when a last-step run CLOSES with the
+# preceding k-1 islands matching the spec; an OPEN tail last-step run
+# additionally emits a provisional snapshot each batch (update
+# semantics) so bounded streams don't lose trailing matches — the
+# consumer dedupes by (user, match_start) keeping the latest (done in
+# stream_cep_matches below), so the final table equals the batch query
+# however the input splits.
 # ---------------------------------------------------------------------------
 
-CEP_STATE_SCHEMA = StructType(
-    [
-        StructField("i2_type", StringType()),
-        StructField("i2_start", LongType()),
-        StructField("i2_end", LongType()),
-        StructField("i2_n", LongType()),
-        StructField("i1_type", StringType()),
-        StructField("i1_start", LongType()),
-        StructField("i1_end", LongType()),
-        StructField("i1_n", LongType()),
+
+def _cep_state_schema(k: int) -> StructType:
+    fields: list[StructField] = []
+    for j in range(k - 1):
+        fields += [
+            StructField(f"h{j}_type", StringType()),
+            StructField(f"h{j}_start", LongType()),
+            StructField(f"h{j}_end", LongType()),
+            StructField(f"h{j}_n", LongType()),
+        ]
+    fields += [
         StructField("cur_type", StringType()),
         StructField("cur_start", LongType()),
         StructField("cur_end", LongType()),
         StructField("cur_n", LongType()),
     ]
-)
-CEP_OUTPUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("match_start_ns", LongType()),
-        StructField("match_end_ns", LongType()),
-        StructField("n_view", LongType()),
-        StructField("n_click", LongType()),
-        StructField("n_purchase", LongType()),
-    ]
-)
-
-_CEP_V, _CEP_C, _CEP_P = "view", "click", "purchase"
+    return StructType(fields)
 
 
-def _cep_update(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
+def _cep_output_schema(out_names: tuple[str, ...]) -> StructType:
+    return StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("match_start_ns", LongType()),
+            StructField("match_end_ns", LongType()),
+            *[StructField(n, LongType()) for n in out_names],
+        ]
+    )
+
+
+def make_cep_update(
+    pattern: tuple[tuple[str, int], ...],
+    out_names: tuple[str, ...],
+    evict: bool,
+):
+    """Build the stateful CEP transition fn for an arbitrary pattern spec.
+
+    Chunk-order hardening: applyInPandasWithState only groups by key — a
+    key's rows within one micro-batch can arrive as MULTIPLE pandas
+    chunks whose order follows nondeterministic shuffle-fetch order, so
+    the fn concatenates ALL chunks first and sorts ONCE by (ts,
+    event_id) before the island scan (sorting each chunk independently
+    would split/merge same-type runs nondeterministically)."""
     import numpy as np
 
-    (user_id,) = key
-    if state.exists:
-        (i2t, i2s, i2e, i2n, i1t, i1s, i1e, i1n, ct, cs, ce, cn) = state.get
-    else:
-        i2t = i1t = ct = None
-        i2s = i2e = i2n = i1s = i1e = i1n = cs = ce = cn = 0
+    k = len(pattern)
+    types = [t for t, _ in pattern]
+    mins = [m for _, m in pattern]
 
-    out: list[tuple] = []
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if evict and state.hasTimedOut:
+            # idle past the TTL: any qualifying open tail was already
+            # emitted provisionally on its last update; drop the island
+            # context (a later re-appearance starts fresh — the
+            # documented eviction-horizon trade)
+            state.remove()
+            return
+        if state.exists:
+            vals = list(state.get)
+            hist = [tuple(vals[4 * j : 4 * j + 4]) for j in range(k - 1)]
+            ct, cs, ce, cn = vals[4 * (k - 1) :]
+        else:
+            hist = [(None, 0, 0, 0)] * (k - 1)
+            ct, cs, ce, cn = None, 0, 0, 0
 
-    def close_cur() -> None:
-        nonlocal i2t, i2s, i2e, i2n, i1t, i1s, i1e, i1n
-        if ct == _CEP_P and i1t == _CEP_C and i2t == _CEP_V:
-            out.append((user_id, i2s, ce, i2n, i1n, cn))
-        i2t, i2s, i2e, i2n = i1t, i1s, i1e, i1n
-        i1t, i1s, i1e, i1n = ct, cs, ce, cn
+        out: list[tuple] = []
 
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
-        et = pdf["event_type"].to_numpy()
-        ts = pdf["ts"].astype("int64").to_numpy()  # nanos
-        cut = np.flatnonzero(et[1:] != et[:-1]) + 1
-        bounds = [0, *cut.tolist(), len(et)]
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            if ct == et[a]:  # open island continues across the boundary
-                ce, cn = int(ts[b - 1]), cn + (b - a)
-                continue
-            if ct is not None:
-                close_cur()
-            ct, cs, ce, cn = et[a], int(ts[a]), int(ts[b - 1]), b - a
+        def matches(cur_n_now: int) -> bool:
+            if ct != types[-1] or cur_n_now < mins[-1]:
+                return False
+            return all(
+                hist[j][0] == types[j] and hist[j][3] >= mins[j]
+                for j in range(k - 1)
+            )
 
-    # provisional tail: an OPEN purchase run with (view, click) context
-    # is already a match under maximal semantics if the stream ends here;
-    # later batches refresh it (same match_start) until the run closes.
-    if ct == _CEP_P and i1t == _CEP_C and i2t == _CEP_V:
-        out.append((user_id, i2s, ce, i2n, i1n, cn))
+        def close_cur() -> None:
+            nonlocal hist
+            if matches(cn):
+                out.append(
+                    (
+                        user_id,
+                        hist[0][1],
+                        ce,
+                        *[hist[j][3] for j in range(k - 1)],
+                        cn,
+                    )
+                )
+            hist = hist[1:] + [(ct, cs, ce, cn)]
 
-    state.update((i2t, i2s, i2e, i2n, i1t, i1s, i1e, i1n, ct, cs, ce, cn))
-    yield pd.DataFrame(
-        out,
-        columns=[
-            "user_id", "match_start_ns", "match_end_ns",
-            "n_view", "n_click", "n_purchase",
-        ],
-    )
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            et = pdf["event_type"].to_numpy()
+            ts = pdf["ts"].astype("int64").to_numpy()  # nanos
+            cut = np.flatnonzero(et[1:] != et[:-1]) + 1
+            bounds = [0, *cut.tolist(), len(et)]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                if ct == et[a]:  # open island continues across the boundary
+                    ce, cn = int(ts[b - 1]), cn + (b - a)
+                    continue
+                if ct is not None:
+                    close_cur()
+                ct, cs, ce, cn = et[a], int(ts[a]), int(ts[b - 1]), b - a
+
+        # provisional tail: an OPEN last-step run with matching context
+        # is already a match under maximal semantics if the stream ends
+        # here; later batches refresh it (same match_start) until the
+        # run closes.
+        if matches(cn):
+            out.append(
+                (
+                    user_id,
+                    hist[0][1],
+                    ce,
+                    *[hist[j][3] for j in range(k - 1)],
+                    cn,
+                )
+            )
+
+        flat: list = []
+        for h in hist:
+            flat.extend(h)
+        state.update((*flat, ct, cs, ce, cn))
+        if evict:
+            _arm_timeout(state, ce // 1_000_000)
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "match_start_ns", "match_end_ns", *out_names],
+        )
+
+    return update
 
 
 def stream_cep_matches(
@@ -203,38 +343,55 @@ def stream_cep_matches(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     progress_sink: list | None = None,
+    pattern: tuple[tuple[str, int], ...] | None = None,
+    out_names: tuple[str, ...] | None = None,
+    evict: bool | None = None,
 ) -> DataFrame:
     """Run the streaming CEP operator over the bounded events stream and
     return the deduplicated final match table: one row per (user,
     match_start), latest snapshot wins — equal to the batch
-    evt_cep_pattern output however the input splits into micro-batches.
-    Duration is recomputed HERE with the same cast-double expression the
-    batch query uses, so the float path is identical."""
+    cep_pattern_match output for the same spec however the input splits
+    into micro-batches. Duration is recomputed HERE with the same
+    cast-double expression the batch query uses, so the float path is
+    identical. Defaults to the flagship view+ click+ purchase spec."""
     from pyspark.sql import functions as F
 
+    from clinical_bi_spark.queries.events import (
+        CEP_DEFAULT_NAMES,
+        CEP_DEFAULT_PATTERN,
+    )
     from clinical_bi_spark.streaming.windows import (
         _events_stream,
         _run_to_completion,
     )
 
+    pattern = pattern if pattern is not None else CEP_DEFAULT_PATTERN
+    out_names = out_names if out_names is not None else CEP_DEFAULT_NAMES
+    evicting = _eviction_enabled(evict)
     events = _events_stream(spark, sf_dir, max_files_per_trigger).select(
         "user_id", "event_id", "ts", "event_type"
     )
+    if evicting:
+        events = events.withWatermark("ts", EVICTION_WATERMARK)
     emitted = events.groupBy("user_id").applyInPandasWithState(
-        _cep_update,
-        outputStructType=CEP_OUTPUT_SCHEMA,
-        stateStructType=CEP_STATE_SCHEMA,
+        make_cep_update(pattern, out_names, evicting),
+        outputStructType=_cep_output_schema(out_names),
+        stateStructType=_cep_state_schema(len(pattern)),
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evicting
+            else GroupStateTimeout.NoTimeout
+        ),
     )
+    # NOTE: the memory sink retains every provisional-tail snapshot until
+    # the final dedup below — fine on the bounded harness (this is the
+    # drain adapter); production consumes `raw` incrementally (e.g. the
+    # foreachBatch file sink in windows.write_stream_foreachbatch).
     raw = _run_to_completion(emitted, "update", progress_sink)
     final = (
         raw.groupBy("user_id", "match_start_ns")
-        .agg(
-            F.max(
-                F.struct("match_end_ns", "n_view", "n_click", "n_purchase")
-            ).alias("m")
-        )
+        .agg(F.max(F.struct("match_end_ns", *out_names)).alias("m"))
         .select(
             "user_id",
             F.timestamp_micros(
@@ -243,9 +400,7 @@ def stream_cep_matches(
             F.timestamp_micros(
                 F.expr("m.match_end_ns div 1000")
             ).alias("match_end"),
-            F.col("m.n_view").alias("n_view"),
-            F.col("m.n_click").alias("n_click"),
-            F.col("m.n_purchase").alias("n_purchase"),
+            *[F.col(f"m.{n}").alias(n) for n in out_names],
         )
     )
     return final.withColumn(

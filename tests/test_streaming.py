@@ -666,3 +666,152 @@ def test_rocksdb_multibatch_cep_equals_batch(spark, split_sf, rocksdb_state):
     assert s == b and len(s) > 0
     assert _n_batches(prog) >= 3
     _assert_rocksdb_engaged(prog)
+
+
+# ---------------------------------------------------------------------------
+# State-eviction battery (r8): the production path
+# (CLINICAL_BI_STATE_EVICTION=1 / evict=True) must actually DROP idle-key
+# state — watermarked input + EventTimeTimeout + hasTimedOut branch —
+# while the default adjudication path (NoTimeout) keeps the exact batch
+# fold the oracle checks. Asserted via stateOperators progress metrics on
+# both state-store providers.
+# ---------------------------------------------------------------------------
+
+
+def _state_rows_series(prog: list) -> list:
+    return [
+        op.get("numRowsTotal", 0)
+        for p in prog
+        for op in p.get("stateOperators", [])
+    ]
+
+
+def _rows_removed(prog: list) -> int:
+    return sum(
+        op.get("numRowsRemoved", 0)
+        for p in prog
+        for op in p.get("stateOperators", [])
+    )
+
+
+def _assert_state_fell(prog: list, n_keys_total: int) -> None:
+    """State rows must peak then FALL (idle keys dropped), and the final
+    store must hold strictly fewer rows than the total key count (which
+    is exactly what the NoTimeout path would hold at stream end)."""
+    series = _state_rows_series(prog)
+    assert series, "no stateOperators in progress"
+    assert _rows_removed(prog) > 0, "eviction path reported no rows removed"
+    assert series[-1] < n_keys_total, (
+        f"final state rows {series[-1]} did not fall below total key count "
+        f"{n_keys_total} — nothing was evicted"
+    )
+    assert series[-1] < max(series), (
+        f"state never fell: series={series}"
+    )
+
+
+def test_stateful_eviction_drops_idle_user_state(spark, split_sf):
+    """user_running_stats with evict=True over 3 chronological
+    micro-batches: users idle past the 1-day event-time TTL are dropped
+    as the watermark advances — state rows fall, unlike the NoTimeout
+    adjudication path whose final state holds every user ever seen."""
+    from clinical_bi_spark.streaming.stateful import user_running_stats
+
+    prog: list = []
+    user_running_stats(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog,
+        evict=True,
+    ).collect()
+    assert _n_batches(prog) >= 3
+    n_users = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    _assert_state_fell(prog, n_users)
+
+
+def test_cep_eviction_drops_idle_island_state(spark, split_sf):
+    """stream_cep_matches with evict=True: per-user island context for
+    idle users is dropped once the watermark passes their TTL."""
+    from clinical_bi_spark.streaming.stateful import stream_cep_matches
+
+    prog: list = []
+    stream_cep_matches(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog,
+        evict=True,
+    ).collect()
+    assert _n_batches(prog) >= 3
+    n_users = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    _assert_state_fell(prog, n_users)
+
+
+def test_rocksdb_stateful_eviction_drops_state(spark, split_sf, rocksdb_state):
+    """The eviction path must also hold under the RocksDB provider (the
+    100 TB operational configuration): rows removed, state falls, and the
+    provider's own metrics prove engagement."""
+    from clinical_bi_spark.streaming.stateful import user_running_stats
+
+    prog: list = []
+    user_running_stats(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog,
+        evict=True,
+    ).collect()
+    n_users = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    _assert_state_fell(prog, n_users)
+    _assert_rocksdb_engaged(prog)
+
+
+def test_eviction_env_flag_selects_path(spark, split_sf, monkeypatch):
+    """Registry hygiene for the CLINICAL_BI_STATE_EVICTION dual path: the
+    env flag alone must flip the operator from the exact NoTimeout path
+    (nothing ever removed) to the evicting production path (rows
+    removed) — and the default (unset) is the exact path the driver
+    adjudicates."""
+    from clinical_bi_spark.streaming import stateful
+    from clinical_bi_spark.streaming.stateful import user_running_stats
+
+    monkeypatch.delenv(stateful.STATE_EVICTION_ENV, raising=False)
+    assert stateful._eviction_enabled(None) is False  # driver default
+    prog_exact: list = []
+    user_running_stats(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog_exact
+    ).collect()
+    assert _rows_removed(prog_exact) == 0
+
+    monkeypatch.setenv(stateful.STATE_EVICTION_ENV, "1")
+    assert stateful._eviction_enabled(None) is True
+    prog_evict: list = []
+    user_running_stats(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog_evict
+    ).collect()
+    assert _rows_removed(prog_evict) > 0
+
+
+def test_multibatch_cep_quantified_equals_batch(spark, split_sf):
+    """The QUANTIFIED pattern's streaming twin must equal its batch form
+    across 3 chronological micro-batches — the parameterized island
+    machinery (different step types + min-count quantifier) stitches
+    runs across batch boundaries exactly like the flagship spec."""
+    from clinical_bi_spark.queries import load_all
+    from clinical_bi_spark.queries.events import (
+        CEP_QUANTIFIED_NAMES,
+        CEP_QUANTIFIED_PATTERN,
+    )
+    from clinical_bi_spark.streaming.stateful import stream_cep_matches
+
+    prog: list = []
+    out = stream_cep_matches(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog,
+        pattern=CEP_QUANTIFIED_PATTERN, out_names=CEP_QUANTIFIED_NAMES,
+    )
+    assert _n_batches(prog) >= 3
+    batch = load_all()["evt_cep_pattern_quantified"].fn(spark, split_sf)
+    s = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0

@@ -81,6 +81,16 @@ _R7_SET = _R6_SET | frozenset(
     }
 )
 
+# The bench set as of round 8 (r7 set + the r7-verdict-suggested scan-speed
+# claims and the two operators whose plans changed this round: the
+# PPJoin-filtered jaccard join and the deterministic-quantizer IVF).
+_R8_SET = _R7_SET | frozenset(
+    {
+        "text_gopher_filters", "m18_linreg_exact",
+        "sim_ann_ivf", "dedup_jaccard_prefix",
+    }
+)
+
 
 def main() -> None:
     registry = load_all()
@@ -136,6 +146,8 @@ def main() -> None:
     assert not missing_r6, f"r6-set queries missing from bench: {missing_r6}"
     missing_r7 = _R7_SET - set(timings)
     assert not missing_r7, f"r7-set queries missing from bench: {missing_r7}"
+    missing_r8 = _R8_SET - set(timings)
+    assert not missing_r8, f"r8-set queries missing from bench: {missing_r8}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -161,6 +173,9 @@ def main() -> None:
         "subtotal_r7_set": round(
             sum(t for n, t in timings.items() if n in _R7_SET), 3
         ),
+        "subtotal_r8_set": round(
+            sum(t for n, t in timings.items() if n in _R8_SET), 3
+        ),
         # Self-describing variant flag: sim_ann_* timings measure the bare
         # pruned operator (recall-annotation twin disabled below); the
         # adjudicated variant runs with the exact-recall twin ON, so its
@@ -170,6 +185,13 @@ def main() -> None:
         # adjudicated variant (exact sequential arithmetic, 2.2x slower,
         # differential-pinned equal) runs with this flag on.
         "ann_exact_arithmetic": os.environ["CLINICAL_BI_EXACT_ARITH"] != "0",
+        # Stateful-streaming dual path (streaming/stateful.py): default is
+        # the exact NoTimeout adjudication path; the evicting production
+        # path (CLINICAL_BI_STATE_EVICTION=1) bounds state by active keys.
+        # No benched query runs the stateful ops, so this is recorded for
+        # self-description only.
+        "state_eviction": os.environ.get("CLINICAL_BI_STATE_EVICTION", "0")
+        != "0",
     }
     print(json.dumps(result))
 

@@ -50,8 +50,34 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: The driver records correctness rows for registry[:50] only, so ordering
 #: decides which queries get a driver verdict each round.
 #:
-#: ROUND-7 WINDOW (replaces the r6 ordering below; the r6 rationale is
-#: kept as history). Slot budget, in priority order:
+#: ROUND-8 WINDOW. Slot budget, in priority order:
+#: (1) queries whose implementation CHANGED this round —
+#:     dedup_jaccard_prefix (PPJoin positional filter),
+#:     evt_cep_pattern (re-expressed through the parameterized
+#:     cep_pattern_match machinery), evt_cep_pattern_quantified (NEW:
+#:     signup+ error{2,} view+ quantified spec);
+#: (2) the 23 r4-green entries at (past) the 3-round staleness ceiling —
+#:     the r7 verdict's top rotation ask; every one leads the window;
+#: (3) headliners (flagship / dashboard), every round;
+#: (4) stale rows-only rotation (2-3 per round): agg_percentiles_approx
+#:     (r3 row), sim_ann_pq (r4), m3_feature_importance (r5);
+#: (5) the 16 oldest r5-green exact entries (the remainder — 17 more
+#:     r5-green entries plus rows-only m8_vocab_embedding_trained — hit
+#:     the 3-round ceiling at r9 and are due FIRST there, before any
+#:     r6/r7-green entry rotates again: agg_rollup, agg_salted_count,
+#:     data_global_shuffle, data_mixture_sample, dedup_incremental,
+#:     dedup_ngram_jaccard, etl_cohort_conditional_agg,
+#:     merge_upsert_emulation, sim_bruteforce_topk, text_chunk_dedup,
+#:     text_corpus_rollup, text_lm_score, text_redact_pii,
+#:     text_repetition, text_tfidf_topk, text_winnow_fingerprint,
+#:     vec_norm_rollup).
+#: Streaming stays at the TAIL (a wedged stream must only cost
+#: streaming rows): the three whose code changed this round —
+#: stream_stateful_user_stats and stream_cep_pattern (eviction
+#: dual-path + chunk-order hardening in streaming/stateful.py) and the
+#: NEW stream_cep_pattern_quantified (newest last).
+#:
+#: Round-7 rationale (history). Slot budget, in priority order:
 #: (1) queries whose implementation or oracle CHANGED this round —
 #:     agg_chi_square (empty-cell fix), j_fuzzy_editdist_pairs +
 #:     entity_resolution_parts (short-string residue in the PassJoin
@@ -119,103 +145,75 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (1) implementation / oracle changed this round (r7) --
-    "agg_chi_square",         # empty-cell fix (full cross product)
-    "j_fuzzy_editdist_pairs", # short-string residue path
-    "entity_resolution_parts",  # inherits the residue; first driver row
-    "sim_ann_lsh",            # exact-arith env gate (driver = exact)
-    "sim_ann_ivf",            # GRADUATED: deterministic fit, exact oracle
-    # -- (2) never-adjudicated late-r6 queries: first driver rows --
-    "dedup_jaccard_prefix",
-    "j_point_in_time_scd2",
-    "graph_bfs_distance",
-    "graph_triangles",
-    "sim_ann_ivf_exact",
-    "m14_kfold_assign",
-    "m15_confusion_metrics",
-    "m16_feature_hashing",
-    "m17_target_encode_loo",
-    "agg_spearman_corr",
-    "agg_equidepth_histogram",
-    "agg_bitwise_battery",
-    "f_string_battery",
-    "f_regex_battery",
-    "evt_anomaly_mad",
-    "evt_attribution_last_touch",
-    "evt_json_typed_parse",
-    "etl_incremental_agg_maintenance",
-    "data_temperature_mixture",
-    "set_ops_all",
-    "multimodal_resize_jpeg",        # rows-only (lossy), as promised
-    "multimodal_video_mjpeg_frames", # rows-only (lossy), as promised
+    # -- (1) implementation changed this round (r8) --
+    "dedup_jaccard_prefix",       # PPJoin positional filter
+    "evt_cep_pattern",            # parameterized machinery refactor
+    "evt_cep_pattern_quantified", # NEW: signup+ error{2,} view+
+    # -- (2) the 23 r4-green entries at/past the staleness ceiling --
+    "a3_multi_count_distinct",
+    "agg_pricing_summary",
+    "asof_join_events",
+    "data_quality_select",
+    "data_snapshot_diff",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "evt_dedup_window",
+    "evt_funnel_conversion",
+    "evt_group_zscore",
+    "evt_group_zscore_window",
+    "evt_json_extract",
+    "evt_retention_cohorts",
+    "evt_sessionization",
+    "evt_sliding_window",
+    "evt_tumbling_window",
+    "f_scalar_battery",
+    "m8_vocab_embedding",
+    "multimodal_features",
+    "multimodal_resize_bmp",
+    "p_filter_conjunction",
+    "text_quality_score",
+    "text_stats",
     # -- (3) headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- (4) r4-green blocks at the 3-round staleness ceiling --
-    "etl_cohort_literal_joins",
-    "etl_name_keyed_rollup",
-    "etl_interventions_conditions",
-    "etl_calculated_values_rebuild",
-    "w3_lag_lead_first",
-    "agg_cube",
-    "agg_pivot",
-    "unpivot_long",
-    # -- (5) stale rows-only rotation (the two oldest r3 rows; the
-    #    r4-row pair sim_ann_pq / agg_percentiles_approx cycles in r8 —
-    #    slots went to never-adjudicated NEW exact queries below) --
-    "m9_mlp_train_eval",
-    "a3_approx_count_distinct",
-    # -- (6) oldest remaining r4-green entries that fit
-    #    (dedup_embedding_cosine displaced by stream_cep_pattern, and
-    #    asof_join_events by sketch_kmv_jaccard: new exact-oracle code
-    #    outranks an r4-green re-confirmation; asof's lesson-20 floor
-    #    was re-confirmed in this round's bench at 0.68 s and it is due
-    #    first in r8 with the rest of the r4 block; dedup_exact likewise
-    #    displaced by text_chunk_overlap_split — r4-green, benched
-    #    0.263 s this round, due r8) --
-    # -- (7) NEW r7 exact-oracle queries (Gopher gate, KMV sketch pair,
-    #    C4-style boilerplate rewrite, MATCH_RECOGNIZE-style CEP,
-    #    integer-exact closed-form linreg, deterministic LPA
-    #    communities): never-adjudicated new code outranks re-confirming
-    #    r4-green unchanged code (the established rotation policy), and
-    #    including them keeps the r1-r7 union covering the ENTIRE
-    #    registry. Displaced to r8 (r4-green/r4-rows, due first there):
-    #    agg_pricing_summary, p_filter_conjunction, f_scalar_battery,
-    #    evt_tumbling_window, a3_multi_count_distinct, sim_ann_pq,
-    #    agg_percentiles_approx.
-    "text_gopher_filters",
-    "sketch_kmv_distinct",
-    "sketch_kmv_merge",
-    "sketch_kmv_jaccard",
-    "text_boilerplate_strip",
-    "text_chunk_overlap_split",
-    "evt_cep_pattern",
-    "m18_linreg_exact",
-    "graph_label_propagation",
-    # -- streaming LAST within the checked window --
-    "stream_sliding_window",  # never-adjudicated streaming entry
-    "stream_cep_pattern",     # NEW r7: streaming MATCH_RECOGNIZE (newest
-                              # last, per the streaming-tail rule)
+    # -- (4) stale rows-only rotation --
+    "agg_percentiles_approx",
+    "sim_ann_pq",
+    "m3_feature_importance",
+    # -- (5) oldest r5-green exact entries (16 of 33; remainder due r9) --
+    "j2_selfjoin_fanout",
+    "m2_encoder_chain",
+    "f3_pattern_classifier",
+    "f6_f7_date_functions",
+    "f10_sed_cleanse",
+    "j7_frequency_enrichment",
+    "j_semi_anti_exists",
+    "m1_keyed_split",
+    "m12_stratified_sample",
+    "m13_auc_rank",
+    "w1_topk_per_group",
+    "w2_running_total",
+    "w4_rank_battery",
+    "set_ops",
+    "sort_limit_topn",
+    "text_language_id",
+    # -- streaming LAST within the checked window (all three changed
+    #    this round: eviction dual-path / parameterized CEP) --
+    "stream_stateful_user_stats",
+    "stream_cep_pattern",
+    "stream_cep_pattern_quantified",  # newest last
 )
-# Deferred to r8, due FIRST (still r4-green after this rotation — the
-# window could not hold all 31 r4-green entries alongside the 25
-# never-adjudicated ones, and first-ever driver rows outrank
-# re-greening unchanged code): evt_sliding_window, evt_sessionization,
-# evt_json_extract, evt_dedup_window, evt_group_zscore,
-# evt_group_zscore_window, evt_funnel_conversion, evt_retention_cohorts,
-# text_stats, text_quality_score, m8_vocab_embedding,
-# multimodal_features, multimodal_resize_bmp, data_quality_select,
-# data_snapshot_diff. Also r5-green and aging: the relational/text core
-# (j2_selfjoin_fanout, f3/f6/f10, m1_keyed_split, m2_encoder_chain,
-# w1/w2/w4, set_ops, sort_limit_topn, j7, j_semi_anti_exists, m12, m13,
-# text_language_id, dedup_ngram_jaccard, text_corpus_rollup,
-# text_repetition, text_winnow_fingerprint, text_redact_pii,
-# text_tfidf_topk, text_lm_score, sim_bruteforce_topk, vec_norm_rollup,
-# dedup_incremental, data_mixture_sample, data_global_shuffle,
-# text_chunk_dedup, agg_rollup, merge_upsert_emulation,
-# agg_salted_count, etl_cohort_conditional_agg) plus the r5 rows-only
-# pair (m3_feature_importance, m8_vocab_embedding_trained) — those two
-# cycle in r8 per the 2–3-per-round rows-only policy.
+# Deferred to r9, due FIRST there (r5-green entries that reach the
+# 3-round staleness ceiling at r9; the window could not hold all 33
+# alongside the 23 r4-stale rows this round): agg_rollup,
+# agg_salted_count, data_global_shuffle, data_mixture_sample,
+# dedup_incremental, dedup_ngram_jaccard, etl_cohort_conditional_agg,
+# merge_upsert_emulation, sim_bruteforce_topk, text_chunk_dedup,
+# text_corpus_rollup, text_lm_score, text_redact_pii, text_repetition,
+# text_tfidf_topk, text_winnow_fingerprint, vec_norm_rollup — plus the
+# r5 rows-only m8_vocab_embedding_trained (2-3-per-round rows-only
+# policy) and the r7 rows-only m9_mlp_train_eval /
+# a3_approx_count_distinct as slots allow.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -635,7 +635,7 @@ FROM m
 """
 
 
-@query("m18_linreg_exact", oracle=_LINREG_ORACLE)
+@query("m18_linreg_exact", oracle=_LINREG_ORACLE, bench=True)
 def m18_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group simple linear regression (price-cents on quantity) fit
     CLOSED-FORM from integer-exact moment sums: n, Sx, Sy, Sxx, Sxy in

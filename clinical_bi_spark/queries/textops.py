@@ -1519,35 +1519,14 @@ WHERE CAST(n_inter AS DOUBLE)
 """
 
 
-@query("dedup_jaccard_prefix", oracle=_JACCARD_PREFIX_ORACLE)
-def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT word-set Jaccard >= 0.8 self-join, UNBLOCKED, via prefix
-    filtering (the ppjoin family, public literature): order each
-    document's token set by ascending document frequency (tie-break:
-    token), keep only the first |x| - ceil(tau*|x|) + 1 tokens as the
-    candidate prefix — if two sets' prefixes are disjoint their overlap
-    cannot reach tau — and equi-join on prefix tokens. The prefix holds
-    each document's RAREST tokens, so the candidate join key is
-    anti-skewed by construction (the frequency ordering exists precisely
-    to keep hot tokens out of join keys). A length-ratio filter prunes
-    candidates before the exact array_intersect verification.
-
-    This is the exact-threshold scale path that dedup_ngram_jaccard's
-    source-blocked quadratic form approximates and MinHash-LSH
-    randomizes; unlike both, it is lossless at any corpus size — proved
-    by the superset oracle."""
-    t = load_tables(tune(spark), sf_dir)
-    tau = _JACCARD_TAU
-    toks = (
-        t.documents.select(
-            "doc_id",
-            F.array_distinct(word_tokens(F.lower(F.col("text")))).alias(
-                "words"
-            ),
-        )
-        .filter(F.size("words") >= 1)
-    )
-    toks = persist_tracked(toks)
+def _jaccard_prefix_candidates(
+    toks: DataFrame, tau: float, positional: bool = True
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs for the prefix-filtered Jaccard
+    join: df-ordered prefix equi-join + length-ratio filter, plus (when
+    ``positional``) the PPJoin positional filter. Split out so the scale
+    harness can A/B the positional filter's candidate cut; the query
+    always runs with it on."""
     tok = toks.select("doc_id", F.explode("words").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
     ordered = (
@@ -1570,25 +1549,97 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ordered = persist_tracked(ordered)
     pfx = ordered.select(
-        "doc_id", "sz", F.explode("prefix").alias("w")
-    )
+        "doc_id", "sz", F.posexplode("prefix").alias("pos0", "w")
+    ).withColumn("p", F.col("pos0") + 1)  # 1-based prefix position
     a = pfx.select(
-        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"), "w"
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sa"),
+        F.col("p").alias("pa"),
+        "w",
     )
     b = pfx.select(
-        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"), "w"
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sb"),
+        F.col("p").alias("pb"),
+        "w",
     )
-    cand = (
-        a.join(b, "w")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            # length-ratio pruning: J >= tau forces tau <= |A|/|B| <= 1/tau
-            & (F.col("sb").cast("double") >= tau * F.col("sa"))
-            & (F.col("sa").cast("double") >= tau * F.col("sb"))
+    matched = a.join(b, "w").filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        # length-ratio pruning: J >= tau forces tau <= |A|/|B| <= 1/tau
+        & (F.col("sb").cast("double") >= tau * F.col("sa"))
+        & (F.col("sa").cast("double") >= tau * F.col("sb"))
+    )
+    if not positional:
+        return matched.select("doc_a", "doc_b").distinct()
+    # PPJoin positional filter (Xiao et al. 2008, public literature),
+    # tight set-oriented form. Both token lists share ONE global ordering
+    # (df asc, token asc), so matched prefix tokens have monotonically
+    # increasing positions in BOTH lists; let w* be the LAST matched
+    # token, at positions (pa*, pb*). Every shared token on or before w*
+    # is itself a matched prefix token: its A-position <= pa* <=
+    # len(prefix(A)) puts it inside prefix(A), and (by order consistency)
+    # its B-position <= pb* <= len(prefix(B)) puts it inside prefix(B) —
+    # so it was produced by the prefix equi-join. Hence
+    #     overlap(A, B) = n_matched + overlap_after_w*
+    #                  <= n_matched + min(sa - pa*, sb - pb*).
+    # J >= 4/5 forces overlap >= 4(sa+sb)/9 (9i >= 4(sa+sb),
+    # integer-exact for tau = 0.8), pruning candidates BEFORE the verify
+    # join ships any token array — the term whose candidate-proportional
+    # volume set the r7 x50 spill ceiling.
+    assert abs(tau - 0.8) < 1e-12, "integer bound below is derived for tau=4/5"
+    return (
+        matched.groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.max("pa").alias("pam"),
+            F.max("pb").alias("pbm"),
         )
+        .withColumn(
+            "ub",
+            F.col("n_matched")
+            + F.least(
+                F.col("sa") - F.col("pam"), F.col("sb") - F.col("pbm")
+            ),
+        )
+        .filter(F.lit(9) * F.col("ub") >= F.lit(4) * (F.col("sa") + F.col("sb")))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+
+
+@query("dedup_jaccard_prefix", oracle=_JACCARD_PREFIX_ORACLE, bench=True)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-set Jaccard >= 0.8 self-join, UNBLOCKED, via prefix
+    filtering (the ppjoin family, public literature): order each
+    document's token set by ascending document frequency (tie-break:
+    token), keep only the first |x| - ceil(tau*|x|) + 1 tokens as the
+    candidate prefix — if two sets' prefixes are disjoint their overlap
+    cannot reach tau — and equi-join on prefix tokens. The prefix holds
+    each document's RAREST tokens, so the candidate join key is
+    anti-skewed by construction (the frequency ordering exists precisely
+    to keep hot tokens out of join keys). A length-ratio filter plus the
+    PPJoin positional filter (min-over-matches overlap upper bound from
+    prefix positions — see inline derivation) prune candidates before
+    the exact array_intersect verification, cutting the verify join's
+    candidate-proportional token-array volume (the r7 x50 spill
+    ceiling's attributed term).
+
+    This is the exact-threshold scale path that dedup_ngram_jaccard's
+    source-blocked quadratic form approximates and MinHash-LSH
+    randomizes; unlike both, it is lossless at any corpus size — proved
+    by the superset oracle."""
+    t = load_tables(tune(spark), sf_dir)
+    tau = _JACCARD_TAU
+    toks = (
+        t.documents.select(
+            "doc_id",
+            F.array_distinct(word_tokens(F.lower(F.col("text")))).alias(
+                "words"
+            ),
+        )
+        .filter(F.size("words") >= 1)
+    )
+    toks = persist_tracked(toks)
+    cand = _jaccard_prefix_candidates(toks, tau, positional=True)
     wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wsa"))
     wb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wsb"))
     inter = F.size(F.array_intersect(F.col("wsa"), F.col("wsb")))
@@ -1692,7 +1743,7 @@ FROM m
 """
 
 
-@query("text_gopher_filters", oracle=_GOPHER_ORACLE)
+@query("text_gopher_filters", oracle=_GOPHER_ORACLE, bench=True)
 def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality rule battery (Rae et al. 2021 A1.1): word
     count in [50, 100k], mean word length in [3, 10], symbol-to-word

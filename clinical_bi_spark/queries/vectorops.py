@@ -381,7 +381,7 @@ SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
     return "".join(parts)
 
 
-@query("sim_ann_ivf", oracle=_ivf_det_oracle())
+@query("sim_ann_ivf", oracle=_ivf_det_oracle(), bench=True)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF coarse quantization, nprobe=4 of 16 cells —
     GRADUATED to a fully exact oracle in r7: the quantizer is the

@@ -1,0 +1,92 @@
+"""A/B the PPJoin positional filter's candidate cut for
+dedup_jaccard_prefix at replicated scale (r8 brief item #3).
+
+For each multiplier: count candidate pairs surviving (a) length-ratio
+only (the r7 form) vs (b) + positional filter (the r8 form), and time
+the full query end-to-end with the filter on. The replication scheme is
+scaleup_linkage.replicate (copy-distinct suffix tokens: near-pair
+structure replicates within copies).
+
+Usage: python scripts/ppjoin_ab.py [sf_dir]
+Env:   CBS_PP_MULTS=1,16      multipliers (default 1,16)
+       CBS_PP_E2E=1           also time the full query per cell
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from clinical_bi_spark import caching
+from clinical_bi_spark.functions.text import word_tokens
+from clinical_bi_spark.queries import textops
+from clinical_bi_spark.queries.textops import (
+    _JACCARD_TAU,
+    _jaccard_prefix_candidates,
+)
+from clinical_bi_spark.session import get_spark, tune, warm
+from clinical_bi_spark.sources import load_tables
+from scripts.scaleup_linkage import replicate
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    spark = get_spark("ppjoin-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm(spark)
+    t = load_tables(tune(spark), SF_DIR)
+    mults = tuple(
+        int(m) for m in os.environ.get("CBS_PP_MULTS", "1,16").split(",")
+    )
+    e2e = os.environ.get("CBS_PP_E2E", "0") == "1"
+
+    for mult in mults:
+        docs = replicate(
+            t.documents.select("doc_id", "text"), mult, "doc_id", "text",
+            100_000_000,
+        ).persist()
+        docs.count()
+        toks = docs.select(
+            "doc_id",
+            F.array_distinct(word_tokens(F.lower(F.col("text")))).alias(
+                "words"
+            ),
+        ).filter(F.size("words") >= 1)
+        row: dict = {"docs": docs.count()}
+        for positional, label in ((False, "cand_lenratio"), (True, "cand_pos")):
+            start = time.perf_counter()
+            n = _jaccard_prefix_candidates(
+                toks, _JACCARD_TAU, positional=positional
+            ).count()
+            row[label] = n
+            row[label + "_sec"] = round(time.perf_counter() - start, 2)
+            caching.release_all(spark)
+        row["cut"] = round(row["cand_lenratio"] / max(row["cand_pos"], 1), 2)
+
+        if e2e:
+            from types import SimpleNamespace
+
+            tables = SimpleNamespace(documents=docs)
+            orig = textops.load_tables
+            textops.load_tables = lambda _s, _d, _t=tables: _t
+            try:
+                start = time.perf_counter()
+                row["pairs"] = textops.dedup_jaccard_prefix(
+                    spark, SF_DIR
+                ).count()
+                row["e2e_sec"] = round(time.perf_counter() - start, 2)
+            finally:
+                textops.load_tables = orig
+            caching.release_all(spark)
+        docs.unpersist()
+        print(f"x{mult}", row, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 
 from clinical_bi_spark.session import get_spark, tune, warm
 from clinical_bi_spark.sources import load_tables
-from clinical_bi_spark.streaming.stateful import user_running_stats
+from clinical_bi_spark.streaming.stateful import (
+    stream_cep_matches as _cep,
+    user_running_stats,
+)
 from clinical_bi_spark.streaming.windows import (
     dedup_with_watermark,
     session_windows,
@@ -70,6 +73,22 @@ QUERIES = {
     ),
     "stream_stateful": lambda sp, d, ps: user_running_stats(
         sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
+    ),
+    # r8: the EVICTING production forms (CLINICAL_BI_STATE_EVICTION path).
+    # The claim: state_rows_final tracks ACTIVE keys (seen within the
+    # 1-day TTL of stream end), not total keys — vs the NoTimeout twins
+    # above whose state holds every key ever seen. state_removed > 0 and
+    # final < peak are the eviction signatures.
+    "stream_stateful_evict": lambda sp, d, ps: user_running_stats(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,
+        evict=True,
+    ),
+    "stream_cep": lambda sp, d, ps: _cep(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
+    ),
+    "stream_cep_evict": lambda sp, d, ps: _cep(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,
+        evict=True,
     ),
     # r6: sketch state — per-window HLL registers; state must stay at
     # m=32 rows per day regardless of the user multiplier (the whole
@@ -147,10 +166,20 @@ def main() -> None:
     n_base = base.count()
     id_offset = n_base + 1
 
-    for mult in (1, 10, 50):
+    mults = tuple(
+        int(m)
+        for m in os.environ.get("CBS_STREAM_MULTS", "1,10,50").split(",")
+    )
+    only = os.environ.get("CBS_STREAM_ONLY")
+    queries = (
+        {k: v for k, v in QUERIES.items() if k in only.split(",")}
+        if only
+        else QUERIES
+    )
+    for mult in mults:
         dest = materialize(spark, base, mult, id_offset)
         row: dict = {"rows": n_base * mult}
-        for name, fn in QUERIES.items():
+        for name, fn in queries.items():
             best, metrics = float("inf"), {}
             for _ in range(2):
                 prog: list = []
@@ -176,6 +205,11 @@ def main() -> None:
                         ),
                         default=0,
                     )
+                    op_series = [
+                        op.get("numRowsTotal", 0)
+                        for p in prog
+                        for op in p.get("stateOperators", [])
+                    ]
                     metrics = {
                         "sec": round(wall, 2),
                         "out": n_out,
@@ -183,6 +217,15 @@ def main() -> None:
                             1 for p in prog if p.get("numInputRows", 0) > 0
                         ),
                         "state_rows": state_rows,
+                        # final vs peak: with eviction on, final state
+                        # holds ACTIVE keys only (falls below peak);
+                        # NoTimeout forms end at their peak
+                        "state_rows_final": op_series[-1] if op_series else 0,
+                        "state_removed": sum(
+                            op.get("numRowsRemoved", 0)
+                            for p in prog
+                            for op in p.get("stateOperators", [])
+                        ),
                         "state_mem_kb": state_mem // 1024,
                         "max_batch_ms": max(
                             (

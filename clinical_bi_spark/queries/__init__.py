@@ -55,7 +55,12 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #:     dedup_jaccard_prefix (PPJoin positional filter),
 #:     evt_cep_pattern (re-expressed through the parameterized
 #:     cep_pattern_match machinery), evt_cep_pattern_quantified (NEW:
-#:     signup+ error{2,} view+ quantified spec);
+#:     signup+ error{2,} view+ quantified spec) — plus the four NEW r8
+#:     exact-oracle queries (A-Res weighted sampling, keep-best
+#:     survivorship, forward-fill, temporal split): never-adjudicated
+#:     new code outranks re-greening unchanged r5 code (established
+#:     policy), displacing w4_rank_battery / set_ops / sort_limit_topn /
+#:     text_language_id to r9 with the rest of the r5 block;
 #: (2) the 23 r4-green entries at (past) the 3-round staleness ceiling —
 #:     the r7 verdict's top rotation ask; every one leads the window;
 #: (3) headliners (flagship / dashboard), every round;
@@ -145,10 +150,14 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (1) implementation changed this round (r8) --
+    # -- (1) implementation changed / NEW this round (r8) --
     "dedup_jaccard_prefix",       # PPJoin positional filter
     "evt_cep_pattern",            # parameterized machinery refactor
     "evt_cep_pattern_quantified", # NEW: signup+ error{2,} view+
+    "data_weighted_sample",       # NEW: A-Res weighted sample w/o repl.
+    "dedup_keep_best",            # NEW: survivorship map, word-set clusters
+    "evt_forward_fill",           # NEW: LOCF gap repair
+    "m19_temporal_split",         # NEW: temporal split + leakage audit
     # -- (2) the 23 r4-green entries at/past the staleness ceiling --
     "a3_multi_count_distinct",
     "agg_pricing_summary",
@@ -193,10 +202,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "m13_auc_rank",
     "w1_topk_per_group",
     "w2_running_total",
-    "w4_rank_battery",
-    "set_ops",
-    "sort_limit_topn",
-    "text_language_id",
     # -- streaming LAST within the checked window (all three changed
     #    this round: eviction dual-path / parameterized CEP) --
     "stream_stateful_user_stats",

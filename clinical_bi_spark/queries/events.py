@@ -929,3 +929,72 @@ def evt_cep_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cep_pattern_match(
         t.events, CEP_QUANTIFIED_PATTERN, CEP_QUANTIFIED_NAMES
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward-fill / last-observation-carried-forward (r8): the gap-repair
+# primitive for sparse sensor/metric streams. The fixture's value column
+# is dense, so a deterministic 20% mask (md5 of event_id) synthesizes
+# the gaps — same coin on both engines, so the oracle is exact.
+# ---------------------------------------------------------------------------
+
+_FFILL_ORACLE = """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN CAST('0x' || substr(md5(event_id::VARCHAR || ':gap'), 1, 8)
+                   AS UBIGINT) % 5 = 0
+              THEN NULL ELSE value END AS value_obs
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       ROUND(value_obs, 4) AS value_obs,
+       ROUND(last_value(value_obs IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             4) AS value_ff
+FROM m
+"""
+
+
+@query("evt_forward_fill", oracle=_FFILL_ORACLE)
+def evt_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user forward fill: last non-null observation carried forward
+    over (ts, event_id) order — ``last(..., ignorenulls=True)`` over a
+    running row frame, the expression-level LOCF that replaces the
+    self-join backfill antipattern. Rows before a user's first
+    observation stay NULL (no look-ahead). One user_id exchange +
+    partition-local sort; the mask is a narrow md5 projection."""
+    t = load_tables(tune(spark), sf_dir)
+    gap = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":gap"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+        == 0
+    )
+    m = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(~gap, F.col("value")).alias("value_obs"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value_obs", 4).alias("value_obs"),
+        F.round(F.last("value_obs", ignorenulls=True).over(w), 4).alias(
+            "value_ff"
+        ),
+    )

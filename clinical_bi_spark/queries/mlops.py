@@ -675,3 +675,78 @@ def m18_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / nd, 6).alias("intercept_cents"),
         F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M19 (r8): temporal train/val/test split with leakage audit — the
+# time-based split a forecasting/sequence pipeline uses instead of the
+# hashed row split (m1): train < 70% of the event-time span, val < 85%,
+# test the rest, with a per-split count of users ALSO present in train
+# (the entity-overlap number a leakage review asks for first; for
+# user-level targets, val/test users absent from train are the
+# cold-start cohort).
+# ---------------------------------------------------------------------------
+
+_TEMPORAL_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT MIN(epoch(ts)) AS lo, MAX(epoch(ts)) AS hi FROM events
+), s AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) < b.lo + 0.70 * (b.hi - b.lo) THEN 'train'
+              WHEN epoch(ts) < b.lo + 0.85 * (b.hi - b.lo) THEN 'val'
+              ELSE 'test' END AS split
+  FROM events, b
+), tu AS (
+  SELECT DISTINCT user_id FROM s WHERE split = 'train'
+)
+SELECT s.split AS split,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT CASE WHEN tu.user_id IS NOT NULL
+                                THEN s.user_id END) AS BIGINT)
+         AS n_users_in_train
+FROM s LEFT JOIN tu ON tu.user_id = s.user_id
+GROUP BY s.split
+"""
+
+
+@query("m19_temporal_split", oracle=_TEMPORAL_SPLIT_ORACLE)
+def m19_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal 70/15/15 split + leakage audit. The span bounds come from
+    one tiny min/max aggregate read on the driver and re-enter the plan
+    as LITERALS (the LPA literal-inlining pattern — avoids a 1-row
+    broadcast-nested-loop join); cutoffs are IEEE-double identical to
+    the oracle's epoch arithmetic. The audit joins each split's users
+    against the broadcast train-user set — at 100 TB that set is the
+    distinct-entity relation, orders smaller than the fact table."""
+    t = load_tables(tune(spark), sf_dir)
+    e = F.col("ts").cast("double")
+    lo, hi = t.events.agg(
+        F.min(e).alias("lo"), F.max(e).alias("hi")
+    ).first()
+    t1 = lo + 0.70 * (hi - lo)
+    t2 = lo + 0.85 * (hi - lo)
+    s = t.events.select(
+        "user_id",
+        F.when(e < F.lit(t1), "train")
+        .when(e < F.lit(t2), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    train_users = (
+        s.filter(F.col("split") == "train").select("user_id").distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    return (
+        s.join(F.broadcast(train_users), "user_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("in_train").isNotNull(), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("n_users_in_train"),
+        )
+    )

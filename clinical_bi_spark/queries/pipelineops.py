@@ -492,3 +492,68 @@ def data_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.col("copy_raw").cast("int").alias("copy_id")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling WITHOUT replacement (r8): the A-Res /
+# Efraimidis-Spirakis priority-sampling scheme from the public literature
+# — each item draws u ~ Uniform(0,1] from its md5 hash and gets priority
+# key -ln(u) / w; the K smallest keys are a weighted sample without
+# replacement (longer documents proportionally likelier). The coin is
+# md5(doc_id || ':wrs'), so the sample — including its order — is
+# reproducible across runs, partitionings, and engines.
+# ---------------------------------------------------------------------------
+
+_WRS_K = 100
+
+_WRS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS weight,
+         ({_U32_SQL.format(key="doc_id::VARCHAR || ':wrs'")} + 1)
+           / 4294967296.0 AS u
+  FROM documents
+), k AS (
+  SELECT doc_id, weight, -ln(u) / weight AS pk FROM w
+), r AS (
+  SELECT doc_id, weight,
+         ROW_NUMBER() OVER (ORDER BY pk, doc_id) AS pos
+  FROM k
+)
+SELECT doc_id, weight, CAST(pos AS BIGINT) AS pos
+FROM r WHERE pos <= {_WRS_K}
+"""
+
+
+@query("data_weighted_sample", oracle=_WRS_ORACLE)
+def data_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, deterministic (A-Res priority
+    sampling, Efraimidis & Spirakis 2006): weight = document length in
+    chars, u = (md5-u32 + 1) / 2^32 in (0, 1], priority -ln(u)/weight,
+    keep the K = 100 smallest priorities ranked.
+
+    Scale shape: the K-smallest selection compiles to
+    TakeOrderedAndProject — per-partition top-K then a K-row merge on
+    the driver side of the exchange, never a global sort — which is
+    exactly the distributed-reservoir decomposition the paper's
+    streaming variant describes. The final rank window runs over K rows
+    only. Cross-engine float note: -ln(u)/w is IEEE double on both
+    engines; rank flips would need two priorities within ~1 ulp, which
+    the 32-bit-uniform coin makes negligible."""
+    t = load_tables(tune(spark), sf_dir)
+    u = (
+        _u32(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))) + 1
+    ) / F.lit(_U32_DENOM)
+    weight = F.length("text").cast("bigint")
+    keyed = t.documents.select(
+        "doc_id",
+        weight.alias("weight"),
+        (-F.log(u) / weight.cast("double")).alias("pk"),
+    )
+    topk = keyed.orderBy("pk", "doc_id").limit(_WRS_K)
+    w = Window.orderBy("pk", "doc_id")
+    return topk.select(
+        "doc_id",
+        "weight",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

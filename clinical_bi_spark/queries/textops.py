@@ -1998,3 +1998,79 @@ def text_chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.select("doc_id", tk.alias("tk"))
         .select("doc_id", F.inline(chunks))
     )
+
+
+# ---------------------------------------------------------------------------
+# Keep-best dedup survivorship (r8): exact dedup keeps min(doc_id); real
+# curation pipelines keep the BEST representative per duplicate cluster
+# and emit a survivorship map (dupe -> keeper) so downstream references
+# re-point. Clusters here key on the WORD-SET fingerprint (md5 of the
+# sorted distinct token set) — same-vocabulary rearrangements/repetitions
+# that byte-exact fingerprints miss; the keep rule is (longest text,
+# lowest doc_id), a deterministic quality proxy.
+# ---------------------------------------------------------------------------
+
+_WORDSET_FP_SQL = (
+    "md5(array_to_string(list_sort("
+    + _WORDSET.format(col="text")
+    + "), ' '))"
+)
+
+_KEEP_BEST_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         {_WORDSET_FP_SQL} AS fp
+  FROM documents
+), c AS (
+  SELECT fp, COUNT(*) AS n,
+         FIRST(doc_id ORDER BY len DESC, doc_id) AS keeper
+  FROM f GROUP BY fp
+)
+SELECT f.doc_id AS doc_id,
+       c.keeper AS keeper_doc_id,
+       f.doc_id = c.keeper AS is_keeper,
+       CAST(c.n AS BIGINT) AS cluster_size
+FROM f JOIN c USING (fp)
+WHERE c.n >= 2
+"""
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship map for word-set duplicate clusters: every document
+    in a cluster of >= 2 maps to its keeper (longest text wins, doc_id
+    breaks ties).
+
+    Scale shape: only (doc_id, 16-byte fp, len) shuffles — text never
+    leaves its scan partition; the keeper election is a min_by partial
+    agg (map-side combine) and the map-back is an equi-join on fp. The
+    cluster relation is duplicate-clusters-only, far smaller than the
+    corpus."""
+    t = load_tables(tune(spark), sf_dir)
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(word_tokens(F.lower(F.col("text"))))
+            ),
+            " ",
+        )
+    )
+    d = t.documents.select(
+        "doc_id", F.length("text").cast("bigint").alias("len"), fp.alias("fp")
+    )
+    clusters = (
+        d.groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.expr("min_by(doc_id, struct(-len, doc_id))").alias(
+                "keeper_doc_id"
+            ),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return d.join(clusters, "fp").select(
+        "doc_id",
+        "keeper_doc_id",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_keeper"),
+        "cluster_size",
+    )

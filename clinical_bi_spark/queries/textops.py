@@ -2074,3 +2074,115 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_keeper"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocation mining via PMI (r8): the corpus-analysis op that
+# surfaces multi-word expressions ("new york") before tokenizer
+# training. PMI = ln(p(xy) / (p(x) p(y))); the RANKING key is the raw
+# probability ratio computed with one IEEE division (bit-identical
+# across engines — unlike ln, whose libm may differ in the last ulp),
+# so the top-K selection is deterministic; ln enters display only,
+# rounded.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+_PMI_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_LTOKENS.format(col='text')} AS words FROM documents
+), uni AS (
+  SELECT UNNEST(words) AS tok FROM w
+), uc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok
+), n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uc
+), big AS (
+  SELECT words[CAST(i AS INT) + 1] AS w1, words[CAST(i AS INT) + 2] AS w2
+  FROM w, UNNEST(range(0, len(words) - 1)) AS t(i)
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM big GROUP BY w1, w2
+), m AS (
+  SELECT CAST(SUM(c_xy) AS BIGINT) AS n_big FROM bc
+), scored AS (
+  SELECT bc.w1, bc.w2, bc.c_xy,
+         CAST(bc.c_xy AS DOUBLE)
+           / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS ratio,
+         u1.c AS c_x, u2.c AS c_y
+  FROM bc JOIN uc u1 ON u1.tok = bc.w1 JOIN uc u2 ON u2.tok = bc.w2
+  WHERE bc.c_xy >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_xy,
+       CAST(ROW_NUMBER() OVER (ORDER BY ratio DESC, w1, w2) AS BIGINT)
+         AS pos,
+       ROUND(ln(ratio * n.n_tok * n.n_tok / m.n_big), 6) AS pmi
+FROM scored, n, m
+ORDER BY pos
+LIMIT {_PMI_TOPK}
+"""
+
+
+@query("text_bigram_pmi_topk", oracle=_PMI_ORACLE)
+def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by pointwise mutual
+    information, min count 5. Spark derives bigrams with a zero-copy
+    slice+zip over the token array (narrow), counts them with one
+    partial-agg'd shuffle, joins the two unigram counts (the vocabulary
+    relation — orders smaller than the corpus), and takes the top-K on
+    the exact division ratio via TakeOrderedAndProject (per-partition
+    top-K + K-row merge, never a global sort). The scalar totals
+    (n_tok, n_big) enter the display expression as one-row literals
+    read on the driver — the LPA literal-inlining pattern."""
+    t = load_tables(tune(spark), sf_dir)
+    toks = t.documents.select(
+        word_tokens(F.lower(F.col("text"))).alias("words")
+    )
+    toks = persist_tracked(toks)
+    uni = toks.select(F.explode("words").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    uc = persist_tracked(uc)
+    big = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(words, 1, size(words) - 1)"),
+                F.expr("slice(words, 2, size(words) - 1)"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    n_tok = uc.agg(F.sum("c")).first()[0]
+    scored = (
+        bc.join(uc.select(F.col("tok").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uc.select(F.col("tok").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .withColumn(
+            "ratio",
+            F.col("c_xy").cast("double")
+            / (F.col("c_x").cast("double") * F.col("c_y").cast("double")),
+        )
+    )
+    # n_big = total bigram occurrences BEFORE the min-count filter (the
+    # PMI denominator is a corpus property, not a property of the
+    # filtered set) — recompute from the unfiltered bigram relation.
+    n_big = big.count()
+    topk = scored.orderBy(F.col("ratio").desc(), "w1", "w2").limit(_PMI_TOPK)
+    w = Window.orderBy(F.col("ratio").desc(), "w1", "w2")
+    return topk.select(
+        "w1",
+        "w2",
+        "c_xy",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        F.round(
+            F.log(
+                F.col("ratio")
+                * F.lit(float(n_tok))
+                * F.lit(float(n_tok))
+                / F.lit(float(n_big))
+            ),
+            6,
+        ).alias("pmi"),
+    )

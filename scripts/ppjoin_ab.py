@@ -10,6 +10,9 @@ structure replicates within copies).
 Usage: python scripts/ppjoin_ab.py [sf_dir]
 Env:   CBS_PP_MULTS=1,16      multipliers (default 1,16)
        CBS_PP_E2E=1           also time the full query per cell
+       CBS_PP_CAND=0          skip the candidate-count A/B (e2e only —
+                              the unfiltered count at x50 worst-case is
+                              the job that hits the spill-disk ceiling)
 """
 
 from __future__ import annotations
@@ -59,7 +62,12 @@ def main() -> None:
             ),
         ).filter(F.size("words") >= 1)
         row: dict = {"docs": docs.count()}
-        for positional, label in ((False, "cand_lenratio"), (True, "cand_pos")):
+        cand_ab = (
+            ((False, "cand_lenratio"), (True, "cand_pos"))
+            if os.environ.get("CBS_PP_CAND", "1") != "0"
+            else ()
+        )
+        for positional, label in cand_ab:
             start = time.perf_counter()
             n = _jaccard_prefix_candidates(
                 toks, _JACCARD_TAU, positional=positional
@@ -67,7 +75,10 @@ def main() -> None:
             row[label] = n
             row[label + "_sec"] = round(time.perf_counter() - start, 2)
             caching.release_all(spark)
-        row["cut"] = round(row["cand_lenratio"] / max(row["cand_pos"], 1), 2)
+        if cand_ab:
+            row["cut"] = round(
+                row["cand_lenratio"] / max(row["cand_pos"], 1), 2
+            )
 
         if e2e:
             from types import SimpleNamespace

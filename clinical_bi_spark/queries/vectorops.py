@@ -153,7 +153,11 @@ def _exact_arith_enabled() -> bool:
     entry), so bench.py sets CLINICAL_BI_EXACT_ARITH=0 to measure the
     path production callers get, exactly as CLINICAL_BI_ANN_RECALL=0
     already strips the recall-annotation twin; adjudication/correctness
-    runs default on."""
+    runs default on. Consumers: sim_ann_lsh (r7) and sim_ann_ivf's
+    probe/rank cosine (r8 — its deterministic FIT stays exact
+    unconditionally). Parity is additionally pinned AT THE BENCH SF
+    (tests/test_similarity.py::test_ann_lsh_exact_arith_parity_at_bench_sf,
+    r7 ADVICE item)."""
     return os.environ.get("CLINICAL_BI_EXACT_ARITH", "1") != "0"
 
 
@@ -393,9 +397,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is learned-opaque anymore. The Spark-ML seeded k-means codebook
     remains available (``ivf_topk(kmeans_centroids=True)``) as the
     learned alternative — recall floors for both quantizers are pinned
-    in tests/test_similarity.py. Runs the sequential exact-arithmetic
-    cosine unconditionally: this query is not in the bench set, and the
-    fit's determinism is the point."""
+    in tests/test_similarity.py. The probe/rank cosine path follows the
+    CLINICAL_BI_EXACT_ARITH dual-path contract (r8, same as
+    sim_ann_lsh): driver adjudication runs the sequential
+    exact-arithmetic form (default ON), bench.py times the numpy
+    production form — differential-pinned row-for-row in
+    tests/test_similarity.py. The deterministic FIT is unconditional:
+    its determinism is the oracle's foundation either way."""
     from clinical_bi_spark.operators.similarity import (
         det_kmeans_centroids,
         ivf_topk,
@@ -411,7 +419,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=16,
         nprobe=4,
         centroids=cent,
-        exact_arithmetic=True,
+        exact_arithmetic=_exact_arith_enabled(),
     )
 
 

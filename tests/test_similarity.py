@@ -414,3 +414,24 @@ def test_ann_lsh_exact_arith_parity_at_bench_sf(spark, monkeypatch):
     monkeypatch.setenv("CLINICAL_BI_EXACT_ARITH", "0")
     fast = q(spark, bench_sf).collect()
     assert sorted(map(tuple, exact)) == sorted(map(tuple, fast))
+
+
+def test_ann_ivf_exact_arithmetic_matches_fast_path(spark, embeddings):
+    """sim_ann_ivf joined the bench set in r8 and follows the
+    CLINICAL_BI_EXACT_ARITH dual path: the driver adjudicates the
+    sequential exact-arithmetic probe/rank while the bench times the
+    numpy path — licensed by this row-for-row pin (rank included) over
+    the deterministic fit's centroids."""
+    from clinical_bi_spark.operators.similarity import (
+        det_kmeans_centroids,
+        ivf_topk,
+    )
+
+    cent = det_kmeans_centroids(embeddings, n_cells=16, n_train=512, iters=3)
+    kw = dict(k=5, n_cells=16, nprobe=4, centroids=cent)
+    queries_df = embeddings.filter(F.col("vec_id") < 8)
+    fast = ivf_topk(embeddings, queries_df, **kw).collect()
+    exact = ivf_topk(
+        embeddings, queries_df, exact_arithmetic=True, **kw
+    ).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, exact))

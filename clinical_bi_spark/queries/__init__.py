@@ -55,13 +55,15 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #:     dedup_jaccard_prefix (PPJoin positional filter),
 #:     evt_cep_pattern (re-expressed through the parameterized
 #:     cep_pattern_match machinery), evt_cep_pattern_quantified (NEW:
-#:     signup+ error{2,} view+ quantified spec) — plus the five NEW r8
+#:     signup+ error{2,} view+ quantified spec) — plus the eight NEW r8
 #:     exact-oracle queries (A-Res weighted sampling, keep-best
-#:     survivorship, forward-fill, temporal split, PMI collocations):
+#:     survivorship, forward-fill, temporal split, PMI collocations,
+#:     Benford audit, Welch t-test, RFM segmentation):
 #:     never-adjudicated new code outranks re-greening unchanged r5
 #:     code (established policy), displacing w4_rank_battery / set_ops
-#:     / sort_limit_topn / text_language_id / m12_stratified_sample to
-#:     r9 with the rest of the r5 block;
+#:     / sort_limit_topn / text_language_id / m12_stratified_sample /
+#:     f6_f7_date_functions / j_semi_anti_exists / m13_auc_rank to r9
+#:     with the rest of the r5 block;
 #: (2) the 23 r4-green entries at (past) the 3-round staleness ceiling —
 #:     the r7 verdict's top rotation ask; every one leads the window;
 #: (3) headliners (flagship / dashboard), every round;
@@ -160,6 +162,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "evt_forward_fill",           # NEW: LOCF gap repair
     "m19_temporal_split",         # NEW: temporal split + leakage audit
     "text_bigram_pmi_topk",       # NEW: PMI collocation mining
+    "agg_benford_firstdigit",     # NEW: Benford first-digit audit
+    "agg_ttest_welch",            # NEW: Welch t from exact power sums
+    "evt_rfm_segmentation",       # NEW: RFM quintile segmentation
     # -- (2) the 23 r4-green entries at/past the staleness ceiling --
     "a3_multi_count_distinct",
     "agg_pricing_summary",
@@ -195,12 +200,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "j2_selfjoin_fanout",
     "m2_encoder_chain",
     "f3_pattern_classifier",
-    "f6_f7_date_functions",
     "f10_sed_cleanse",
     "j7_frequency_enrichment",
-    "j_semi_anti_exists",
     "m1_keyed_split",
-    "m13_auc_rank",
     "w1_topk_per_group",
     "w2_running_total",
     # -- streaming LAST within the checked window (all three changed

@@ -904,3 +904,257 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (r8): the fraud/drift screen — the leading
+# significant digit of positive amounts should follow P(d) = log10(1+1/d).
+# Counts are exact integers; shares and the Benford expectation are
+# identical double expressions on both engines (log10 enters display
+# only, rounded).
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+  FROM orders WHERE o_totalprice >= 1
+), c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+)
+SELECT c.digit AS digit, c.n AS n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS obs_share,
+       ROUND(log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)), 6) AS benford_share,
+       ROUND(ABS(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                 - log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE))), 6) AS abs_dev
+FROM c, t
+"""
+
+
+@query("agg_benford_firstdigit", oracle=_BENFORD_ORACLE)
+def agg_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation — the classic data-quality / fraud drift audit.
+    FLOOR before the integer cast on BOTH engines (DuckDB's double->int
+    cast rounds, Spark's truncates — floor removes the divergence). One
+    9-group partial-agg'd count; the total enters as a broadcast one-row
+    aggregate."""
+    t = load_tables(tune(spark), sf_dir)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    )
+    c = (
+        t.orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = c.agg(F.sum("n")).first()[0]
+    share = F.col("n").cast("double") / F.lit(float(total))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return c.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("obs_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.abs(share - benford), 6).alias("abs_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's two-sample t-test (r8): mean order-value difference between
+# returned ('R') and delivered ('A') lineitems, unequal variances. Same
+# exact-power-sum machinery as agg_stats_battery: BIGINT sums feed ONE
+# identical double expression (t statistic + Welch-Satterthwaite df) on
+# both engines — bit-identical without tolerance.
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH s AS (
+  SELECT
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n1,
+    SUM(CASE WHEN l_returnflag = 'R' THEN q ELSE 0 END)::BIGINT AS s1,
+    SUM(CASE WHEN l_returnflag = 'R' THEN q * q ELSE 0 END)::BIGINT AS ss1,
+    SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::BIGINT AS n2,
+    SUM(CASE WHEN l_returnflag = 'A' THEN q ELSE 0 END)::BIGINT AS s2,
+    SUM(CASE WHEN l_returnflag = 'A' THEN q * q ELSE 0 END)::BIGINT AS ss2
+  FROM (SELECT l_returnflag, CAST(ROUND(l_extendedprice) AS BIGINT) AS q
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')) t
+)
+SELECT n1, n2,
+       CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_r,
+       CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_a,
+       (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       / sqrt(((CAST(ss1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+              + ((CAST(ss2 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE)) AS t_stat,
+       (((CAST(ss1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+        + ((CAST(ss2 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE))
+       * (((CAST(ss1 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+          + ((CAST(ss2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE))
+       / ((((CAST(ss1 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+            / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE))
+          * (((CAST(ss1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE))
+          / CAST(n1 - 1 AS DOUBLE)
+          + (((CAST(ss2 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+              / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE))
+          * (((CAST(ss2 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+              / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE))
+          / CAST(n2 - 1 AS DOUBLE)) AS welch_df
+FROM s
+"""
+
+
+@query("agg_ttest_welch", oracle=_WELCH_ORACLE)
+def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (returned vs delivered
+    order values): t statistic and Welch-Satterthwaite degrees of
+    freedom from six BIGINT power sums in ONE conditional-aggregation
+    pass (no join, map-side combinable, order-independent) — the
+    deterministic distributed form of a test whose naive per-group
+    variance would hash-diverge with partitioning."""
+    t = load_tables(tune(spark), sf_dir)
+    q = F.round(F.col("l_extendedprice")).cast("bigint")
+    is1 = F.col("l_returnflag") == "R"
+    is2 = F.col("l_returnflag") == "A"
+    s = (
+        t.lineitem.filter(F.col("l_returnflag").isin("R", "A"))
+        .select(F.col("l_returnflag"), q.alias("q"))
+        .agg(
+            F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(is1, F.col("q")).otherwise(0)).cast("bigint").alias("s1"),
+            F.sum(F.when(is1, F.col("q") * F.col("q")).otherwise(0))
+            .cast("bigint")
+            .alias("ss1"),
+            F.sum(F.when(is2, 1).otherwise(0)).cast("bigint").alias("n2"),
+            F.sum(F.when(is2, F.col("q")).otherwise(0)).cast("bigint").alias("s2"),
+            F.sum(F.when(is2, F.col("q") * F.col("q")).otherwise(0))
+            .cast("bigint")
+            .alias("ss2"),
+        )
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    ss1 = F.col("ss1").cast("double")
+    ss2 = F.col("ss2").cast("double")
+    v1n = ((ss1 - s1 * s1 / n1) / (F.col("n1") - 1).cast("double")) / n1
+    v2n = ((ss2 - s2 * s2 / n2) / (F.col("n2") - 1).cast("double")) / n2
+    se2 = v1n + v2n
+    return s.select(
+        "n1",
+        "n2",
+        (s1 / n1).alias("mean_r"),
+        (s2 / n2).alias("mean_a"),
+        ((s1 / n1 - s2 / n2) / F.sqrt(se2)).alias("t_stat"),
+        (
+            se2 * se2
+            / (
+                v1n * v1n / (F.col("n1") - 1).cast("double")
+                + v2n * v2n / (F.col("n2") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (r8): the classic customer-value quintile model over
+# the event stream — recency (days since last event, vs corpus max),
+# frequency (event count), monetary (value sum in exact micro-units) —
+# each scored 1..5 by ntile over a DETERMINISTIC total order (metric,
+# then user_id), so the segmentation is engine-exact.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH mx AS (
+  SELECT MAX(epoch(ts)) AS emax FROM events
+), per_user AS (
+  SELECT user_id,
+         MAX(epoch(ts)) AS last_e,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS monetary_micro
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id,
+         CAST(FLOOR((mx.emax - last_e) / 86400.0) AS BIGINT) AS recency_days,
+         frequency, monetary_micro,
+         NTILE(5) OVER (ORDER BY last_e DESC, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_micro DESC, user_id) AS m_score
+  FROM per_user, mx
+)
+SELECT user_id, recency_days, frequency, monetary_micro,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
+@query("evt_rfm_segmentation", oracle=_RFM_ORACLE)
+def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quintile segmentation per user. The
+    monetary metric folds as EXACT integer micro-units (the rounding
+    pattern the etl rebuild established); ntile runs over (metric,
+    user_id) total orders so bucket assignment is deterministic on both
+    engines. The ntile window is a single-partition sort over the
+    per-user relation — the ENTITY table, orders smaller than the event
+    stream; at 100 TB the same scores decompose into the sharded
+    rank/count form data_global_shuffle demonstrates."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(tune(spark), sf_dir)
+    e = F.col("ts").cast("double")
+    emax = t.events.agg(F.max(e)).first()[0]
+    per_user = t.events.groupBy("user_id").agg(
+        F.max(e).alias("last_e"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_micro"),
+    )
+    w_r = Window.orderBy(F.col("last_e").desc(), "user_id")
+    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
+    w_m = Window.orderBy(F.col("monetary_micro").desc(), "user_id")
+    scored = per_user.select(
+        "user_id",
+        F.floor((F.lit(float(emax)) - F.col("last_e")) / 86400.0)
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_micro",
+        F.ntile(5).over(w_r).cast("int").alias("r_score"),
+        F.ntile(5).over(w_f).cast("int").alias("f_score"),
+        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

@@ -55,30 +55,33 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #:     dedup_jaccard_prefix (PPJoin positional filter),
 #:     evt_cep_pattern (re-expressed through the parameterized
 #:     cep_pattern_match machinery), evt_cep_pattern_quantified (NEW:
-#:     signup+ error{2,} view+ quantified spec) — plus the eight NEW r8
+#:     signup+ error{2,} view+ quantified spec) — plus the nine NEW r8
 #:     exact-oracle queries (A-Res weighted sampling, keep-best
 #:     survivorship, forward-fill, temporal split, PMI collocations,
-#:     Benford audit, Welch t-test, RFM segmentation):
+#:     Benford audit, Welch t-test, RFM segmentation, deterministic PCA):
 #:     never-adjudicated new code outranks re-greening unchanged r5
 #:     code (established policy), displacing w4_rank_battery / set_ops
 #:     / sort_limit_topn / text_language_id / m12_stratified_sample /
-#:     f6_f7_date_functions / j_semi_anti_exists / m13_auc_rank to r9
+#:     f6_f7_date_functions / j_semi_anti_exists / m13_auc_rank / w1_topk_per_group to r9
 #:     with the rest of the r5 block;
 #: (2) the 23 r4-green entries at (past) the 3-round staleness ceiling —
 #:     the r7 verdict's top rotation ask; every one leads the window;
 #: (3) headliners (flagship / dashboard), every round;
 #: (4) stale rows-only rotation (2-3 per round): agg_percentiles_approx
 #:     (r3 row), sim_ann_pq (r4), m3_feature_importance (r5);
-#: (5) the 16 oldest r5-green exact entries (the remainder — 17 more
-#:     r5-green entries plus rows-only m8_vocab_embedding_trained — hit
-#:     the 3-round ceiling at r9 and are due FIRST there, before any
-#:     r6/r7-green entry rotates again: agg_rollup, agg_salted_count,
-#:     data_global_shuffle, data_mixture_sample, dedup_incremental,
-#:     dedup_ngram_jaccard, etl_cohort_conditional_agg,
-#:     merge_upsert_emulation, sim_bruteforce_topk, text_chunk_dedup,
-#:     text_corpus_rollup, text_lm_score, text_redact_pii,
+#: (5) the 7 oldest r5-green exact entries that still fit (the
+#:     remainder — 26 more r5-green entries plus rows-only
+#:     m8_vocab_embedding_trained — hit the 3-round ceiling at r9 and
+#:     are due FIRST there, before any r6/r7-green entry rotates again:
+#:     agg_rollup, agg_salted_count, data_global_shuffle,
+#:     data_mixture_sample, dedup_incremental, dedup_ngram_jaccard,
+#:     etl_cohort_conditional_agg, f6_f7_date_functions,
+#:     j_semi_anti_exists, m12_stratified_sample, m13_auc_rank,
+#:     merge_upsert_emulation, set_ops, sim_bruteforce_topk,
+#:     sort_limit_topn, text_chunk_dedup, text_corpus_rollup,
+#:     text_language_id, text_lm_score, text_redact_pii,
 #:     text_repetition, text_tfidf_topk, text_winnow_fingerprint,
-#:     vec_norm_rollup).
+#:     vec_norm_rollup, w1_topk_per_group, w4_rank_battery).
 #: Streaming stays at the TAIL (a wedged stream must only cost
 #: streaming rows): the three whose code changed this round —
 #: stream_stateful_user_stats and stream_cep_pattern (eviction
@@ -165,6 +168,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_benford_firstdigit",     # NEW: Benford first-digit audit
     "agg_ttest_welch",            # NEW: Welch t from exact power sums
     "evt_rfm_segmentation",       # NEW: RFM quintile segmentation
+    "vec_pca_power_top1",         # NEW: deterministic PCA power iteration
     # -- (2) the 23 r4-green entries at/past the staleness ceiling --
     "a3_multi_count_distinct",
     "agg_pricing_summary",
@@ -203,7 +207,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "f10_sed_cleanse",
     "j7_frequency_enrichment",
     "m1_keyed_split",
-    "w1_topk_per_group",
     "w2_running_total",
     # -- streaming LAST within the checked window (all three changed
     #    this round: eviction dual-path / parameterized CEP) --

@@ -651,3 +651,120 @@ def sim_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids=False,
         exact_arithmetic=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic PCA: top principal direction via power iteration (r8) —
+# the same determinism-over-optimality graduation the IVF Lloyd's fit
+# made. Every float operation has a pinned order, so the whole fit
+# unrolls into chained SQL CTEs and the query carries an EXACT oracle:
+#   * bounded training sample = the 512 lowest-id vectors (FAISS-style
+#     sample training; also what keeps the sorted fold under task
+#     memory at any corpus size);
+#   * v0 = all-ones; iterate v <- sum_i (x_i . v) x_i with the dot a
+#     sequential left fold over dimensions and the row sum a sorted
+#     (vec_id-ascending) elementwise fold — no normalization INSIDE the
+#     loop (power iteration is scale-invariant until readout, so the
+#     update has no division/sqrt to diverge);
+#   * readout = v / ||v|| with the correctly-rounded sqrt.
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_TRAIN = 512
+_PCA_ITERS = 3
+
+
+def _pca_power_oracle(
+    dim: int = _PCA_DIM, n_train: int = _PCA_TRAIN, iters: int = _PCA_ITERS
+) -> str:
+    zeros = f"list_transform(range(1, {dim + 1}), x -> 0.0::DOUBLE)"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim + 1}), j -> {a}[CAST(j AS INT)]"
+            f" * {b}[CAST(j AS INT)])), (acc, p) -> acc + p)"
+        )
+
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), train AS (
+  SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {n_train}
+), v0 AS (
+  SELECT list_transform(range(1, {dim + 1}), x -> 1.0::DOUBLE) AS v
+)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f""", it{i} AS (
+  SELECT list_reduce(
+           list_prepend({zeros},
+             list_transform(
+               list_sort(list(struct_pack(k := vec_id, m := scaled))),
+               x -> x.m)),
+           (a, b) -> list_transform(range(1, {dim + 1}),
+                                    j -> a[CAST(j AS INT)] + b[CAST(j AS INT)]))
+           AS v
+  FROM (
+    SELECT t.vec_id,
+           list_transform(t.emb, el -> el * {dot("t.emb", "w.v")}) AS scaled
+    FROM train t, it{p} w
+  ) s
+)""".replace("it0", "v0"))
+    parts.append(f"""
+SELECT CAST(j AS INT) AS dim_idx,
+       f.v[CAST(j AS INT)]
+         / sqrt({dot("f.v", "f.v")}) AS component
+FROM it{iters} f, UNNEST(range(1, {dim + 1})) AS t(j)
+""")
+    return "".join(parts)
+
+
+@query("vec_pca_power_top1", oracle=_pca_power_oracle())
+def vec_pca_power_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by 3 fixed power
+    iterations over the 512 lowest-id training sample — EXACTLY oracled
+    end to end (fit + readout), the det_kmeans_centroids recipe applied
+    to spectral decomposition. Scale shape: iterations touch only the
+    bounded sample (the sorted fold is 512 rows regardless of corpus
+    size); the corpus-wide step a full PCA pipeline adds — projecting
+    every vector onto the component — is an embarrassingly parallel
+    map (vec_norm_rollup's shape), not part of the fit."""
+    t = load_tables(tune(spark), sf_dir)
+    dim, n_train, iters = _PCA_DIM, _PCA_TRAIN, _PCA_ITERS
+    train = (
+        t.embeddings.orderBy("vec_id")
+        .limit(n_train)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    spark_sess = spark
+    v_df = spark_sess.range(1).select(
+        F.expr(f"array_repeat(1.0D, {dim})").alias("v")
+    )
+    sum_expr = F.expr(
+        "aggregate("
+        "transform(array_sort(collect_list(struct(vec_id, scaled))), x -> x.scaled),"
+        f" array_repeat(0.0D, {dim}),"
+        " (a, b) -> zip_with(a, b, (p, q) -> p + q))"
+    )
+    from clinical_bi_spark.functions.vectors import dot_product
+
+    for _ in range(iters):
+        coef = dot_product(F.col("emb"), F.col("v"))
+        scaled_rows = train.crossJoin(F.broadcast(v_df)).select(
+            "vec_id", F.transform(F.col("emb"), lambda el: el * coef).alias("scaled")
+        )
+        v_df = scaled_rows.agg(sum_expr.alias("v"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return v_df.select(
+        F.posexplode(F.transform(F.col("v"), lambda el: el / norm))
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim_idx"),
+        F.col("col").alias("component"),
+    )

@@ -62,7 +62,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #:     never-adjudicated new code outranks re-greening unchanged r5
 #:     code (established policy), displacing w4_rank_battery / set_ops
 #:     / sort_limit_topn / text_language_id / m12_stratified_sample /
-#:     f6_f7_date_functions / j_semi_anti_exists / m13_auc_rank / w1_topk_per_group to r9
+#:     f6_f7_date_functions / j_semi_anti_exists / m13_auc_rank / w1_topk_per_group / m1_keyed_split to r9
 #:     with the rest of the r5 block;
 #: (2) the 23 r4-green entries at (past) the 3-round staleness ceiling —
 #:     the r7 verdict's top rotation ask; every one leads the window;
@@ -85,8 +85,9 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: Streaming stays at the TAIL (a wedged stream must only cost
 #: streaming rows): the three whose code changed this round —
 #: stream_stateful_user_stats and stream_cep_pattern (eviction
-#: dual-path + chunk-order hardening in streaming/stateful.py) and the
-#: NEW stream_cep_pattern_quantified (newest last).
+#: dual-path + chunk-order hardening in streaming/stateful.py), the
+#: NEW stream_cep_pattern_quantified, and the NEW stream_forward_fill
+#: (streaming LOCF; newest last).
 #:
 #: Round-7 rationale (history). Slot budget, in priority order:
 #: (1) queries whose implementation or oracle CHANGED this round —
@@ -206,13 +207,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "f3_pattern_classifier",
     "f10_sed_cleanse",
     "j7_frequency_enrichment",
-    "m1_keyed_split",
     "w2_running_total",
     # -- streaming LAST within the checked window (all three changed
     #    this round: eviction dual-path / parameterized CEP) --
     "stream_stateful_user_stats",
     "stream_cep_pattern",
-    "stream_cep_pattern_quantified",  # newest last
+    "stream_cep_pattern_quantified",
+    "stream_forward_fill",  # NEW r8 streaming LOCF — newest last
 )
 # Deferred to r9, due FIRST there (r5-green entries that reach the
 # 3-round staleness ceiling at r9; the window could not hold all 33

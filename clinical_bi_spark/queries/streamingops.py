@@ -395,3 +395,20 @@ def stream_cep_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame
         pattern=CEP_QUANTIFIED_PATTERN,
         out_names=CEP_QUANTIFIED_NAMES,
     )
+
+
+from clinical_bi_spark.queries.events import _FFILL_ORACLE as _FFILL_STREAM_ORACLE
+
+
+@query("stream_forward_fill", oracle=_FFILL_STREAM_ORACLE)
+def stream_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LOCF twin of evt_forward_fill: one-double-per-user
+    state (the last non-null observation), every event emitted exactly
+    once with its filled value — equals the batch query over the
+    bounded chronological replay however it splits into micro-batches
+    (multi-batch equality pinned in tests/test_streaming.py). Shares
+    the batch oracle; supports the CLINICAL_BI_STATE_EVICTION
+    production path like the other stateful operators."""
+    from clinical_bi_spark.streaming.stateful import stream_forward_fill_rows
+
+    return stream_forward_fill_rows(tune(spark), sf_dir)

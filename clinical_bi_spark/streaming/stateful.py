@@ -411,3 +411,132 @@ def stream_cep_matches(
             6,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming forward-fill (r8): LOCF as a custom stateful operator — the
+# batch twin is queries/events.evt_forward_fill and both share its
+# oracle. State per user is ONE double (the last non-null observation);
+# each micro-batch concat-sorts its chunks (the CEP chunk-order
+# hardening), ffills within the batch, seeds leading gaps from state,
+# and emits every event row exactly once — so the union of emissions
+# over a chronologically-split bounded replay equals the batch LOCF.
+# (True late data would violate LOCF's order premise; the bounded
+# chronological replay is the adjudication contract, as with CEP.)
+# ---------------------------------------------------------------------------
+
+FFILL_STATE_SCHEMA = StructType([StructField("last_value", DoubleType())])
+FFILL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_ns", LongType()),
+        StructField("value_obs", DoubleType()),
+        StructField("value_ff", DoubleType()),
+    ]
+)
+
+
+def _make_ffill_update(evict: bool):
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if evict and state.hasTimedOut:
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        vals = pdf["value_obs"]
+        ff = vals.ffill()
+        if last is not None:
+            ff = ff.fillna(last)  # leading gaps carry the prior batch's tail
+        obs = vals.dropna()
+        new_last = last if obs.empty else float(obs.iloc[-1])
+        state.update((new_last,))
+        if evict:
+            _arm_timeout(
+                state, int(pdf["ts"].astype("int64").max()) // 1_000_000
+            )
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64"),
+                "user_id": user_id,
+                "ts_ns": pdf["ts"].astype("int64"),
+                "value_obs": vals,
+                "value_ff": ff,
+            }
+        )
+
+    return update
+
+
+def stream_forward_fill_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
+    evict: bool | None = None,
+) -> DataFrame:
+    """Streaming LOCF over the bounded events replay: every event emits
+    once with its filled value; the final table equals the batch
+    evt_forward_fill however the (chronological) input splits. The 20%
+    gap mask is the same md5 expression as the batch query, applied
+    BEFORE the stateful operator; display rounding is applied AFTER it
+    with the same Spark ROUND the batch query uses (the float path is
+    identical end to end)."""
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.streaming.windows import (
+        _events_stream,
+        _run_to_completion,
+    )
+
+    evicting = _eviction_enabled(evict)
+    gap = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":gap"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+        == 0
+    )
+    events = _events_stream(spark, sf_dir, max_files_per_trigger).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(~gap, F.col("value")).alias("value_obs"),
+    )
+    if evicting:
+        events = events.withWatermark("ts", EVICTION_WATERMARK)
+    filled = events.groupBy("user_id").applyInPandasWithState(
+        _make_ffill_update(evicting),
+        outputStructType=FFILL_OUTPUT_SCHEMA,
+        stateStructType=FFILL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evicting
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    raw = _run_to_completion(filled, "update", progress_sink)
+    return raw.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts"),
+        F.round("value_obs", 4).alias("value_obs"),
+        F.round("value_ff", 4).alias("value_ff"),
+    )

@@ -815,3 +815,22 @@ def test_multibatch_cep_quantified_equals_batch(spark, split_sf):
     s = {tuple(r) for r in out.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_multibatch_forward_fill_equals_batch(spark, split_sf):
+    """Streaming LOCF across 3 chronological micro-batches must equal
+    the batch evt_forward_fill row-for-row: fills that span batch
+    boundaries carry through the one-double state, and every event is
+    emitted exactly once."""
+    from clinical_bi_spark.queries import load_all
+    from clinical_bi_spark.streaming.stateful import stream_forward_fill_rows
+
+    prog: list = []
+    out = stream_forward_fill_rows(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog
+    )
+    assert _n_batches(prog) >= 3
+    batch = load_all()["evt_forward_fill"].fn(spark, split_sf)
+    s = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(s) == len(b) and s == b and len(s) > 0

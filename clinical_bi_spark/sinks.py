@@ -8,7 +8,7 @@ sinks — idempotent via overwrite mode (S9's DROP-before-CREATE pattern).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StringType
 
@@ -153,3 +153,31 @@ def write_range_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def create_readonly_layer(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    schema_prefix: str = "ctgov_read",
+) -> list[str]:
+    """S13 analogue (reference: docker/aact/docker-entrypoint-initdb.d/
+    init-user-db.sh:281-287 — ``CREATE USER`` + ``GRANT SELECT`` + a
+    per-role search_path): open-source Spark has no principal/GRANT
+    model — ACLs belong to the catalog service (Hive/Ranger, Unity,
+    Polaris), not the engine — so the engine-level equivalent is the
+    standard READ-ONLY VIEW LAYER: one ``<prefix>_<table>`` temp view
+    per base table (the "search_path" analogue is the name prefix).
+    Views are definitionally non-writable in Spark SQL (no INSERT
+    target resolution), which is exactly the property the reference's
+    grant enforces; a production deployment points the read role's
+    catalog at these views and withholds the base locations.
+
+    Returns the created view names. tests/test_sinks_sources.py pins
+    (a) read-equivalence through the layer, (b) writes through a view
+    FAIL, and (c) re-creation idempotence (the run-twice S9 probe)."""
+    names = []
+    for name, df in tables.items():
+        view = f"{schema_prefix}_{name}"
+        df.createOrReplaceTempView(view)
+        names.append(view)
+    return names

@@ -7,6 +7,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clinical_bi_spark.sinks import (
@@ -354,3 +356,26 @@ def test_range_layout_files_have_disjoint_ranges(spark, tmp_path):
         assert hi_a < lo_b, spans
     # lossless
     assert spark.read.parquet(out).count() == src.count()
+
+
+def test_readonly_view_layer_s13(spark):
+    """S13 grants analogue: the read-only view layer must (a) read-match
+    the base tables, (b) reject writes (views are not insertable — the
+    property GRANT SELECT enforces), and (c) recreate idempotently."""
+    from clinical_bi_spark.sinks import create_readonly_layer
+
+    base = spark.range(5).selectExpr("id", "id * 2 AS v")
+    names = create_readonly_layer(spark, {"probe": base}, "ctgov_read")
+    assert names == ["ctgov_read_probe"]
+    got = spark.sql("SELECT * FROM ctgov_read_probe ORDER BY id").collect()
+    assert [tuple(r) for r in got] == [(i, 2 * i) for i in range(5)]
+    # writes through the view must FAIL — the read-only guarantee
+    # (Spark rejects the view as an insert target: UNSUPPORTED_INSERT)
+    with pytest.raises(Exception) as exc:
+        spark.sql("INSERT INTO ctgov_read_probe VALUES (99, 198)")
+    assert "INSERT" in str(exc.value).upper()
+    # ... and the data is untouched
+    assert spark.sql("SELECT COUNT(*) FROM ctgov_read_probe").first()[0] == 5
+    # idempotent re-creation (the S9 run-twice probe applied to views)
+    create_readonly_layer(spark, {"probe": base}, "ctgov_read")
+    assert spark.sql("SELECT COUNT(*) FROM ctgov_read_probe").first()[0] == 5

@@ -998,3 +998,100 @@ def evt_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_ff"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel (r8): the conversion-window variant of
+# evt_funnel_conversion — each step must occur within a WINDOW of the
+# previous step's (earliest-qualifying) timestamp: first view -> first
+# click within 3 days of that view -> first purchase within 7 days of
+# that click. "Earliest qualifying" chains deterministically, so the
+# per-user step timestamps and all counts are exact.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_TB_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c1
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts >= v.v1 AND e.ts <= v.v1 + INTERVAL 3 DAY
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p1
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= c.c1 AND e.ts <= c.c1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_3d,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_7d,
+       ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS view_to_click,
+       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / NULLIF(CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 0), 6)
+         AS click_to_purchase
+"""
+
+
+@query("evt_funnel_time_bounded", oracle=_FUNNEL_TB_ORACLE)
+def evt_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: per-user earliest-qualifying step
+    chain, each step inside its window. Three keyed aggregates over the
+    events table with per-step broadcast joins of the (small) per-user
+    step relation — the facts shuffle once per step on user_id and the
+    chained step tables are entity-sized. The calendar INTERVAL
+    arithmetic is timezone-immune (the last-touch-attribution
+    precedent)."""
+    t = load_tables(tune(spark), sf_dir)
+    e = t.events
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(
+            (F.col("ts") >= F.col("v1"))
+            & (F.col("ts") <= F.col("v1") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("ts") >= F.col("c1"))
+            & (F.col("ts") <= F.col("c1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p1"))
+    )
+    nv = v.agg(F.count("*").cast("bigint").alias("n_view"))
+    nc = c.agg(F.count("*").cast("bigint").alias("n_click_3d"))
+    np_ = p.agg(F.count("*").cast("bigint").alias("n_purchase_7d"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click_3d",
+            "n_purchase_7d",
+            F.round(
+                F.col("n_click_3d").cast("double")
+                / F.col("n_view").cast("double"),
+                6,
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase_7d").cast("double")
+                / F.nullif(F.col("n_click_3d").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("click_to_purchase"),
+        )
+    )

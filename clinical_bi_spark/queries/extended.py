@@ -1158,3 +1158,235 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (r8): robust group mean with tails clipped at the
+# exact interpolated p05/p95. The clipped sum decomposes into
+# order-independent exact parts — SUM of integer cents STRICTLY inside
+# the bounds + n_below*lo + n_above*hi — combined in ONE final double
+# expression, so the result is bit-identical under any partitioning
+# (the same trick that makes the stats battery deterministic where a
+# naive SUM(double) of clipped values would drift).
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+), s AS (
+  SELECT l.l_returnflag,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END)::BIGINT
+           AS n_lo,
+         SUM(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END)::BIGINT
+           AS n_hi,
+         SUM(CASE WHEN l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+                  THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END)::BIGINT AS s_mid_cents,
+         ANY_VALUE(b.lo) AS lo, ANY_VALUE(b.hi) AS hi
+  FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+  GROUP BY l.l_returnflag
+)
+SELECT l_returnflag AS l_returnflag, n AS n, n_lo, n_hi,
+       ROUND(lo, 4) AS p05, ROUND(hi, 4) AS p95,
+       ROUND((CAST(s_mid_cents AS DOUBLE) / 100.0
+              + CAST(n_lo AS DOUBLE) * lo
+              + CAST(n_hi AS DOUBLE) * hi) / CAST(n AS DOUBLE), 4)
+         AS winsorized_mean
+FROM s
+"""
+
+
+@query("agg_winsorized_mean", oracle=_WINSOR_ORACLE)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized group mean: exact interpolated bounds (the proven
+    percentile/quantile_cont parity), then the order-independent clipped
+    -sum decomposition above. Two passes: a tiny per-group bounds
+    aggregate broadcast back onto the facts, then one partial-agg'd
+    scan."""
+    t = load_tables(tune(spark), sf_dir)
+    b = t.lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.05D, 0.95D))").alias("p")
+    ).select(
+        "l_returnflag", F.col("p")[0].alias("lo"), F.col("p")[1].alias("hi")
+    )
+    x = F.col("l_extendedprice")
+    cents = F.round(x * 100).cast("bigint")
+    s = (
+        t.lineitem.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(x < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lo"),
+            F.sum(F.when(x > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hi"),
+            F.sum(
+                F.when((x >= F.col("lo")) & (x <= F.col("hi")), cents).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("s_mid_cents"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        "n_lo",
+        "n_hi",
+        F.round("lo", 4).alias("p05"),
+        F.round("hi", 4).alias("p95"),
+        F.round(
+            (
+                F.col("s_mid_cents").cast("double") / 100.0
+                + F.col("n_lo").cast("double") * F.col("lo")
+                + F.col("n_hi").cast("double") * F.col("hi")
+            )
+            / F.col("n").cast("double"),
+            4,
+        ).alias("winsorized_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (r8): the published DISTRIBUTED
+# bootstrap (per-row Poisson(1) replication weights instead of global
+# n-of-n resampling — Chamandy et al.) made fully deterministic: the
+# weight comes from an md5-u32 coin through the Poisson(1) inverse CDF
+# (constant thresholds, identical literals on both engines). Each
+# bootstrap replicate's mean is integer-cents / integer-count — exact —
+# and the CI is an interpolated percentile over the B replicate means
+# (the proven quantile_cont parity).
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 200
+
+
+def _pois_thresholds() -> list[int]:
+    """Poisson(1) CDF thresholds scaled to u32 (floor(cdf * 2^32)): a
+    coin below threshold[k] draws weight <= k — identical integer
+    literals inlined into both engines' CASE chains."""
+    import math
+
+    cdf, acc = [], 0.0
+    p = math.exp(-1.0)
+    term = p
+    for k in range(7):
+        acc += term
+        cdf.append(int(acc * 4294967296))
+        term = term / (k + 1)
+    return cdf
+
+
+def _boot_weight_sql(u: str) -> str:
+    th = _pois_thresholds()
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(th)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+_BOOT_ORACLE = f"""
+WITH w AS (
+  SELECT b.b AS b,
+         {_boot_weight_sql(
+             "CAST('0x' || substr(md5(o_orderkey::VARCHAR || ':' "
+             "|| b.b::VARCHAR), 1, 8) AS UBIGINT)"
+         )} AS wt,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders, (SELECT UNNEST(range(0, {_BOOT_B})) AS b) b
+), m AS (
+  SELECT b,
+         CAST(SUM(wt * cents) AS DOUBLE)
+           / (100.0 * CAST(SUM(wt) AS DOUBLE)) AS mean_b
+  FROM w GROUP BY b HAVING SUM(wt) > 0
+), pt AS (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * COUNT(*)) AS mean_hat,
+         COUNT(*) AS n
+  FROM orders
+)
+SELECT ROUND(pt.mean_hat, 4) AS mean_hat,
+       CAST(pt.n AS BIGINT) AS n,
+       CAST({_BOOT_B} AS INT) AS n_boot,
+       ROUND(quantile_cont(m.mean_b, 0.025), 4) AS ci_lo,
+       ROUND(quantile_cont(m.mean_b, 0.975), 4) AS ci_hi
+FROM m, pt
+GROUP BY pt.mean_hat, pt.n
+"""
+
+
+@query("agg_bootstrap_ci_mean", oracle=_BOOT_ORACLE)
+def agg_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean order value via the deterministic
+    Poisson bootstrap: each (row, replicate) draws a Poisson(1) weight
+    from md5(o_orderkey || ':' || b) through constant inverse-CDF
+    thresholds, so all B = 200 replicates compute in ONE pass (explode +
+    partial-agg'd integer sums — the published scale form; no global
+    resampling shuffle) and the whole statistic is reproducible across
+    engines. Replicate means are exact integer ratios; the CI is the
+    interpolated percentile over 200 of them."""
+    t = load_tables(tune(spark), sf_dir)
+    th = _pois_thresholds()
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wt = F.lit(7)
+    for k in range(len(th) - 1, -1, -1):
+        wt = F.when(u < th[k], k).otherwise(wt)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = t.orders.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "o_orderkey",
+        cents.alias("cents"),
+    ).select("b", wt.alias("wt"), "cents")
+    m = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("swc"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            (
+                F.col("swc").cast("double")
+                / (F.lit(100.0) * F.col("sw").cast("double"))
+            ).alias("mean_b")
+        )
+    )
+    pt = t.orders.agg(
+        (
+            F.sum(cents).cast("double") / (F.lit(100.0) * F.count("*"))
+        ).alias("mean_hat"),
+        F.count("*").alias("n"),
+    )
+    ci = m.agg(
+        F.expr("percentile(mean_b, array(0.025D, 0.975D))").alias("ci")
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        F.round("mean_hat", 4).alias("mean_hat"),
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(_BOOT_B).cast("int").alias("n_boot"),
+        F.round(F.col("ci")[0], 4).alias("ci_lo"),
+        F.round(F.col("ci")[1], 4).alias("ci_hi"),
+    )

@@ -136,6 +136,9 @@ def main() -> None:
         row["cepq_sec"], row["cepq_matches"] = _time(
             events_mod, events_mod.evt_cep_pattern_quantified, spark, t_ev
         )
+        row["funnel_tb_sec"], _ = _time(
+            events_mod, events_mod.evt_funnel_time_bounded, spark, t_ev
+        )
         ev.unpersist()
 
         orders = _replicated(ord_base, mult, {}).repartition(par).persist()
@@ -145,6 +148,12 @@ def main() -> None:
             extended, extended.agg_benford_firstdigit, spark,
             SimpleNamespace(orders=orders),
         )
+        # Poisson bootstrap: 200 replicate weights per row, one
+        # partial-agg'd pass — the explode volume is orders x 200
+        row["bootstrap_sec"], _ = _time(
+            extended, extended.agg_bootstrap_ci_mean, spark,
+            SimpleNamespace(orders=orders),
+        )
         orders.unpersist()
 
         li = _replicated(li_base, mult, {}).repartition(par).persist()
@@ -152,6 +161,10 @@ def main() -> None:
         row["li"] = n_li * mult
         row["welch_sec"], _ = _time(
             extended, extended.agg_ttest_welch, spark,
+            SimpleNamespace(lineitem=li),
+        )
+        row["winsor_sec"], _ = _time(
+            extended, extended.agg_winsorized_mean, spark,
             SimpleNamespace(lineitem=li),
         )
         li.unpersist()

@@ -55,25 +55,26 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #:     dedup_jaccard_prefix (PPJoin positional filter),
 #:     evt_cep_pattern (re-expressed through the parameterized
 #:     cep_pattern_match machinery), evt_cep_pattern_quantified (NEW:
-#:     signup+ error{2,} view+ quantified spec) — plus the twelve NEW r8
+#:     signup+ error{2,} view+ quantified spec) — plus the thirteen NEW r8
 #:     exact-oracle queries (A-Res weighted sampling, keep-best
 #:     survivorship, forward-fill, temporal split, PMI collocations,
 #:     Benford audit, Welch t-test, RFM segmentation, deterministic PCA,
-#:     winsorized mean, Poisson-bootstrap CI, time-bounded funnel):
+#:     winsorized mean, Poisson-bootstrap CI, time-bounded funnel,
+#:     directed containment join):
 #:     never-adjudicated new code outranks re-greening unchanged r5
 #:     code (established policy), displacing w4_rank_battery / set_ops
 #:     / sort_limit_topn / text_language_id / m12_stratified_sample /
 #:     f6_f7_date_functions / j_semi_anti_exists / m13_auc_rank / w1_topk_per_group / m1_keyed_split /
 #:     m2_encoder_chain / f3_pattern_classifier /
-#:     j7_frequency_enrichment to r9
+#:     j7_frequency_enrichment / f10_sed_cleanse to r9
 #:     with the rest of the r5 block;
 #: (2) the 23 r4-green entries at (past) the 3-round staleness ceiling —
 #:     the r7 verdict's top rotation ask; every one leads the window;
 #: (3) headliners (flagship / dashboard), every round;
 #: (4) stale rows-only rotation (2-3 per round): agg_percentiles_approx
 #:     (r3 row), sim_ann_pq (r4), m3_feature_importance (r5);
-#: (5) the 3 oldest r5-green exact entries that still fit (the
-#:     remainder — 30 more r5-green entries plus rows-only
+#: (5) the 2 oldest r5-green exact entries that still fit (the
+#:     remainder — 31 more r5-green entries plus rows-only
 #:     m8_vocab_embedding_trained — hit the 3-round ceiling at r9 and
 #:     are due FIRST there, before any r6/r7-green entry rotates again:
 #:     agg_rollup, agg_salted_count, data_global_shuffle,
@@ -176,6 +177,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_winsorized_mean",        # NEW: exact-decomposition robust mean
     "agg_bootstrap_ci_mean",      # NEW: deterministic Poisson bootstrap
     "evt_funnel_time_bounded",    # NEW: conversion-window funnel
+    "dedup_containment_prefix",   # NEW: directed containment join
     # -- (2) the 23 r4-green entries at/past the staleness ceiling --
     "a3_multi_count_distinct",
     "agg_pricing_summary",
@@ -209,7 +211,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "m3_feature_importance",
     # -- (5) oldest r5-green exact entries (16 of 33; remainder due r9) --
     "j2_selfjoin_fanout",
-    "f10_sed_cleanse",
     "w2_running_total",
     # -- streaming LAST within the checked window (all three changed
     #    this round: eviction dual-path / parameterized CEP) --

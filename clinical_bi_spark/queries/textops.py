@@ -2186,3 +2186,107 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric set-overlap) join (r8): C(A, B) = |A∩B| / |A|
+# >= 0.9 — the partial-copy/quotation detector the SYMMETRIC Jaccard
+# join cannot express (a short document fully quoted inside a long one
+# has high containment but low Jaccard). Prefix filtering adapts: if
+# C(A,B) >= t then A's (|A| - ceil(t|A|) + 1)-prefix (df-ascending
+# order) must intersect B SOMEWHERE — so A-side prefixes join against
+# ALL tokens of B. The join keys are still only A-prefix tokens (each
+# document's rarest), so the anti-skew property survives even though
+# the B side is unfiltered.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.9  # = 9/10: C >= t  <=>  10*n_inter >= 9*|A|, integer-exact
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_LTOKENS.format(col='text')} AS words FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id, UNNEST(words) AS w FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a AS doc_a, doc_b AS doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.sz AS BIGINT) AS sz_a,
+       ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6)
+         AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE 10 * n_inter >= 9 * sa.sz
+"""
+
+
+@query("dedup_containment_prefix", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment >= 0.9 self-join via prefix filtering: A's
+    rarest-token prefix joins against the full inverted token list, the
+    exact array_intersect verifies. The oracle enumerates every
+    token-sharing DIRECTED pair — a strict superset of the prefix
+    candidates — so a green row proves the containment prefix filter
+    lossless (the dedup-family contract). 100 TB shape: candidates via
+    hash equi-join on rare tokens only; the B-side posting list is the
+    full token relation but each candidate's key is an A-prefix token,
+    keeping hot tokens out of join keys."""
+    t = load_tables(tune(spark), sf_dir)
+    tau = _CONTAIN_T
+    toks = t.documents.select(
+        "doc_id",
+        F.array_distinct(word_tokens(F.lower(F.col("text")))).alias("words"),
+    ).filter(F.size("words") >= 1)
+    toks = persist_tracked(toks)
+    tok = toks.select("doc_id", F.explode("words").alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(df, w))), x -> x.w)"
+            ).alias("ow")
+        )
+        .select(
+            "doc_id",
+            F.size("ow").alias("sz"),
+            F.expr(
+                f"slice(ow, 1, size(ow) - CAST(ceil({tau} * size(ow)) AS INT)"
+                " + 1)"
+            ).alias("prefix"),
+        )
+    )
+    a = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sa"),
+        F.explode("prefix").alias("w"),
+    )
+    b = tok.select(F.col("doc_id").alias("doc_b"), "w")
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wsa"))
+    wb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wsb"))
+    inter = F.size(F.array_intersect(F.col("wsa"), F.col("wsb")))
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_inter"),
+            F.size("wsa").cast("bigint").alias("sz_a"),
+            F.round(
+                inter.cast("double") / F.size("wsa").cast("double"), 6
+            ).alias("containment"),
+        )
+        .filter(F.lit(10) * F.col("n_inter") >= F.lit(9) * F.col("sz_a"))
+    )

@@ -2290,3 +2290,76 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.lit(10) * F.col("n_inter") >= F.lit(9) * F.col("sz_a"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy text quality (r8): Shannon entropy of the per-doc
+# character distribution — the gibberish screen (near-zero bits =
+# repeated-character spam, ~4.2 bits = normal English, >5 bits = random
+# bytes/encoded blobs). Exact across engines: both compute
+# H = (ln n - (1/n) * SUM_c cnt_c * ln cnt_c) / ln 2 with the per-doc
+# fold over the SORTED distinct character list (same float order), and
+# cnt_c is an exact integer. Cost is O(len * distinct_chars) per doc —
+# a deliberate all-expression form (zero shuffle, zero Python); a
+# 100 TB deployment caps it by sampling a fixed prefix per doc, the
+# same budget device text_stats documents.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ''), x -> x <> '') AS chars
+  FROM documents
+), d AS (
+  SELECT doc_id, chars, len(chars) AS n,
+         list_sort(list_distinct(chars)) AS uniq
+  FROM c WHERE len(chars) > 0
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars,
+       CAST(len(uniq) AS BIGINT) AS n_distinct,
+       ROUND(
+         (ln(CAST(n AS DOUBLE))
+          - list_reduce(
+              list_prepend(0.0::DOUBLE,
+                list_transform(uniq, ch ->
+                  CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                  * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)))),
+              (a, b) -> a + b) / CAST(n AS DOUBLE))
+         / ln(2.0), 6) AS entropy_bits
+FROM d
+"""
+
+
+@query("text_char_entropy", oracle=_ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy in bits —
+    pure-Catalyst higher-order functions over the char array, sorted
+    distinct fold so the float path matches DuckDB bit-for-bit (modulo
+    display rounding)."""
+    t = load_tables(tune(spark), sf_dir)
+    chars = F.filter(
+        F.split(F.lower(F.col("text")), ""), lambda x: x != F.lit("")
+    )
+    d = t.documents.select(
+        "doc_id",
+        chars.alias("chars"),
+    ).withColumn("n", F.size("chars")).filter(F.col("n") > 0).withColumn(
+        "uniq", F.array_sort(F.array_distinct("chars"))
+    )
+    term = F.expr(
+        "aggregate("
+        "  transform(uniq, ch -> CAST(size(filter(chars, x -> x = ch)) AS DOUBLE)"
+        "            * ln(CAST(size(filter(chars, x -> x = ch)) AS DOUBLE))),"
+        "  0.0D, (a, b) -> a + b)"
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.size("uniq").cast("bigint").alias("n_distinct"),
+        F.round(
+            (F.log(F.col("n").cast("double")) - term / F.col("n").cast("double"))
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("entropy_bits"),
+    )

@@ -110,6 +110,9 @@ def main() -> None:
         row["pmi_sec"], _ = _time(
             textops, textops.text_bigram_pmi_topk, spark, t_docs
         )
+        row["entropy_sec"], _ = _time(
+            textops, textops.text_char_entropy, spark, t_docs
+        )
         docs.unpersist()
 
         from clinical_bi_spark.sources import normalize_events

@@ -221,7 +221,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 )
 # LATE-r8 additions with no window slot (the window was already
 # committed when they landed; they carry session oracle checks and are
-# due FIRST in r9 alongside the r5 block): text_char_entropy.
+# due FIRST in r9 alongside the r5 block): text_char_entropy,
+# evt_changepoint_cusum.
 # Deferred to r9, due FIRST there (r5-green entries that reach the
 # 3-round staleness ceiling at r9; the window could not hold all 33
 # alongside the 23 r4-stale rows this round): agg_rollup,

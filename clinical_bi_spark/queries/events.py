@@ -1095,3 +1095,82 @@ def evt_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (r8): per user, the cumulative sum of
+# deviations from the global mean S_t = sum_{k<=t}(x_k - mu) peaks where
+# the user's level shifts — argmax |S_t| is the classic single-
+# changepoint estimate (Page's CUSUM, public literature). mu folds as
+# exact integer micro-units; the running deviation sum is the same
+# sequential frame both engines compute (the w2_running_total parity),
+# and the argmax orders by ROUND(|S|, 4) with (ts, event_id) tie-break
+# so the selected row is engine-deterministic.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH mu AS (
+  SELECT CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+           / (1000000.0 * COUNT(*)) AS m
+  FROM events
+), s AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         SUM(e.value - mu.m) OVER (
+           PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+         COUNT(*) OVER (PARTITION BY e.user_id) AS n_events
+  FROM events e, mu
+), r AS (
+  SELECT user_id, ts, cusum, n_events,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY ROUND(ABS(cusum), 4) DESC, ts, event_id) AS rn
+  FROM s
+)
+SELECT user_id,
+       ts AS changepoint_ts,
+       ROUND(cusum, 4) AS cusum_peak,
+       CAST(n_events AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""
+
+
+@query("evt_changepoint_cusum", oracle=_CUSUM_ORACLE)
+def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint: one user_id exchange, two
+    partition-local windows (running deviation sum + rounded-|S| argmax)
+    — the level-shift detector for metric streams. The global mean
+    enters as a literal from one exact integer-micro-unit aggregate
+    (the LPA literal-inlining pattern; exact while the micro-unit sum
+    stays under 2^53 — at larger scale the mean itself would fold as a
+    broadcast one-row relation instead)."""
+    t = load_tables(tune(spark), sf_dir)
+    micro = F.round(F.col("value") * 1000000).cast("bigint")
+    sm, n = t.events.agg(F.sum(micro), F.count("*")).first()
+    mu = sm / (1000000.0 * n)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("user_id")
+    s = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value") - F.lit(mu)).over(w_run).alias("cusum"),
+        F.count("*").over(w_n).alias("n_events"),
+    )
+    w_r = Window.partitionBy("user_id").orderBy(
+        F.round(F.abs("cusum"), 4).desc(), "ts", "event_id"
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w_r))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("changepoint_ts"),
+            F.round("cusum", 4).alias("cusum_peak"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )

@@ -50,7 +50,64 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: The driver records correctness rows for registry[:50] only, so ordering
 #: decides which queries get a driver verdict each round.
 #:
-#: ROUND-8 WINDOW. Slot budget, in priority order:
+#: STALENESS INVARIANT (stated r9, enforced by
+#: tests/test_rotation_invariant.py). The registry holds 174+ queries and
+#: the driver window holds 50 slots, so the pure-rotation cycle is
+#: ceil(174/50) = 4 rounds (3.48 average); after reserving ~10-15 slots
+#: per round for changed/new code, headliners, and the rows-only rotation,
+#: the effective cycle is ~4-4.5 rounds. The old soft "no verdict older
+#: than 3 rounds" ceiling is therefore arithmetically unsatisfiable; the
+#: enforced invariant is:
+#:   * max staleness <= 4 rounds — every query outside the current window
+#:     must have a driver verdict within the last 4 rounds (the pytest
+#:     checks current_round - last_verdict_round <= 4 for non-window
+#:     entries, current_round = latest CORRECTNESS_r* + 1);
+#:   * oldest-first — rotation slots go to the oldest-verdict block before
+#:     anything younger re-rotates;
+#:   * never-adjudicated queries lead the window; a new query must land
+#:     BEFORE the round's window is committed or sit out the round in
+#:     _DEFERRED_NEW and lead the next round's window.
+#: Consequence the arithmetic forces: a round that burns >15 slots on new
+#: code pushes the rotation cycle past 4 and breaks the invariant one or
+#: two rounds later — registry growth must stay small (<=2-3 new queries
+#: per round) now that the surface is complete.
+#:
+#: ROUND-9 WINDOW. Slot budget, in priority order:
+#: (1) the 2 late-r8 landings that have NEVER been driver-adjudicated
+#:     (the r8 verdict's What's-wrong #2): evt_changepoint_cusum,
+#:     text_char_entropy — they lead;
+#: (2) queries whose implementation CHANGES this round (planned at window
+#:     commit, per the changed-code-gets-a-current-row policy):
+#:     text_bigram_pmi_topk (ADVICE: zero-token-doc slice crash fix),
+#:     evt_rfm_segmentation (graduating off the SinglePartition ntile to
+#:     the sharded prefix-sum rank production path — the r8 `weak`),
+#:     agg_equidepth_histogram (same sharded-rank retrofit; r7-green),
+#:     dedup_jaccard_prefix (PPJoin+ suffix-filter lever);
+#:     m13_auc_rank gets the same retrofit and already sits in block (3);
+#: (3) the 31 r5-green exact entries at the staleness ceiling (the full
+#:     deferred-from-r8 block — nothing held back this time);
+#: (4) m8_vocab_embedding_trained (r5 rows-only; planned graduation to an
+#:     exact oracle on the broadcast-lookup join this round);
+#: (5) headliners (flagship / dashboard), every round;
+#: (6) stale rows-only rotation (2-3 per round): m9_mlp_train_eval (r7),
+#:     a3_approx_count_distinct (r7);
+#: (7) remaining slots to the oldest r6-green entries, alphabetical
+#:     (oldest-first fill): a3_hll_merge, a3_hll_portable,
+#:     agg_grouping_sets, agg_histogram_quantiles. PRE-DECLARED SWAP: if
+#:     the planned dedup_containment_superset (directed C(B,A) superset
+#:     detection, r8 verdict Next-round #8) lands this round it takes the
+#:     agg_histogram_quantiles slot and that entry returns to the r10
+#:     block — declared here at window commit, so the swap is not a late
+#:     landing.
+#: Streaming stays at the TAIL (a wedged stream must only cost streaming
+#: rows): all four r8-green streaming entries re-enter because
+#: streaming/stateful.py changes this round (ADVICE: eviction timeout must
+#: re-arm from max-seen event ts, not batch-max).
+#: After this window, the only non-window entries are r6/r7/r8-green —
+#: staleness <= 3 at commit time, <= 4 when the r10 window is due, which
+#: the invariant test pins.
+#:
+#: Round-8 rationale (history). Slot budget, in priority order:
 #: (1) queries whose implementation CHANGED this round —
 #:     dedup_jaccard_prefix (PPJoin positional filter),
 #:     evt_cep_pattern (re-expressed through the parameterized
@@ -161,79 +218,83 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (1) implementation changed / NEW this round (r8) --
-    "dedup_jaccard_prefix",       # PPJoin positional filter
-    "evt_cep_pattern",            # parameterized machinery refactor
-    "evt_cep_pattern_quantified", # NEW: signup+ error{2,} view+
-    "data_weighted_sample",       # NEW: A-Res weighted sample w/o repl.
-    "dedup_keep_best",            # NEW: survivorship map, word-set clusters
-    "evt_forward_fill",           # NEW: LOCF gap repair
-    "m19_temporal_split",         # NEW: temporal split + leakage audit
-    "text_bigram_pmi_topk",       # NEW: PMI collocation mining
-    "agg_benford_firstdigit",     # NEW: Benford first-digit audit
-    "agg_ttest_welch",            # NEW: Welch t from exact power sums
-    "evt_rfm_segmentation",       # NEW: RFM quintile segmentation
-    "vec_pca_power_top1",         # NEW: deterministic PCA power iteration
-    "agg_winsorized_mean",        # NEW: exact-decomposition robust mean
-    "agg_bootstrap_ci_mean",      # NEW: deterministic Poisson bootstrap
-    "evt_funnel_time_bounded",    # NEW: conversion-window funnel
-    "dedup_containment_prefix",   # NEW: directed containment join
-    # -- (2) the 23 r4-green entries at/past the staleness ceiling --
-    "a3_multi_count_distinct",
-    "agg_pricing_summary",
-    "asof_join_events",
-    "data_quality_select",
-    "data_snapshot_diff",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "evt_dedup_window",
-    "evt_funnel_conversion",
-    "evt_group_zscore",
-    "evt_group_zscore_window",
-    "evt_json_extract",
-    "evt_retention_cohorts",
-    "evt_sessionization",
-    "evt_sliding_window",
-    "evt_tumbling_window",
-    "f_scalar_battery",
-    "m8_vocab_embedding",
-    "multimodal_features",
-    "multimodal_resize_bmp",
-    "p_filter_conjunction",
-    "text_quality_score",
-    "text_stats",
-    # -- (3) headliners, every round --
+    # -- (1) never-adjudicated late-r8 landings: they LEAD (r8 verdict) --
+    "evt_changepoint_cusum",
+    "text_char_entropy",
+    # -- (2) implementation changes planned this round (r9) --
+    "text_bigram_pmi_topk",       # zero-token-doc slice crash fix (ADVICE)
+    "evt_rfm_segmentation",       # sharded prefix-sum rank graduation
+    "agg_equidepth_histogram",    # sharded-rank retrofit
+    "dedup_jaccard_prefix",       # PPJoin+ suffix filter
+    # -- (3) the 31 r5-green exact entries at the staleness ceiling --
+    "agg_rollup",
+    "agg_salted_count",
+    "data_global_shuffle",
+    "data_mixture_sample",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "etl_cohort_conditional_agg",
+    "f10_sed_cleanse",
+    "f3_pattern_classifier",
+    "f6_f7_date_functions",
+    "j7_frequency_enrichment",
+    "j_semi_anti_exists",
+    "m12_stratified_sample",
+    "m13_auc_rank",               # also gets the sharded-rank retrofit
+    "m1_keyed_split",
+    "m2_encoder_chain",
+    "merge_upsert_emulation",
+    "set_ops",
+    "sim_bruteforce_topk",
+    "sort_limit_topn",
+    "text_chunk_dedup",
+    "text_corpus_rollup",
+    "text_language_id",
+    "text_lm_score",
+    "text_redact_pii",
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_winnow_fingerprint",
+    "vec_norm_rollup",
+    "w1_topk_per_group",
+    "w4_rank_battery",
+    # -- (4) r5 rows-only, planned exact-oracle graduation this round --
+    "m8_vocab_embedding_trained",
+    # -- (5) headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- (4) stale rows-only rotation --
-    "agg_percentiles_approx",
-    "sim_ann_pq",
-    "m3_feature_importance",
-    # -- (5) oldest r5-green exact entries (16 of 33; remainder due r9) --
-    "j2_selfjoin_fanout",
-    "w2_running_total",
-    # -- streaming LAST within the checked window (all three changed
-    #    this round: eviction dual-path / parameterized CEP) --
+    # -- (6) stale rows-only rotation (r7 rows) --
+    "m9_mlp_train_eval",
+    "a3_approx_count_distinct",
+    # -- (7) oldest-first fill: oldest r6-green entries, alphabetical.
+    #    agg_histogram_quantiles is the pre-declared swap slot for
+    #    dedup_containment_superset (see the window comment) --
+    "a3_hll_merge",
+    "a3_hll_portable",
+    "agg_grouping_sets",
+    "agg_histogram_quantiles",
+    # -- streaming LAST within the checked window (all four re-enter:
+    #    streaming/stateful.py changes this round — eviction timeout
+    #    basis fix from ADVICE) --
     "stream_stateful_user_stats",
     "stream_cep_pattern",
     "stream_cep_pattern_quantified",
-    "stream_forward_fill",  # NEW r8 streaming LOCF — newest last
+    "stream_forward_fill",
 )
-# LATE-r8 additions with no window slot (the window was already
-# committed when they landed; they carry session oracle checks and are
-# due FIRST in r9 alongside the r5 block): text_char_entropy,
-# evt_changepoint_cusum.
-# Deferred to r9, due FIRST there (r5-green entries that reach the
-# 3-round staleness ceiling at r9; the window could not hold all 33
-# alongside the 23 r4-stale rows this round): agg_rollup,
-# agg_salted_count, data_global_shuffle, data_mixture_sample,
-# dedup_incremental, dedup_ngram_jaccard, etl_cohort_conditional_agg,
-# merge_upsert_emulation, sim_bruteforce_topk, text_chunk_dedup,
-# text_corpus_rollup, text_lm_score, text_redact_pii, text_repetition,
-# text_tfidf_topk, text_winnow_fingerprint, vec_norm_rollup — plus the
-# r5 rows-only m8_vocab_embedding_trained (2-3-per-round rows-only
-# policy) and the r7 rows-only m9_mlp_train_eval /
-# a3_approx_count_distinct as slots allow.
+#: New queries that landed AFTER the current round's window was committed:
+#: they sit out this round (documented, not silently unadjudicated) and
+#: MUST lead the next round's window. tests/test_rotation_invariant.py
+#: fails if a never-adjudicated registry query is neither in the window
+#: nor listed here.
+_DEFERRED_NEW: tuple[str, ...] = ()
+# Due FIRST in r10 (oldest-first): the 45 r6-green entries (staleness 4
+# at the r10 window commit) — a3_hll_merge / a3_hll_portable /
+# agg_grouping_sets / agg_histogram_quantiles already rotate here in r9's
+# fill slots, leaving 41 for r10, which together with headliners and a
+# small changed-code block fills the r10 window almost exactly: r10 must
+# keep new code to <=2-3 queries or the invariant breaks at r11 (see the
+# staleness-arithmetic comment above). Rows-only rotation due r10:
+# agg_percentiles_approx (r8), sim_ann_pq (r8), m3_feature_importance (r8).
 
 
 def load_all() -> dict[str, QuerySpec]:

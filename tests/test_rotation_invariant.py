@@ -1,0 +1,105 @@
+"""Pin the adjudication-window staleness invariant (r8 verdict, Next #2).
+
+The registry (174+ queries) rotates through the driver's 50-row
+correctness window. The enforced invariant, stated in
+``clinical_bi_spark/queries/__init__.py``:
+
+* **max staleness <= 4 rounds** — every registry query outside the
+  current window must have a driver verdict within the last 4 rounds;
+* **never-adjudicated queries** must be in the window or explicitly
+  parked in ``_DEFERRED_NEW`` (due to lead the next round);
+* the window itself must be exactly the driver's capacity (50) — a
+  shorter priority list silently slides unintended entries in, a longer
+  one silently drops the tail.
+
+These tests read the CORRECTNESS_r*.json history at the repo root, so
+they also fail loudly at the START of a new round if the previous
+builder forgot to rotate: current_round advances when the driver writes
+its round file, pushing the oldest non-window block past the ceiling
+until the window is rewritten — which is exactly the forcing function
+the invariant needs.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+from clinical_bi_spark.queries import _DEFERRED_NEW, _DRIVER_WINDOW_PRIORITY, load_all
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW_SLOTS = 50
+MAX_STALENESS_ROUNDS = 4
+
+
+def _verdict_history() -> tuple[int, dict[str, int]]:
+    """Return (current_round, {query: latest round with a driver row})."""
+    last: dict[str, int] = {}
+    max_round = 0
+    for path in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return max_round + 1, last
+
+
+def test_window_is_exactly_driver_capacity():
+    assert len(_DRIVER_WINDOW_PRIORITY) == WINDOW_SLOTS
+    assert len(set(_DRIVER_WINDOW_PRIORITY)) == WINDOW_SLOTS, "duplicate slot"
+
+
+def test_window_names_resolve_and_lead_registry_order():
+    reg = load_all()
+    order = list(reg)
+    assert order[:WINDOW_SLOTS] == list(_DRIVER_WINDOW_PRIORITY)
+
+
+def test_no_query_exceeds_staleness_ceiling():
+    current_round, last = _verdict_history()
+    reg = load_all()
+    window = set(list(reg)[:WINDOW_SLOTS])
+    over = {
+        name: current_round - last[name]
+        for name in reg
+        if name not in window
+        and name in last
+        and current_round - last[name] > MAX_STALENESS_ROUNDS
+    }
+    assert not over, (
+        f"queries past the {MAX_STALENESS_ROUNDS}-round staleness ceiling and "
+        f"not in the current window (rotate them first): {over}"
+    )
+
+
+def test_never_adjudicated_queries_are_windowed_or_deferred():
+    current_round, last = _verdict_history()
+    reg = load_all()
+    window = set(list(reg)[:WINDOW_SLOTS])
+    orphans = [
+        name
+        for name in reg
+        if name not in last and name not in window and name not in _DEFERRED_NEW
+    ]
+    assert not orphans, (
+        "never-adjudicated queries must be in the window or parked in "
+        f"_DEFERRED_NEW: {orphans}"
+    )
+
+
+def test_deferred_new_entries_are_real_and_truly_new():
+    _, last = _verdict_history()
+    reg = load_all()
+    for name in _DEFERRED_NEW:
+        assert name in reg, f"_DEFERRED_NEW names unknown query {name}"
+        assert name not in last, (
+            f"{name} already has a driver verdict; it does not belong in "
+            "_DEFERRED_NEW"
+        )

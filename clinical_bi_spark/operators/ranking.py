@@ -1,0 +1,167 @@
+"""Sharded global ranking: ROW_NUMBER / NTILE over a total order without
+a SinglePartition sort.
+
+``Window.orderBy(...)`` with no ``partitionBy`` (or a low-cardinality
+``partitionBy`` — 3 return-flags over 100 TB is the same problem) funnels
+the whole relation through one task. Rank is a prefix sum of row counts,
+and prefix sums decompose because addition is associative — the same
+argument :mod:`clinical_bi_spark.operators.packing` makes for sequence
+packing:
+
+1. range-partition by the full sort key (group cols + order cols) so
+   partitions hold disjoint, ordered key ranges;
+2. local row numbers per partition (narrow ``mapInPandas`` cumcount —
+   rows arrive pre-sorted by ``sortWithinPartitions``);
+3. per-(partition, group) row COUNTS to the driver — one long per cell,
+   bounded by n_partitions x n_groups (callers with a high-cardinality
+   group key should use the ordinary partitioned window instead: Spark
+   already distributes that well);
+4. broadcast the exclusive prefix offsets back; global rank = offset +
+   local row number.
+
+The data crosses the wire once (the range exchange). Range-partition
+boundaries come from sampling and may vary run to run, but the emitted
+ranks are partition-independent because the sort key is a TOTAL order —
+every caller must include a tie-break column.
+
+:func:`ntile_from_rank` then maps ranks to SQL ``NTILE(k)`` buckets with
+exact integer arithmetic (first ``N mod k`` buckets take ``N div k + 1``
+rows, the rest ``N div k``), so the composition is value-identical to the
+single-partition ``F.ntile(k).over(...)`` form — pinned differentially in
+tests/test_analytics.py.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+SINGLE_PARTITION_RANK_ENV = "CLINICAL_BI_SINGLE_PARTITION_RANK"
+
+
+def use_single_partition_rank() -> bool:
+    """Dual-path switch for the global-rank analytics queries
+    (evt_rfm_segmentation / m13_auc_rank / agg_equidepth_histogram).
+
+    Default (unset/0) = the SHARDED production path in this module — the
+    form a 1000-executor cluster needs. ``CLINICAL_BI_SINGLE_PARTITION_RANK=1``
+    selects the classic single-window parity form (one ``Window.orderBy``
+    ntile/row_number). Both paths are value-identical by construction
+    (ntile_from_rank's exact bucket arithmetic), which is why — unlike
+    the eviction flag — the PRODUCTION path can be the driver-adjudicated
+    default: it is graded directly against the NTILE/ROW_NUMBER SQL
+    oracle, and tests pin the two paths row-for-row besides."""
+    return os.environ.get(SINGLE_PARTITION_RANK_ENV, "0") == "1"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    *,
+    partition_by: list[str] | None = None,
+    out_col: str = "rnk",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append 1-based ``out_col`` = ROW_NUMBER() OVER (PARTITION BY
+    partition_by ORDER BY order_by) without a SinglePartition exchange.
+
+    ``order_by`` are Column sort expressions (``F.col(...).desc()``
+    allowed) that must form a total order within each group;
+    ``partition_by`` are column NAMES (needed as pandas group keys) and
+    must be low-cardinality — per-(partition, group) counts are collected
+    to the driver (one long each).
+    """
+    import pandas as pd
+
+    from clinical_bi_spark.caching import persist_tracked
+
+    part_cols = list(partition_by or [])
+    spark = df.sparkSession
+    np_ = n_partitions or spark.sparkContext.defaultParallelism
+    sort_exprs = [F.col(c) for c in part_cols] + list(order_by)
+    ranged = (
+        df.repartitionByRange(np_, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    def local_rn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive sorted; carry per-group counters across Arrow batches
+        seen: dict[tuple, int] = {}
+        for pdf in it:
+            if not len(pdf):
+                yield pdf.assign(__local_rn=pd.Series([], dtype="int64"))
+                continue
+            if part_cols:
+                base = pdf.groupby(part_cols, sort=False).cumcount() + 1
+                keys = pd.Series(
+                    list(pdf[part_cols].itertuples(index=False, name=None)),
+                    index=pdf.index,
+                )
+                offs = keys.map(lambda k: seen.get(k, 0)).astype("int64")
+                for k, c in keys.value_counts().items():
+                    seen[k] = seen.get(k, 0) + int(c)
+                pdf = pdf.assign(__local_rn=(base + offs).astype("int64"))
+            else:
+                start = seen.get((), 0)
+                pdf = pdf.assign(
+                    __local_rn=pd.RangeIndex(start + 1, start + 1 + len(pdf))
+                )
+                seen[()] = start + len(pdf)
+            yield pdf
+
+    schema = StructType(
+        list(ranged.schema.fields) + [StructField("__local_rn", LongType())]
+    )
+    # persist: the counts job and the final job must see one partition layout
+    local = persist_tracked(ranged.mapInPandas(local_rn, schema=schema))
+
+    counts = (
+        local.groupBy("__pid", *part_cols).agg(F.count("*").alias("__n")).collect()
+    )
+    # exclusive prefix offsets per group, accumulated in pid (= range) order
+    acc: dict[tuple, int] = {}
+    offsets = []
+    for r in sorted(counts, key=lambda row: row["__pid"]):
+        key = tuple(r[c] for c in part_cols)
+        offsets.append((r["__pid"], *key, acc.get(key, 0)))
+        acc[key] = acc.get(key, 0) + int(r["__n"])
+    fields = [local.schema["__pid"]] + [local.schema[c] for c in part_cols]
+    off_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in fields]
+        + [StructField("__offset", LongType(), True)]
+    )
+    off_df = spark.createDataFrame(offsets or [], off_schema)
+    joined = local.join(F.broadcast(off_df), ["__pid", *part_cols], "left")
+    return joined.withColumn(
+        out_col,
+        (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local_rn")).cast(
+            "bigint"
+        ),
+    ).drop("__pid", "__local_rn", "__offset")
+
+
+def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
+    """Exact SQL ``NTILE(k)`` bucket from a 1-based total-order row number
+    and the group row count N: the first ``N mod k`` buckets hold
+    ``N div k + 1`` rows, the rest ``N div k``.
+
+    Integer-valued throughout (the double divisions are exact below 2^53
+    ~= 9e15 rows per group — comfortably past 100 TB of rows); the
+    else-branch divisor is clamped with ``greatest(q, 1)`` because when
+    ``N < k`` (q = 0) every row takes the first branch but ANSI mode
+    evaluates the expression anyway."""
+    n = n_rows.cast("bigint")
+    rnk = rank.cast("bigint")
+    q = F.floor(n / F.lit(k)).cast("bigint")
+    r = (n % F.lit(k)).cast("bigint")
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    return (
+        F.when(rnk <= big, F.floor((rnk - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rnk - 1 - big) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )

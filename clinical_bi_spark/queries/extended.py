@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clinical_bi_spark.caching import persist_tracked
 from clinical_bi_spark.operators.asof import asof_join
 from clinical_bi_spark.queries import query
 from clinical_bi_spark.session import tune
@@ -1118,13 +1119,29 @@ FROM scored
 def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency/Frequency/Monetary quintile segmentation per user. The
     monetary metric folds as EXACT integer micro-units (the rounding
-    pattern the etl rebuild established); ntile runs over (metric,
+    pattern the etl rebuild established); quintiles score over (metric,
     user_id) total orders so bucket assignment is deterministic on both
-    engines. The ntile window is a single-partition sort over the
-    per-user relation — the ENTITY table, orders smaller than the event
-    stream; at 100 TB the same scores decompose into the sharded
-    rank/count form data_global_shuffle demonstrates."""
+    engines.
+
+    Dual path (r9 graduation of the r8 `weak`): the DEFAULT is the
+    SHARDED production form — three passes of
+    :func:`clinical_bi_spark.operators.ranking.global_row_number`
+    (range-exchange + narrow local cumcount + broadcast prefix offsets,
+    never a SinglePartition sort; the per-user ENTITY relation is itself
+    billions of rows at 100 TB) composed with ``ntile_from_rank``'s exact
+    NTILE(5) bucket arithmetic, value-identical to the window form and
+    adjudicated directly against the NTILE SQL oracle.
+    ``CLINICAL_BI_SINGLE_PARTITION_RANK=1`` selects the classic
+    three-ntile-window parity form; tests/test_analytics.py pins the two
+    paths row-for-row and tests/test_plans.py asserts the production plan
+    has no SinglePartition exchange."""
     from pyspark.sql.window import Window
+
+    from clinical_bi_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+        use_single_partition_rank,
+    )
 
     t = load_tables(tune(spark), sf_dir)
     e = F.col("ts").cast("double")
@@ -1136,20 +1153,48 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_micro"),
     )
-    w_r = Window.orderBy(F.col("last_e").desc(), "user_id")
-    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
-    w_m = Window.orderBy(F.col("monetary_micro").desc(), "user_id")
-    scored = per_user.select(
-        "user_id",
+    recency = (
         F.floor((F.lit(float(emax)) - F.col("last_e")) / 86400.0)
         .cast("bigint")
-        .alias("recency_days"),
-        "frequency",
-        "monetary_micro",
-        F.ntile(5).over(w_r).cast("int").alias("r_score"),
-        F.ntile(5).over(w_f).cast("int").alias("f_score"),
-        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+        .alias("recency_days")
     )
+    if use_single_partition_rank():
+        w_r = Window.orderBy(F.col("last_e").desc(), "user_id")
+        w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
+        w_m = Window.orderBy(F.col("monetary_micro").desc(), "user_id")
+        scored = per_user.select(
+            "user_id",
+            recency,
+            "frequency",
+            "monetary_micro",
+            F.ntile(5).over(w_r).cast("int").alias("r_score"),
+            F.ntile(5).over(w_f).cast("int").alias("f_score"),
+            F.ntile(5).over(w_m).cast("int").alias("m_score"),
+        )
+    else:
+        per_user = persist_tracked(per_user)
+        n_users = per_user.count()  # one scalar, inlined as a literal
+        ranked = global_row_number(
+            per_user, [F.col("last_e").desc(), F.col("user_id")], out_col="__r_rnk"
+        )
+        ranked = global_row_number(
+            ranked, [F.col("frequency").desc(), F.col("user_id")], out_col="__f_rnk"
+        )
+        ranked = global_row_number(
+            ranked,
+            [F.col("monetary_micro").desc(), F.col("user_id")],
+            out_col="__m_rnk",
+        )
+        n_lit = F.lit(int(n_users))
+        scored = ranked.select(
+            "user_id",
+            recency,
+            "frequency",
+            "monetary_micro",
+            ntile_from_rank(F.col("__r_rnk"), n_lit, 5).alias("r_score"),
+            ntile_from_rank(F.col("__f_rnk"), n_lit, 5).alias("f_score"),
+            ntile_from_rank(F.col("__m_rnk"), n_lit, 5).alias("m_score"),
+        )
     return scored.withColumn(
         "segment",
         F.concat(

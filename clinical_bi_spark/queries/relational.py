@@ -1252,16 +1252,33 @@ def m13_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney AUC of o_totalprice as a classifier score for
     status 'F', over a deterministic total order (score, then key — ties
     resolved identically in both engines rather than midrank-averaged).
-    The global rank is the parity form; at scale decompose it with the
-    per-partition prefix-sum pattern (operators/packing.py)."""
+
+    Dual path (r9, the RFM graduation template): the DEFAULT global rank
+    is the SHARDED prefix-sum form
+    (:func:`clinical_bi_spark.operators.ranking.global_row_number` —
+    range exchange + narrow local cumcount + broadcast offsets, no
+    SinglePartition sort over the fact table);
+    ``CLINICAL_BI_SINGLE_PARTITION_RANK=1`` selects the one-window parity
+    form. Identical ranks by construction (total order), differential-
+    pinned in tests/test_analytics.py."""
+    from clinical_bi_spark.operators.ranking import (
+        global_row_number,
+        use_single_partition_rank,
+    )
+
     t = load_tables(tune(spark), sf_dir)
     scored = t.orders.select(
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
         F.col("o_totalprice").alias("score"),
         "o_orderkey",
     )
-    w = Window.orderBy("score", "o_orderkey")
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if use_single_partition_rank():
+        w = Window.orderBy("score", "o_orderkey")
+        ranked = scored.withColumn("rnk", F.row_number().over(w))
+    else:
+        ranked = global_row_number(
+            scored, [F.col("score"), F.col("o_orderkey")], out_col="rnk"
+        )
     pos = F.sum("label")
     n = F.count("*")
     pos_rank_sum = F.sum(F.when(F.col("label") == 1, F.col("rnk")).otherwise(0))
@@ -1409,24 +1426,54 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price, orderkey, linenumber) tie-break makes bucket assignment
     engine-independent) — the data-driven complement to the fixed-width
     agg_histogram_quantiles: bucket populations equal by construction,
-    boundaries adapt to the distribution. One exchange on the group key."""
+    boundaries adapt to the distribution.
+
+    Dual path (r9, the RFM graduation template): l_returnflag has 3
+    values, so the partitioned ntile window still funnels a third of the
+    fact table through one task — the low-cardinality-partition variant
+    of the SinglePartition problem. The DEFAULT is the sharded
+    per-group rank (:func:`global_row_number` with ``partition_by``:
+    range exchange on (flag, price, key), per-(partition, flag) counts —
+    at most n_partitions x 3 longs — broadcast back) composed with
+    ``ntile_from_rank``'s exact NTILE(8) arithmetic;
+    ``CLINICAL_BI_SINGLE_PARTITION_RANK=1`` selects the window parity
+    form. Differential-pinned in tests/test_analytics.py."""
     from pyspark.sql.window import Window
 
-    t = load_tables(tune(spark), sf_dir)
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    from clinical_bi_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+        use_single_partition_rank,
     )
-    return (
-        t.lineitem.select(
-            "l_returnflag", "l_extendedprice",
-            F.ntile(8).over(w).alias("bucket"),
+
+    t = load_tables(tune(spark), sf_dir)
+    li = t.lineitem.select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    if use_single_partition_rank():
+        w = Window.partitionBy("l_returnflag").orderBy(
+            "l_extendedprice", "l_orderkey", "l_linenumber"
         )
-        .groupBy("l_returnflag", "bucket")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.min("l_extendedprice"), 4).alias("lo"),
-            F.round(F.max("l_extendedprice"), 4).alias("hi"),
+        bucketed = li.select(
+            "l_returnflag", "l_extendedprice", F.ntile(8).over(w).alias("bucket")
         )
+    else:
+        grp_n = li.groupBy("l_returnflag").agg(F.count("*").alias("__ng"))
+        ranked = global_row_number(
+            li,
+            [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+            partition_by=["l_returnflag"],
+            out_col="__rnk",
+        )
+        bucketed = ranked.join(F.broadcast(grp_n), "l_returnflag").select(
+            "l_returnflag",
+            "l_extendedprice",
+            ntile_from_rank(F.col("__rnk"), F.col("__ng"), 8).alias("bucket"),
+        )
+    return bucketed.groupBy("l_returnflag", "bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 4).alias("lo"),
+        F.round(F.max("l_extendedprice"), 4).alias("hi"),
     )
 
 

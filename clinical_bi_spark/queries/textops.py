@@ -2123,6 +2123,25 @@ LIMIT {_PMI_TOPK}
 """
 
 
+def _adjacent_bigrams(toks: DataFrame) -> DataFrame:
+    """Explode each token array into its adjacent (w1, w2) bigrams with a
+    zero-copy slice+zip (narrow, no shuffle). The slice length is clamped
+    with ``greatest(size - 1, 0)``: a zero-token document (empty or
+    whitespace-only text) would otherwise pass length -1 and throw
+    SparkRuntimeException INVALID_PARAMETER_VALUE.LENGTH, where the DuckDB
+    oracle's ``range(0, len - 1)`` yields an empty set — the clamp makes
+    both engines agree on "no bigrams" (pinned by
+    tests/test_textops.py::test_adjacent_bigrams_zero_token_doc)."""
+    return toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(words, 1, greatest(size(words) - 1, 0))"),
+                F.expr("slice(words, 2, greatest(size(words) - 1, 0))"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+
+
 @query("text_bigram_pmi_topk", oracle=_PMI_ORACLE)
 def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent-bigram collocations by pointwise mutual
@@ -2142,14 +2161,7 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.select(F.explode("words").alias("tok"))
     uc = uni.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
     uc = persist_tracked(uc)
-    big = toks.select(
-        F.explode(
-            F.arrays_zip(
-                F.expr("slice(words, 1, size(words) - 1)"),
-                F.expr("slice(words, 2, size(words) - 1)"),
-            )
-        ).alias("bg")
-    ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    big = _adjacent_bigrams(toks)
     bc = (
         big.groupBy("w1", "w2")
         .agg(F.count("*").cast("bigint").alias("c_xy"))

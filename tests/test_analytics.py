@@ -492,3 +492,28 @@ def test_anomaly_mad_matches_numpy(spark, oracle_con):
         n_out = int((np.round(np.abs(v - med), 6) > np.round(3 * mad, 6)).sum())
         assert r.n_outliers == n_out
         assert r.n_events == len(v)
+
+
+@pytest.mark.parametrize(
+    "name,key_cols",
+    [
+        ("evt_rfm_segmentation", ["user_id"]),
+        ("m13_auc_rank", []),
+        ("agg_equidepth_histogram", ["l_returnflag", "bucket"]),
+    ],
+)
+def test_sharded_rank_path_matches_window_path(spark, monkeypatch, name, key_cols):
+    """r9 dual-path contract: the sharded prefix-sum production form and
+    the single-partition window parity form must be VALUE-identical, row
+    for row — the property that lets the driver adjudicate the production
+    path directly against the NTILE/ROW_NUMBER SQL oracle."""
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    monkeypatch.delenv("CLINICAL_BI_SINGLE_PARTITION_RANK", raising=False)
+    sharded = rows(REGISTRY[name].fn(spark, SF_ORACLE))
+    monkeypatch.setenv("CLINICAL_BI_SINGLE_PARTITION_RANK", "1")
+    windowed = rows(REGISTRY[name].fn(spark, SF_ORACLE))
+    assert sharded == windowed

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
+import re
 
 import pytest
 
@@ -497,23 +499,58 @@ def test_welch_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
-def test_rfm_entity_relation_windows(spark):
-    """The ntile windows must run over the aggregated per-user relation:
-    the plan's first exchange is the user_id aggregation of the event
-    stream; the SinglePartition exchange below the windows carries only
-    per-user rows (structurally: aggregation happens BEFORE any
-    SinglePartition exchange)."""
+@pytest.mark.parametrize(
+    "name", ["evt_rfm_segmentation", "m13_auc_rank", "agg_equidepth_histogram"]
+)
+def test_sharded_rank_production_plan_has_no_single_partition(spark, name):
+    """r9 graduation of the r8 `weak`: the DEFAULT path of every
+    global-rank analytics query must rank via the sharded prefix-sum
+    operator — range exchange + narrow mapInPandas — with NO
+    SinglePartition exchange and no window rank function anywhere in the
+    plan. (Replaces the r8 test whose `or "ntile" in plan` fallback made
+    the structural assertion vacuous — ADVICE r8.)"""
+    assert "CLINICAL_BI_SINGLE_PARTITION_RANK" not in os.environ
+    plan = explain(spark, name)
+    assert "ntile" not in plan, plan
+    assert "row_number" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    if name == "m13_auc_rank":
+        # the one allowed SinglePartition is the final SCALAR aggregate's
+        # exchange (three partial longs) — data-independent width
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            if "SinglePartition" in l:
+                below = "\n".join(lines[i : i + 4])
+                assert "HashAggregate" in below, plan
+    else:
+        assert "SinglePartition" not in plan, plan
+
+
+def test_rfm_parity_path_windows_run_over_entity_relation(spark, monkeypatch):
+    """The flagged single-partition parity form keeps its r8 contract:
+    the ntile windows run over the AGGREGATED per-user relation, i.e. the
+    user_id HashAggregate executes before (is listed after) the first
+    SinglePartition exchange."""
+    monkeypatch.setenv("CLINICAL_BI_SINGLE_PARTITION_RANK", "1")
     plan = explain(spark, "evt_rfm_segmentation")
+    assert "ntile" in plan, plan  # parity form must use the window
     lines = plan.splitlines()
-    first_single = next(
-        (i for i, l in enumerate(lines) if "SinglePartition" in l), None
-    )
-    first_hashagg = next(
-        (i for i, l in enumerate(lines) if "HashAggregate" in l), None
-    )
-    assert first_hashagg is not None
-    if first_single is not None:
-        # formatted plans list operators leaf-last; the aggregate must sit
-        # BELOW (after) the single-partition exchange in listing order,
-        # meaning it executes first
-        assert first_hashagg < first_single or "ntile" in plan
+    # formatted-explain detail sections are "(N) Operator" with N
+    # increasing towards the root: a smaller id executes earlier
+    single_ids = [
+        int(m.group(1))
+        for i, l in enumerate(lines)
+        if (m := re.match(r"\((\d+)\) Exchange", l.strip()))
+        and any("SinglePartition" in x for x in lines[i : i + 3])
+    ]
+    agg_ids = [
+        int(m.group(1))
+        for l in lines
+        if (m := re.match(r"\((\d+)\) HashAggregate", l.strip()))
+    ]
+    assert single_ids, plan
+    assert agg_ids, plan
+    # the per-user aggregation must execute BEFORE any single-partition
+    # exchange: the windows see only the entity relation
+    assert min(agg_ids) < min(single_ids), plan

@@ -87,11 +87,26 @@ ALERT_THRESHOLD = 95.0
 
 
 def _arm_timeout(state: GroupState, last_event_ms: int) -> None:
-    """Arm the event-time timeout at (last event + TTL), clamped above the
-    current watermark (Spark rejects a timeout timestamp <= watermark —
-    reachable when a key's only events arrive already near-expired)."""
+    """Arm the event-time timeout at (max-seen event ts + TTL), clamped
+    above the current watermark (Spark rejects a timeout timestamp <=
+    watermark — reachable when a key's only events arrive already
+    near-expired).
+
+    The max-seen basis is carried by the PREVIOUS armed timeout
+    (``oldTimeoutTimestamp``, -1 when unarmed) rather than extra state:
+    taking the max with it means an in-watermark LATE batch — whose own
+    max event ts is OLDER than what the key already saw — can only
+    extend the deadline, never pull it earlier and evict a still-active
+    key (ADVICE r8; pinned by
+    tests/test_streaming.py::test_eviction_timeout_never_regresses)."""
     wm = state.getCurrentWatermarkMs()
-    state.setTimeoutTimestamp(max(last_event_ms + EVICTION_TTL_MS, wm + 1))
+    state.setTimeoutTimestamp(
+        max(
+            last_event_ms + EVICTION_TTL_MS,
+            state.oldTimeoutTimestamp,
+            wm + 1,
+        )
+    )
 
 
 def _make_user_update(evict: bool):
@@ -158,7 +173,12 @@ def user_running_stats(
 
     ``evict`` selects the state-boundedness path (see module docstring);
     default = the ``CLINICAL_BI_STATE_EVICTION`` env flag, OFF for exact
-    adjudication."""
+    adjudication. Eviction trade: a user idle past the 1-day event-time
+    TTL is dropped from the store and, if they re-appear, their running
+    counters RESTART FROM ZERO — snapshots are exact only within the
+    eviction horizon (pinned by tests/test_streaming.py::
+    test_stateful_eviction_drops_idle_user_state and
+    test_eviction_env_flag_selects_path)."""
     from clinical_bi_spark.streaming.windows import _events_stream, _run_to_completion
 
     evicting = _eviction_enabled(evict)
@@ -353,7 +373,13 @@ def stream_cep_matches(
     cep_pattern_match output for the same spec however the input splits
     into micro-batches. Duration is recomputed HERE with the same
     cast-double expression the batch query uses, so the float path is
-    identical. Defaults to the flagship view+ click+ purchase spec."""
+    identical. Defaults to the flagship view+ click+ purchase spec.
+
+    Eviction trade (``evict``/``CLINICAL_BI_STATE_EVICTION``): a user
+    idle past the 1-day event-time TTL loses their island context — a
+    pattern straddling the idle gap will NOT match after they re-appear,
+    so matches are exact only within the eviction horizon (pinned by
+    tests/test_streaming.py::test_cep_eviction_drops_idle_island_state)."""
     from pyspark.sql import functions as F
 
     from clinical_bi_spark.queries.events import (
@@ -491,7 +517,14 @@ def stream_forward_fill_rows(
     gap mask is the same md5 expression as the batch query, applied
     BEFORE the stateful operator; display rounding is applied AFTER it
     with the same Spark ROUND the batch query uses (the float path is
-    identical end to end)."""
+    identical end to end).
+
+    Eviction trade (``evict``/``CLINICAL_BI_STATE_EVICTION``): a user
+    idle past the 1-day event-time TTL loses the carried last-value — a
+    gap right after they re-appear fills with null instead of the
+    pre-idle observation, so fills are exact only within the eviction
+    horizon (the r8 eviction battery in tests/test_streaming.py pins the
+    state-drop mechanics shared by all three builders)."""
     from pyspark.sql import functions as F
 
     from clinical_bi_spark.streaming.windows import (

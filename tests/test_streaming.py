@@ -834,3 +834,65 @@ def test_multibatch_forward_fill_equals_batch(spark, split_sf):
     s = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert len(s) == len(b) and s == b and len(s) > 0
+
+
+# ---------------------------------------------------------------------------
+# r9 (ADVICE r8): the eviction timeout must re-arm from the MAX-SEEN
+# event-time basis, not the current batch's max — an in-watermark late
+# batch of older events must never pull the deadline earlier (which
+# would evict a still-active key and silently reset its counters).
+# _arm_timeout carries the basis via oldTimeoutTimestamp, so this is
+# unit-testable against a directly-constructed GroupState.
+# ---------------------------------------------------------------------------
+
+
+def _mk_event_time_state(old_timeout_ms: int, watermark_ms: int):
+    from pyspark.sql import Row
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return GroupState(
+        optionalValue=Row(n=1),
+        batchProcessingTimeMs=0,
+        eventTimeWatermarkMs=watermark_ms,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        hasTimedOut=False,
+        watermarkPresent=True,
+        defined=True,
+        updated=False,
+        removed=False,
+        timeoutTimestamp=old_timeout_ms,
+        keyAsUnsafe=b"",
+        valueSchema=StructType([StructField("n", LongType())]),
+    )
+
+
+def test_eviction_timeout_never_regresses():
+    from pyspark.sql.streaming.state import GroupState
+
+    from clinical_bi_spark.streaming.stateful import EVICTION_TTL_MS, _arm_timeout
+
+    wm = 1_000_000
+    fresh_basis = 5_000_000
+    armed = _mk_event_time_state(GroupState.NO_TIMESTAMP, wm)
+    _arm_timeout(armed, fresh_basis)
+    deadline = armed._timeout_timestamp
+    assert deadline == fresh_basis + EVICTION_TTL_MS
+
+    # a LATE in-watermark batch (older events than already seen) must not
+    # pull the deadline earlier
+    late = _mk_event_time_state(deadline, wm)
+    _arm_timeout(late, fresh_basis - 3_000_000)
+    assert late._timeout_timestamp == deadline, (
+        "late batch regressed the eviction deadline"
+    )
+
+    # a genuinely newer batch extends it
+    newer = _mk_event_time_state(deadline, wm)
+    _arm_timeout(newer, fresh_basis + 7_000_000)
+    assert newer._timeout_timestamp == fresh_basis + 7_000_000 + EVICTION_TTL_MS
+
+    # near-expired keys still clamp above the watermark
+    clamped = _mk_event_time_state(GroupState.NO_TIMESTAMP, wm)
+    _arm_timeout(clamped, wm - 10 * EVICTION_TTL_MS)
+    assert clamped._timeout_timestamp == wm + 1

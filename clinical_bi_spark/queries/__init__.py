@@ -266,13 +266,14 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- (6) stale rows-only rotation (r7 rows) --
     "m9_mlp_train_eval",
     "a3_approx_count_distinct",
-    # -- (7) oldest-first fill: oldest r6-green entries, alphabetical.
-    #    agg_histogram_quantiles is the pre-declared swap slot for
-    #    dedup_containment_superset (see the window comment) --
+    # -- (7) oldest-first fill: oldest r6-green entries, alphabetical;
+    #    the 4th slot executed its pre-declared swap (see the window
+    #    comment): dedup_containment_superset LANDED this round, so
+    #    agg_histogram_quantiles returns to the r10 block --
     "a3_hll_merge",
     "a3_hll_portable",
     "agg_grouping_sets",
-    "agg_histogram_quantiles",
+    "dedup_containment_superset",
     # -- streaming LAST within the checked window (all four re-enter:
     #    streaming/stateful.py changes this round — eviction timeout
     #    basis fix from ADVICE) --

@@ -1519,6 +1519,49 @@ WHERE CAST(n_inter AS DOUBLE)
 """
 
 
+#: r9 verify-volume lever (the r8 brief's named trade, executed as
+#: hash-exact-with-audit): tokens enter the join machinery as xxhash64
+#: LONGS instead of strings, shrinking both the candidate join keys and
+#: — the term that set the x50 spill ceiling — the verify join's shipped
+#: token arrays. Exactness is NOT traded away: a collision AUDIT
+#: (count(DISTINCT token) == count(DISTINCT xxhash64(token)) over the
+#: corpus vocabulary, one cheap aggregate over the already-built token
+#: relation) proves the hash injective on the actual corpus, and an
+#: injective token mapping leaves every |A∩B| / |A∪B| unchanged — so the
+#: u64 output IS the string output, certificate included. Collision
+#: odds: a vocabulary of V distinct tokens collides somewhere with
+#: P <= V^2 / 2^65 (birthday bound) — ~3e-9 even at V = 1e5 (the bench
+#: corpus) and ~0.05 at V = 1e9 (a 100 TB corpus), which is why the
+#: audit is a per-run certificate rather than an assumption; on audit
+#: failure fall back to CLINICAL_BI_JACCARD_TOKENS=str (identical
+#: machinery on raw strings; also the A/B baseline).
+JACCARD_TOKEN_MODE_ENV = "CLINICAL_BI_JACCARD_TOKENS"
+
+
+def _jaccard_u64_tokens() -> bool:
+    import os
+
+    return os.environ.get(JACCARD_TOKEN_MODE_ENV, "u64") != "str"
+
+
+def jaccard_token_audit(toks: DataFrame, hash_fn=None) -> tuple[int, int]:
+    """The injectivity certificate for the u64 token mode: returns
+    (distinct tokens, distinct hashes) over the corpus vocabulary.
+    Equality proves the hash collision-free on this corpus, hence the
+    hashed Jaccard join's output exactly equals the string form's. One
+    partial-agg'd pass over the token relation — O(vocab) state,
+    corpus-size-independent shuffle. ``hash_fn`` defaults to the
+    production xxhash64; tests inject a weak hash to prove the audit
+    detects collisions."""
+    hash_fn = hash_fn or F.xxhash64
+    tok = toks.select(F.explode("words").alias("w"))
+    row = tok.agg(
+        F.countDistinct("w").alias("n_tok"),
+        F.countDistinct(hash_fn(F.col("w"))).alias("n_hash"),
+    ).first()
+    return int(row["n_tok"]), int(row["n_hash"])
+
+
 def _jaccard_prefix_candidates(
     toks: DataFrame, tau: float, positional: bool = True
 ) -> DataFrame:
@@ -1626,7 +1669,19 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the exact-threshold scale path that dedup_ngram_jaccard's
     source-blocked quadratic form approximates and MinHash-LSH
     randomizes; unlike both, it is lossless at any corpus size — proved
-    by the superset oracle."""
+    by the superset oracle.
+
+    r9 verify-volume lever: by default tokens flow through the join
+    machinery as xxhash64 LONGS (see JACCARD_TOKEN_MODE_ENV above) — the
+    candidate keys and, decisively, the verify join's shipped arrays
+    shrink from variable-width strings to 8-byte longs, attacking the
+    candidate-proportional volume that set the x50 spill ceiling. Output
+    is EXACTLY the string form's whenever the per-corpus injectivity
+    audit holds (jaccard_token_audit; asserted in tests and the A/B
+    harness); CLINICAL_BI_JACCARD_TOKENS=str selects the raw-string
+    form. The df-order tie-break differs between modes (hash vs string),
+    so the candidate SET may differ; the verified OUTPUT may not —
+    pinned by tests/test_dedup.py."""
     t = load_tables(tune(spark), sf_dir)
     tau = _JACCARD_TAU
     toks = (
@@ -1638,6 +1693,10 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("words") >= 1)
     )
+    if _jaccard_u64_tokens():
+        toks = toks.select(
+            "doc_id", F.transform("words", lambda w: F.xxhash64(w)).alias("words")
+        )
     toks = persist_tracked(toks)
     cand = _jaccard_prefix_candidates(toks, tau, positional=True)
     wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wsa"))
@@ -2301,6 +2360,104 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
         .filter(F.lit(10) * F.col("n_inter") >= F.lit(9) * F.col("sz_a"))
+    )
+
+
+# r9 (pre-declared in the r9 window comment): the SECOND containment
+# direction — superset detection, rolled up per containing document.
+# The raw C(B,A) pair list is the mirror of dedup_containment_prefix's
+# output, so the operator-level value is the per-superset aggregation: a
+# document that swallows many others is the survivorship keeper / the
+# boilerplate hub the curation funnel wants flagged.
+_CONTAINMENT_SUPERSET_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_LTOKENS.format(col='text')} AS words FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id, UNNEST(words) AS w FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_b AS doc_sup,
+       CAST(COUNT(*) AS BIGINT) AS n_contained,
+       ROUND(MAX(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE)), 6)
+         AS max_containment,
+       CAST(MAX(sa.sz) AS BIGINT) AS max_sub_sz
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE 10 * n_inter >= 9 * sa.sz
+GROUP BY doc_b
+"""
+
+
+@query("dedup_containment_superset", oracle=_CONTAINMENT_SUPERSET_ORACLE)
+def dedup_containment_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Superset detection: per containing document, how many other
+    documents it contains at C(sub, sup) >= 0.9, with the tightest
+    containment and the largest swallowed size. Same inverted-list
+    prefix machinery as dedup_containment_prefix (the candidate key is
+    always the SUBSET side's rarest-token prefix — anti-skew preserved),
+    plus one partial-agg'd rollup on the superset id; the all-pairs
+    oracle again proves the prefix filter lossless through the rollup.
+    Kept standalone (no shared helper with dedup_containment_prefix) so
+    this landing leaves the r8-adjudicated query's code byte-identical."""
+    t = load_tables(tune(spark), sf_dir)
+    tau = _CONTAIN_T
+    toks = t.documents.select(
+        "doc_id",
+        F.array_distinct(word_tokens(F.lower(F.col("text")))).alias("words"),
+    ).filter(F.size("words") >= 1)
+    toks = persist_tracked(toks)
+    tok = toks.select("doc_id", F.explode("words").alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(df, w))), x -> x.w)"
+            ).alias("ow")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"slice(ow, 1, size(ow) - CAST(ceil({tau} * size(ow)) AS INT)"
+                " + 1)"
+            ).alias("prefix"),
+        )
+    )
+    a = ordered.select(
+        F.col("doc_id").alias("doc_sub"), F.explode("prefix").alias("w")
+    )
+    b = tok.select(F.col("doc_id").alias("doc_sup"), "w")
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .select("doc_sub", "doc_sup")
+        .distinct()
+    )
+    wa = toks.select(F.col("doc_id").alias("doc_sub"), F.col("words").alias("wsa"))
+    wb = toks.select(F.col("doc_id").alias("doc_sup"), F.col("words").alias("wsb"))
+    inter = F.size(F.array_intersect(F.col("wsa"), F.col("wsb")))
+    pairs = (
+        cand.join(wa, "doc_sub")
+        .join(wb, "doc_sup")
+        .select(
+            "doc_sup",
+            inter.cast("bigint").alias("n_inter"),
+            F.size("wsa").cast("bigint").alias("sz_sub"),
+            (inter.cast("double") / F.size("wsa").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.lit(10) * F.col("n_inter") >= F.lit(9) * F.col("sz_sub"))
+    )
+    return pairs.groupBy("doc_sup").agg(
+        F.count("*").cast("bigint").alias("n_contained"),
+        F.round(F.max("containment"), 6).alias("max_containment"),
+        F.max("sz_sub").cast("bigint").alias("max_sub_sz"),
     )
 
 

@@ -134,6 +134,9 @@ def get_spark(app_name: str = "clinical-bi-spark") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench hygiene); CBS_SPARK_UI=true turns it on
+        # for harnesses that read per-stage metrics over the REST API
+        # (scripts/ppjoin_ab.py's shuffle-volume capture)
+        .config("spark.ui.enabled", os.environ.get("CBS_SPARK_UI", "false"))
     )
     return tune(builder.getOrCreate())

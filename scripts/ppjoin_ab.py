@@ -18,6 +18,13 @@ Env:   CBS_PP_MULTS=1,16      multipliers (default 1,16)
                               constant-duplication-ratio regime a real
                               corpus exhibits; default: worst-case
                               single token)
+       CBS_PP_TOKENMODES=u64,str   r9: A/B the token representation in
+                              the e2e run — u64 (hash-exact w/ audit,
+                              the new default) vs str (r8 baseline).
+                              Each e2e cell also records the run's
+                              total shuffle write bytes (UI REST API)
+                              and asserts output-pair-count equality
+                              across modes.
 """
 
 from __future__ import annotations
@@ -42,6 +49,27 @@ from clinical_bi_spark.sources import load_tables
 from scripts.scaleup_linkage import replicate
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def _shuffle_write_bytes(spark) -> int | None:
+    """Total shuffle write bytes across all completed stages so far, via
+    the UI REST API (None if the UI is disabled)."""
+    import json
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return None
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as resp:
+            stages = json.load(resp)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -92,14 +120,31 @@ def main() -> None:
             tables = SimpleNamespace(documents=docs)
             orig = textops.load_tables
             textops.load_tables = lambda _s, _d, _t=tables: _t
+            modes = os.environ.get("CBS_PP_TOKENMODES", "u64").split(",")
             try:
-                start = time.perf_counter()
-                row["pairs"] = textops.dedup_jaccard_prefix(
-                    spark, SF_DIR
-                ).count()
-                row["e2e_sec"] = round(time.perf_counter() - start, 2)
+                for mode in modes:
+                    os.environ["CLINICAL_BI_JACCARD_TOKENS"] = mode
+                    sw0 = _shuffle_write_bytes(spark)
+                    start = time.perf_counter()
+                    row[f"pairs_{mode}"] = textops.dedup_jaccard_prefix(
+                        spark, SF_DIR
+                    ).count()
+                    row[f"e2e_sec_{mode}"] = round(
+                        time.perf_counter() - start, 2
+                    )
+                    sw1 = _shuffle_write_bytes(spark)
+                    if sw0 is not None and sw1 is not None:
+                        row[f"shuffle_gb_{mode}"] = round(
+                            (sw1 - sw0) / 1e9, 2
+                        )
+                    caching.release_all(spark)
+                pair_counts = {row[f"pairs_{m}"] for m in modes}
+                assert len(pair_counts) == 1, (
+                    f"token modes disagree on output: {row}"
+                )
             finally:
                 textops.load_tables = orig
+                os.environ.pop("CLINICAL_BI_JACCARD_TOKENS", None)
             caching.release_all(spark)
         docs.unpersist()
         print(f"x{mult}", row, flush=True)

@@ -312,3 +312,71 @@ def test_winnow_arrow_path_equals_expression_path(spark):
     expr = {r.id: r.fps for r in winnow_fingerprints_expr(df).collect()}
     assert arrow == expr
     assert arrow[1], "long doc must fingerprint"
+
+
+# ---------------------------------------------------------------------------
+# r9: u64 token mode for the exact Jaccard prefix join — hash-exact with
+# a per-corpus injectivity certificate (see JACCARD_TOKEN_MODE_ENV in
+# queries/textops.py).
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_u64_mode_output_equals_string_mode(spark, monkeypatch):
+    """The u64 (default) and string paths must produce identical verified
+    output — the candidate SETS may differ (different df-order
+    tie-breaks) but the exact verification makes the outputs equal
+    whenever the hash is injective on the corpus vocabulary."""
+    from clinical_bi_spark.queries import load_all
+    from tests.conftest import SF_ORACLE
+
+    reg = load_all()
+
+    def rows(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_inter, r.n_union, round(r.jaccard, 9))
+            for r in df.collect()
+        )
+
+    monkeypatch.delenv("CLINICAL_BI_JACCARD_TOKENS", raising=False)
+    u64 = rows(reg["dedup_jaccard_prefix"].fn(spark, SF_ORACLE))
+    monkeypatch.setenv("CLINICAL_BI_JACCARD_TOKENS", "str")
+    s = rows(reg["dedup_jaccard_prefix"].fn(spark, SF_ORACLE))
+    assert u64 == s
+    assert len(u64) > 0
+
+
+def test_jaccard_token_audit_certifies_bench_corpus(spark):
+    """The injectivity certificate must hold on the bench corpus (and at
+    the adjudication SF): distinct tokens == distinct hashes, so the u64
+    output is PROVABLY the string output there."""
+    from clinical_bi_spark.functions.text import word_tokens
+    from clinical_bi_spark.queries.textops import jaccard_token_audit
+    from clinical_bi_spark.session import tune
+    from clinical_bi_spark.sources import load_tables
+    from tests.conftest import SF_ORACLE
+
+    t = load_tables(tune(spark), SF_ORACLE)
+    toks = t.documents.select(
+        F.array_distinct(word_tokens(F.lower(F.col("text")))).alias("words")
+    )
+    n_tok, n_hash = jaccard_token_audit(toks)
+    assert n_tok == n_hash
+    assert n_tok > 0
+
+
+def test_jaccard_token_audit_detects_planted_collision(spark):
+    """The audit must actually FAIL when distinct tokens share a hash.
+    A real xxhash64 collision is unconstructible in a test, so inject a
+    deliberately weak hash (string length) and assert the audit reports
+    fewer hashes than tokens — while the production xxhash64 stays
+    injective on the same vocabulary."""
+    from clinical_bi_spark.queries.textops import jaccard_token_audit
+
+    toks = spark.createDataFrame(
+        [(["alpha", "gamma"],), (["beta", "delta"],)], "words array<string>"
+    )
+    n_tok, n_hash = jaccard_token_audit(toks)
+    assert (n_tok, n_hash) == (4, 4)  # production hash: injective here
+    n_tok_w, n_hash_w = jaccard_token_audit(toks, hash_fn=F.length)
+    assert n_tok_w == 4
+    assert n_hash_w == 2  # len-5 bucket {alpha, gamma, delta} collides

@@ -554,3 +554,17 @@ def test_rfm_parity_path_windows_run_over_entity_relation(spark, monkeypatch):
     # the per-user aggregation must execute BEFORE any single-partition
     # exchange: the windows see only the entity relation
     assert min(agg_ids) < min(single_ids), plan
+
+
+def test_cusum_reuses_one_user_exchange(spark):
+    """evt_changepoint_cusum's three windows (running deviation sum,
+    per-user count, argmax row_number) all partition by user_id: the plan
+    must carry ONE hashpartitioning(user_id) exchange reused by every
+    window — a second data exchange means a window spec lost the shared
+    partitioning (r8 verdict, Next #5)."""
+    plan = explain(spark, "evt_changepoint_cusum")
+    n_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_exchanges <= 1, plan
+    assert "SinglePartition" not in plan, plan

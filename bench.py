@@ -91,6 +91,16 @@ _R8_SET = _R7_SET | frozenset(
     }
 )
 
+# The bench set as of round 9 (r8 set + the r8-verdict-suggested scale-claim
+# carriers: the directed containment join, RFM on its new sharded-rank
+# production path, and the winsorized mean's exact decomposition).
+_R9_SET = _R8_SET | frozenset(
+    {
+        "dedup_containment_prefix", "evt_rfm_segmentation",
+        "agg_winsorized_mean",
+    }
+)
+
 
 def main() -> None:
     registry = load_all()
@@ -148,6 +158,8 @@ def main() -> None:
     assert not missing_r7, f"r7-set queries missing from bench: {missing_r7}"
     missing_r8 = _R8_SET - set(timings)
     assert not missing_r8, f"r8-set queries missing from bench: {missing_r8}"
+    missing_r9 = _R9_SET - set(timings)
+    assert not missing_r9, f"r9-set queries missing from bench: {missing_r9}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -175,6 +187,24 @@ def main() -> None:
         ),
         "subtotal_r8_set": round(
             sum(t for n, t in timings.items() if n in _R8_SET), 3
+        ),
+        "subtotal_r9_set": round(
+            sum(t for n, t in timings.items() if n in _R9_SET), 3
+        ),
+        # Global-rank dual path (operators/ranking.py): benched timings
+        # measure the sharded prefix-sum production form (the default);
+        # the single-partition window parity form
+        # (CLINICAL_BI_SINGLE_PARTITION_RANK=1) is differential-pinned
+        # equal in tests.
+        "single_partition_rank": os.environ.get(
+            "CLINICAL_BI_SINGLE_PARTITION_RANK", "0"
+        )
+        != "0",
+        # Jaccard token mode (queries/textops.py): u64 hash-exact with
+        # per-corpus injectivity audit is the default; str is the r8
+        # baseline form.
+        "jaccard_tokens": os.environ.get(
+            "CLINICAL_BI_JACCARD_TOKENS", "u64"
         ),
         # Self-describing variant flag: sim_ann_* timings measure the bare
         # pruned operator (recall-annotation twin disabled below); the

@@ -86,8 +86,9 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #:     m13_auc_rank gets the same retrofit and already sits in block (3);
 #: (3) the 31 r5-green exact entries at the staleness ceiling (the full
 #:     deferred-from-r8 block — nothing held back this time);
-#: (4) m8_vocab_embedding_trained (r5 rows-only; planned graduation to an
-#:     exact oracle on the broadcast-lookup join this round);
+#: (4) m8_vocab_embedding_trained (r5 rows-only rotation; the optional
+#:     exact-oracle graduation was evaluated and declined — see the
+#:     slot comment in the tuple);
 #: (5) headliners (flagship / dashboard), every round;
 #: (6) stale rows-only rotation (2-3 per round): m9_mlp_train_eval (r7),
 #:     a3_approx_count_distinct (r7);
@@ -225,7 +226,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_bigram_pmi_topk",       # zero-token-doc slice crash fix (ADVICE)
     "evt_rfm_segmentation",       # sharded prefix-sum rank graduation
     "agg_equidepth_histogram",    # sharded-rank retrofit
-    "dedup_jaccard_prefix",       # PPJoin+ suffix filter
+    "dedup_jaccard_prefix",       # u64 token mode (the verify-volume lever)
+    "dedup_containment_prefix",   # r9 mid-round: u64 + length filter +
+                                  # two-sided positional bound after its
+                                  # first bench floor (153 s) demanded it;
+                                  # changed code takes the slot a3_hll_merge
+                                  # (r6-green, due r10) releases
     # -- (3) the 31 r5-green exact entries at the staleness ceiling --
     "agg_rollup",
     "agg_salted_count",
@@ -258,7 +264,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "vec_norm_rollup",
     "w1_topk_per_group",
     "w4_rank_battery",
-    # -- (4) r5 rows-only, planned exact-oracle graduation this round --
+    # -- (4) r5 rows-only rotation. The r8 verdict's optional exact-
+    #    oracle graduation was evaluated and DECLINED: the driver compares
+    #    every output column, the learned Word2Vec CSV is not
+    #    SQL-derivable, and an oracle that drops it would stop checking
+    #    the query's distinctive output — the exact contracts stay in
+    #    pytest (seeded-fit determinism + plumbing parity vs the
+    #    deterministic m8 path), rows-only is by construction --
     "m8_vocab_embedding_trained",
     # -- (5) headliners, every round --
     "flagship_feature_query",
@@ -269,8 +281,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- (7) oldest-first fill: oldest r6-green entries, alphabetical;
     #    the 4th slot executed its pre-declared swap (see the window
     #    comment): dedup_containment_superset LANDED this round, so
-    #    agg_histogram_quantiles returns to the r10 block --
-    "a3_hll_merge",
+    #    agg_histogram_quantiles returns to the r10 block; a3_hll_merge
+    #    (r6-green, staleness 3) released its slot mid-round to the
+    #    changed dedup_containment_prefix above and is due r10 --
     "a3_hll_portable",
     "agg_grouping_sets",
     "dedup_containment_superset",

@@ -1115,7 +1115,7 @@ FROM scored
 """
 
 
-@query("evt_rfm_segmentation", oracle=_RFM_ORACLE)
+@query("evt_rfm_segmentation", oracle=_RFM_ORACLE, bench=True)
 def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency/Frequency/Monetary quintile segmentation per user. The
     monetary metric folds as EXACT integer micro-units (the rounding
@@ -1245,7 +1245,7 @@ FROM s
 """
 
 
-@query("agg_winsorized_mean", oracle=_WINSOR_ORACLE)
+@query("agg_winsorized_mean", oracle=_WINSOR_ORACLE, bench=True)
 def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5%-winsorized group mean: exact interpolated bounds (the proven
     percentile/quantile_cont parity), then the order-independent clipped

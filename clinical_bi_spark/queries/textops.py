@@ -2295,7 +2295,7 @@ WHERE 10 * n_inter >= 9 * sa.sz
 """
 
 
-@query("dedup_containment_prefix", oracle=_CONTAINMENT_ORACLE)
+@query("dedup_containment_prefix", oracle=_CONTAINMENT_ORACLE, bench=True)
 def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIRECTED containment >= 0.9 self-join via prefix filtering: A's
     rarest-token prefix joins against the full inverted token list, the
@@ -2305,13 +2305,33 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless (the dedup-family contract). 100 TB shape: candidates via
     hash equi-join on rare tokens only; the B-side posting list is the
     full token relation but each candidate's key is an A-prefix token,
-    keeping hot tokens out of join keys."""
+    keeping hot tokens out of join keys.
+
+    r9 (after its first bench floor came in at 153 s): three levers —
+    (1) tokens flow as xxhash64 longs (u64 mode, injectivity-audited;
+    CLINICAL_BI_JACCARD_TOKENS=str reverts); (2) a LENGTH filter the r8
+    form lacked: |A∩B| <= |B|, so C(A,B) >= 9/10 needs 10*sb >= 9*sa,
+    integer-exact; (3) the two-sided POSITIONAL bound: the B posting
+    list now carries positions in B's own df-ordered list, and since
+    both lists share one global order, every shared token beyond the
+    LAST matched one sits after pa* in A and after pb* in B —
+    overlap <= n_matched + min(sa - pa*, sb - pb*), so candidates with
+    10*(n_matched + min(sa - pa*, sb - pb*)) < 9*sa are pruned before
+    the verify join ships any array. (The A-side-only bound is provably
+    VACUOUS here — pam <= prefix_len makes n_matched + sa - pam >=
+    ceil(tau*sa) whenever n_matched >= 1, which is exactly how the
+    prefix length is chosen — so the B side is load-bearing.) The
+    all-pairs oracle stays the losslessness proof; A/B in PERF.md r9."""
     t = load_tables(tune(spark), sf_dir)
     tau = _CONTAIN_T
     toks = t.documents.select(
         "doc_id",
         F.array_distinct(word_tokens(F.lower(F.col("text")))).alias("words"),
     ).filter(F.size("words") >= 1)
+    if _jaccard_u64_tokens():
+        toks = toks.select(
+            "doc_id", F.transform("words", lambda w: F.xxhash64(w)).alias("words")
+        )
     toks = persist_tracked(toks)
     tok = toks.select("doc_id", F.explode("words").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
@@ -2325,6 +2345,7 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            "ow",
             F.size("ow").alias("sz"),
             F.expr(
                 f"slice(ow, 1, size(ow) - CAST(ceil({tau} * size(ow)) AS INT)"
@@ -2332,17 +2353,35 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prefix"),
         )
     )
+    ordered = persist_tracked(ordered)
     a = ordered.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sa"),
-        F.explode("prefix").alias("w"),
-    )
-    b = tok.select(F.col("doc_id").alias("doc_b"), "w")
+        F.posexplode("prefix").alias("pos0", "w"),
+    ).withColumn("pa", F.col("pos0") + 1)
+    b = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sb"),
+        F.posexplode("ow").alias("pos0b", "w"),
+    ).withColumn("pb", F.col("pos0b") + 1)
     cand = (
         a.join(b, "w")
         .filter(F.col("doc_a") != F.col("doc_b"))
+        # length filter: overlap <= sb, so 10*sb >= 9*sa is necessary
+        .filter(F.lit(10) * F.col("sb") >= F.lit(9) * F.col("sa"))
+        .groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.max("pa").alias("pam"),
+            F.max("pb").alias("pbm"),
+        )
+        .withColumn(
+            "ub",
+            F.col("n_matched")
+            + F.least(F.col("sa") - F.col("pam"), F.col("sb") - F.col("pbm")),
+        )
+        .filter(F.lit(10) * F.col("ub") >= F.lit(9) * F.col("sa"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
     wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wsa"))
     wb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wsb"))
@@ -2409,6 +2448,10 @@ def dedup_containment_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(word_tokens(F.lower(F.col("text")))).alias("words"),
     ).filter(F.size("words") >= 1)
+    if _jaccard_u64_tokens():
+        toks = toks.select(
+            "doc_id", F.transform("words", lambda w: F.xxhash64(w)).alias("words")
+        )
     toks = persist_tracked(toks)
     tok = toks.select("doc_id", F.explode("words").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
@@ -2422,21 +2465,47 @@ def dedup_containment_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            "ow",
+            F.size("ow").alias("sz"),
             F.expr(
                 f"slice(ow, 1, size(ow) - CAST(ceil({tau} * size(ow)) AS INT)"
                 " + 1)"
             ).alias("prefix"),
         )
     )
+    ordered = persist_tracked(ordered)
+    # same candidate machinery as dedup_containment_prefix's r9 form:
+    # u64 tokens, the 10*s_sup >= 9*s_sub length filter, and the
+    # two-sided positional bound (see that query's docstring derivation)
     a = ordered.select(
-        F.col("doc_id").alias("doc_sub"), F.explode("prefix").alias("w")
-    )
-    b = tok.select(F.col("doc_id").alias("doc_sup"), "w")
+        F.col("doc_id").alias("doc_sub"),
+        F.col("sz").alias("s_sub"),
+        F.posexplode("prefix").alias("pos0", "w"),
+    ).withColumn("pa", F.col("pos0") + 1)
+    b = ordered.select(
+        F.col("doc_id").alias("doc_sup"),
+        F.col("sz").alias("s_sup"),
+        F.posexplode("ow").alias("pos0b", "w"),
+    ).withColumn("pb", F.col("pos0b") + 1)
     cand = (
         a.join(b, "w")
         .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .filter(F.lit(10) * F.col("s_sup") >= F.lit(9) * F.col("s_sub"))
+        .groupBy("doc_sub", "doc_sup", "s_sub", "s_sup")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.max("pa").alias("pam"),
+            F.max("pb").alias("pbm"),
+        )
+        .withColumn(
+            "ub",
+            F.col("n_matched")
+            + F.least(
+                F.col("s_sub") - F.col("pam"), F.col("s_sup") - F.col("pbm")
+            ),
+        )
+        .filter(F.lit(10) * F.col("ub") >= F.lit(9) * F.col("s_sub"))
         .select("doc_sub", "doc_sup")
-        .distinct()
     )
     wa = toks.select(F.col("doc_id").alias("doc_sub"), F.col("words").alias("wsa"))
     wb = toks.select(F.col("doc_id").alias("doc_sup"), F.col("words").alias("wsb"))

@@ -517,3 +517,31 @@ def test_sharded_rank_path_matches_window_path(spark, monkeypatch, name, key_col
     monkeypatch.setenv("CLINICAL_BI_SINGLE_PARTITION_RANK", "1")
     windowed = rows(REGISTRY[name].fn(spark, SF_ORACLE))
     assert sharded == windowed
+
+
+def test_ntile_from_rank_matches_sql_ntile_on_grid(spark):
+    """Exhaustive pin of the exact NTILE bucket arithmetic: for every
+    (N, k) on a grid spanning N < k, N = k, N % k == 0 and ragged
+    cases, ntile_from_rank over ranks 1..N must reproduce SQL NTILE(k)
+    bucket-for-bucket (first N mod k buckets one row larger)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from clinical_bi_spark.operators.ranking import ntile_from_rank
+
+    cases = [(n, k) for n in (1, 2, 3, 4, 5, 7, 8, 40, 41, 103) for k in (1, 2, 5, 8)]
+    for n, k in cases:
+        df = spark.range(1, n + 1).select(F.col("id").alias("rnk"))
+        got = {
+            r.rnk: r.nt
+            for r in df.select(
+                "rnk", ntile_from_rank(F.col("rnk"), F.lit(n), k).alias("nt")
+            ).collect()
+        }
+        exp = {
+            r.rnk: r.nt
+            for r in df.select(
+                "rnk", F.ntile(k).over(Window.orderBy("rnk")).alias("nt")
+            ).collect()
+        }
+        assert got == exp, (n, k)

@@ -545,3 +545,26 @@ def test_ntile_from_rank_matches_sql_ntile_on_grid(spark):
             ).collect()
         }
         assert got == exp, (n, k)
+
+
+def test_global_row_number_total_tie_stress(spark):
+    """Adversarial tie case: the primary order column is CONSTANT, so the
+    range partitioner and the rank both ride entirely on the tie-break
+    column — ranks must still be the unique 1..N permutation the window
+    form produces, across multiple partitions."""
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.operators.ranking import global_row_number
+
+    df = spark.range(0, 500).select(
+        F.lit(7).alias("metric"), F.col("id").alias("key")
+    )
+    got = {
+        r.key: r.rnk
+        for r in global_row_number(
+            df,
+            [F.col("metric").desc(), F.col("key")],
+            n_partitions=7,
+        ).collect()
+    }
+    assert got == {k: k + 1 for k in range(500)}

@@ -300,7 +300,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #: MUST lead the next round's window. tests/test_rotation_invariant.py
 #: fails if a never-adjudicated registry query is neither in the window
 #: nor listed here.
-_DEFERRED_NEW: tuple[str, ...] = ()
+_DEFERRED_NEW: tuple[str, ...] = (
+    # landed r9 AFTER the (full) window: the mergeable bottom-k quantile
+    # sketch — exact-oracled + error-bound/merge-property pytest evidence
+    # this round, first driver row due at the TOP of the r10 window
+    "sketch_bottomk_quantiles",
+)
 # Due FIRST in r10 (oldest-first): the 45 r6-green entries (staleness 4
 # at the r10 window commit) — a3_hll_merge / a3_hll_portable /
 # agg_grouping_sets / agg_histogram_quantiles already rotate here in r9's

@@ -880,3 +880,102 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch (r9): the sketch family's missing member — a
+# MERGEABLE quantile estimator. The sketch is the k rows with the
+# smallest engine-portable md5-u32 row hash: a uniform row sample that
+# merges by union-then-retake-bottom-k (associative, order-free), which
+# Spark executes as TakeOrderedAndProject (per-partition bottom-k + one
+# k-row merge — bounded state, corpus-size-independent, the
+# data_weighted_sample scale shape). Quantiles interpolate positions in
+# the SORTED sample with literal constants, so — like HLL-portable/KMV —
+# the approximate operator is EXACTLY adjudicable: DuckDB recomputes the
+# identical sample and arithmetic. Error contract (sample quantile vs
+# exact) and the merge property live in tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+
+_BKQ_K = 256
+# (quantile, 1-based lower element index, interpolation fraction) for
+# pos = q * (K - 1): 63.75, 127.5, 191.25, 242.25 (0-based)
+_BKQ_POINTS = (
+    ("p25", 64, 0.75),
+    ("p50", 128, 0.5),
+    ("p75", 192, 0.25),
+    ("p95", 243, 0.25),
+)
+
+_BKQ_HASH_SQL = _duck_md5_word(
+    "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    " || ':bkq'",
+    1,
+)
+
+_BKQ_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v, {_BKQ_HASH_SQL} AS hv
+  FROM lineitem
+), samp AS (
+  SELECT v FROM h ORDER BY hv, v LIMIT {_BKQ_K}
+), arr AS (
+  SELECT list(v ORDER BY v) AS vs FROM samp
+), n AS (
+  SELECT COUNT(*) AS n_rows FROM lineitem
+)
+SELECT CAST({_BKQ_K} AS INT) AS k,
+       CAST(n.n_rows AS BIGINT) AS n_rows,
+""" + ",\n".join(
+    f"       ROUND(vs[{i}] + {frac} * (vs[{i + 1}] - vs[{i}]), 6) AS {name}"
+    for name, i, frac in _BKQ_POINTS
+) + """
+FROM arr, n
+"""
+
+
+@query("sketch_bottomk_quantiles", oracle=_BKQ_ORACLE)
+def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch over l_extendedprice: keep the
+    k = 256 rows with the smallest md5-u32 row hash (uniform sample,
+    ties on the 32-bit hash broken by value — value-identical however
+    the cut falls), estimate p25/p50/p75/p95 by linear interpolation in
+    the sorted sample. TakeOrderedAndProject keeps per-partition state
+    at k rows and merges once; the exact row count rides a separate
+    partial-agg'd one-row aggregate (crossJoin(broadcast) of two 1-row
+    relations, the KMV pattern). Exactly oracle-checked despite being
+    an approximate estimator — determinism is the contract."""
+    from clinical_bi_spark.operators.dedup import _md5_word
+
+    t = load_tables(tune(spark), sf_dir)
+    h = t.lineitem.select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        _md5_word(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+                F.lit(":bkq"),
+            ),
+            1,
+        ).alias("hv"),
+    )
+    samp = h.orderBy("hv", "v").limit(_BKQ_K)
+    arr = samp.agg(F.sort_array(F.collect_list("v")).alias("vs"))
+    n = t.lineitem.agg(F.count("*").cast("bigint").alias("n_rows"))
+    vs = F.col("vs")
+    return (
+        arr.crossJoin(F.broadcast(n))
+        .select(
+            F.lit(_BKQ_K).cast("int").alias("k"),
+            "n_rows",
+            *[
+                F.round(
+                    F.element_at(vs, i)
+                    + F.lit(frac)
+                    * (F.element_at(vs, i + 1) - F.element_at(vs, i)),
+                    6,
+                ).alias(name)
+                for name, i, frac in _BKQ_POINTS
+            ],
+        )
+    )

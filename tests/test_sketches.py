@@ -219,3 +219,55 @@ def test_kmv_jaccard_within_theory_error(spark):
     r = load_all()["sketch_kmv_jaccard"].fn(spark, SF_ORACLE).collect()[0]
     assert r.k_eff == 256
     assert abs(r.est_jaccard - r.exact_jaccard) < 0.19, r
+
+
+# ---------------------------------------------------------------------------
+# r9: bottom-k quantile sketch — error contract + merge property
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_quantiles_error_within_sample_bound(spark):
+    """A k=256 uniform sample's rank error is ~1/sqrt(k) (~6%); assert
+    each estimated quantile's TRUE rank (fraction of the corpus below
+    the estimate) is within 0.08 of its target — the advertised bound
+    with headroom for the fixture."""
+    from clinical_bi_spark.queries import load_all
+
+    row = load_all()["sketch_bottomk_quantiles"].fn(spark, SF_ORACLE).first()
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    n = li.count()
+    for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)):
+        est = row[name]
+        true_rank = (
+            li.filter(F.col("l_extendedprice") <= est).count() / n
+        )
+        assert abs(true_rank - q) < 0.08, (name, est, true_rank)
+
+
+def test_bottomk_sample_is_mergeable(spark):
+    """The sketch's merge law: bottom-k of a union equals bottom-k of
+    the concatenated per-part bottom-ks — exact set equality, which is
+    what makes the sketch shard/tree-aggregate cleanly at 100 TB."""
+    from clinical_bi_spark.operators.dedup import _md5_word
+    from clinical_bi_spark.queries.sketchops import _BKQ_K
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    h = li.select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        _md5_word(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+                F.lit(":bkq"),
+            ),
+            1,
+        ).alias("hv"),
+        (F.col("l_orderkey") % 2).alias("part"),
+    )
+    whole = [(r.hv, r.v) for r in h.orderBy("hv", "v").limit(_BKQ_K).collect()]
+    parts = h.filter(F.col("part") == 0).orderBy("hv", "v").limit(_BKQ_K).unionAll(
+        h.filter(F.col("part") == 1).orderBy("hv", "v").limit(_BKQ_K)
+    )
+    merged = [(r.hv, r.v) for r in parts.orderBy("hv", "v").limit(_BKQ_K).collect()]
+    assert merged == whole

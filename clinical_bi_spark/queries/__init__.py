@@ -232,6 +232,19 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
                                   # first bench floor (153 s) demanded it;
                                   # changed code takes the slot a3_hll_merge
                                   # (r6-green, due r10) releases
+    # r9 degenerate-input sweep (the PMI zero-token lesson applied
+    # family-wide): ANSI DIVIDE_BY_ZERO crashes on zero-variance /
+    # single-class inputs fixed with try_divide (NULL on both engines —
+    # DuckDB's division already NULLs). The two slots below come from
+    # a3_hll_portable / agg_grouping_sets (r6-green, staleness 3, due
+    # r10). Also changed by the same sweep but WITHOUT a slot — the
+    # remaining window entries are all at the staleness ceiling and may
+    # not be displaced: m18_linreg_exact, agg_histogram_quantiles
+    # (both r7-green; guards are oracle-neutral on non-degenerate data,
+    # session oracles re-pass, degenerate tests added) — they are due
+    # FIRST in r10 alongside sketch_bottomk_quantiles.
+    "agg_stats_battery",
+    "agg_spearman_corr",
     # -- (3) the 31 r5-green exact entries at the staleness ceiling --
     "agg_rollup",
     "agg_salted_count",
@@ -281,11 +294,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- (7) oldest-first fill: oldest r6-green entries, alphabetical;
     #    the 4th slot executed its pre-declared swap (see the window
     #    comment): dedup_containment_superset LANDED this round, so
-    #    agg_histogram_quantiles returns to the r10 block; a3_hll_merge
-    #    (r6-green, staleness 3) released its slot mid-round to the
-    #    changed dedup_containment_prefix above and is due r10 --
-    "a3_hll_portable",
-    "agg_grouping_sets",
+    #    agg_histogram_quantiles returns to the r10 block. All three r6
+    #    fill entries (a3_hll_merge, a3_hll_portable, agg_grouping_sets;
+    #    staleness 3) released their slots mid-round to CHANGED code
+    #    (dedup_containment_prefix and the two degenerate-sweep fixes
+    #    above) and are due r10 --
     "dedup_containment_superset",
     # -- streaming LAST within the checked window (all four re-enter:
     #    streaming/stateful.py changes this round — eviction timeout

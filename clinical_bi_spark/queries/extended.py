@@ -454,8 +454,12 @@ def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
-    var_x = (sxx - sx * sx / n) / (F.col("n") - 1).cast("double")
-    cov = (sxy - sx * sy / n) / (F.col("n") - 1).cast("double")
+    # try_divide: a single-row group (n-1 = 0) or a zero-variance column
+    # makes these statistics undefined; DuckDB's division yields NULL
+    # there, ANSI Spark would throw DIVIDE_BY_ZERO — the r9 degenerate-
+    # input sweep (tests/test_analytics.py) pins NULL on both engines
+    var_x = F.try_divide(sxx - sx * sx / n, (F.col("n") - 1).cast("double"))
+    cov = F.try_divide(sxy - sx * sy / n, (F.col("n") - 1).cast("double"))
     return s.select(
         "l_returnflag",
         "n",
@@ -463,11 +467,11 @@ def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sy / n).alias("mean_price_usd"),
         F.sqrt(var_x).alias("stddev_qty"),
         cov.alias("covar_qty_price"),
-        (
-            (sxy - sx * sy / n)
-            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        F.try_divide(
+            sxy - sx * sy / n,
+            F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
         ).alias("corr_qty_price"),
-        ((sxy - sx * sy / n) / (sxx - sx * sx / n)).alias(
+        F.try_divide(sxy - sx * sy / n, sxx - sx * sx / n).alias(
             "regr_slope_price_on_qty"
         ),
     )
@@ -683,9 +687,11 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         g,
         "n",
-        (
-            (sxy - sx * sy / n)
-            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        # try_divide: zero rank variance (constant column / single row)
+        # is NULL on both engines, not an ANSI crash (r9 sweep)
+        F.try_divide(
+            sxy - sx * sy / n,
+            F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
         ).alias("spearman_rho"),
     )
 

@@ -667,13 +667,17 @@ def m18_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = nd * sxy - sx * sy
     var_x = nd * sxx - sx * sx
     var_y = nd * syy - sy * sy
-    slope = cov_n / var_x
+    # try_divide: a constant regressor (var_x = 0) makes the fit
+    # undefined — NULL on both engines, not an ANSI crash (r9 sweep)
+    slope = F.try_divide(cov_n, var_x)
     return m.select(
         "l_returnflag",
         "n",
         F.round(slope, 6).alias("slope_cents_per_unit"),
         F.round((sy - slope * sx) / nd, 6).alias("intercept_cents"),
-        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+        F.round(
+            F.try_divide(cov_n * cov_n, var_x * var_y), 6
+        ).alias("r2"),
     )
 
 

@@ -1283,8 +1283,13 @@ def m13_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count("*")
     pos_rank_sum = F.sum(F.when(F.col("label") == 1, F.col("rnk")).otherwise(0))
     return ranked.agg(
+        # try_divide: a single-class corpus (no positives or no
+        # negatives) has no AUC — NULL on both engines (r9 sweep)
         F.round(
-            (pos_rank_sum - (pos * (pos + 1)) / 2.0) / (pos * (n - pos)), 6
+            F.try_divide(
+                pos_rank_sum - (pos * (pos + 1)) / 2.0, pos * (n - pos)
+            ),
+            6,
         ).alias("auc"),
         pos.cast("bigint").alias("n_pos"),
         (n - pos).cast("bigint").alias("n_neg"),

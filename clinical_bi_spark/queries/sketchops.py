@@ -503,9 +503,13 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = li.crossJoin(F.broadcast(bounds)).select(
         F.least(
+            # try_divide: hi == lo (constant column) has bin width 0 —
+            # NULL bin on both engines, not an ANSI crash (r9 sweep)
             F.floor(
-                (F.col("l_extendedprice") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / F.lit(float(_HIST_BINS)))
+                F.try_divide(
+                    F.col("l_extendedprice") - F.col("lo"),
+                    (F.col("hi") - F.col("lo")) / F.lit(float(_HIST_BINS)),
+                )
             ).cast("double"),
             F.lit(float(_HIST_BINS - 1)),
         )
@@ -926,7 +930,12 @@ WITH h AS (
 SELECT CAST({_BKQ_K} AS INT) AS k,
        CAST(n.n_rows AS BIGINT) AS n_rows,
 """ + ",\n".join(
-    f"       ROUND(vs[{i}] + {frac} * (vs[{i + 1}] - vs[{i}]), 6) AS {name}"
+    # LEAST-clamped indices: a corpus smaller than k yields a sample of
+    # len(vs) < k rows; positions beyond it collapse onto the last
+    # element (identical clamp on the Spark side)
+    f"       ROUND(vs[LEAST({i}, len(vs))] + {frac}"
+    f" * (vs[LEAST({i + 1}, len(vs))] - vs[LEAST({i}, len(vs))]), 6)"
+    f" AS {name}"
     for name, i, frac in _BKQ_POINTS
 ) + """
 FROM arr, n
@@ -969,10 +978,17 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_BKQ_K).cast("int").alias("k"),
             "n_rows",
             *[
+                # LEAST-clamped indices: n_rows < k leaves a short
+                # sample; positions beyond it collapse onto the last
+                # element instead of throwing (mirrors the oracle's
+                # LEAST(i, len(vs)); r9 degenerate-input sweep)
                 F.round(
-                    F.element_at(vs, i)
+                    F.element_at(vs, F.least(F.lit(i), F.size(vs)))
                     + F.lit(frac)
-                    * (F.element_at(vs, i + 1) - F.element_at(vs, i)),
+                    * (
+                        F.element_at(vs, F.least(F.lit(i + 1), F.size(vs)))
+                        - F.element_at(vs, F.least(F.lit(i), F.size(vs)))
+                    ),
                     6,
                 ).alias(name)
                 for name, i, frac in _BKQ_POINTS

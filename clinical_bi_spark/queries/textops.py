@@ -168,7 +168,11 @@ _WORDSET = (
 )
 _JACCARD_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, source, {_WORDSET.format(col='text')} AS words FROM documents
+  SELECT doc_id, source, words
+  FROM (
+    SELECT doc_id, source, {_WORDSET.format(col='text')} AS words
+    FROM documents
+  ) WHERE len(words) >= 1
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          ROUND(len(list_filter(a.words, x -> list_contains(b.words, x)))::DOUBLE
@@ -187,13 +191,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by word-set Jaccard ≥ 0.8, blocked by
     source. Blocking bounds the pair space (the all-pairs form is
     quadratic); the unblocked scale path is MinHash LSH
-    (operators/dedup.py), which approximates exactly this measure."""
+    (operators/dedup.py), which approximates exactly this measure.
+
+    Zero-token documents are excluded from the pair space (r9, the PMI
+    zero-token lesson applied family-wide): two empty word sets in one
+    source block would make the Jaccard denominator 0 and crash under
+    ANSI mode where the oracle's double division would not — both
+    engines now agree the pair is undefined (pinned by
+    tests/test_textops.py::test_ngram_jaccard_zero_token_docs)."""
     t = load_tables(tune(spark), sf_dir)
     toks = t.documents.select(
         "doc_id",
         "source",
         F.array_distinct(word_tokens(F.lower(F.col("text")))).alias("words"),
-    )
+    ).filter(F.size("words") >= 1)
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
     union = (

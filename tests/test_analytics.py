@@ -568,3 +568,55 @@ def test_global_row_number_total_tie_stress(spark):
         ).collect()
     }
     assert got == {k: k + 1 for k in range(500)}
+
+
+def test_degenerate_inputs_yield_null_not_ansi_crash(spark, tmp_path):
+    """r9 family-wide sweep of the PMI zero-token lesson: zero-variance
+    columns, single-class labels, and sub-k corpora made five queries
+    throw ANSI DIVIDE_BY_ZERO / INVALID_ARRAY_INDEX where DuckDB's
+    division yields NULL. try_divide / LEAST-clamped indexing must make
+    every one return a row with NULL (or clamped) statistics instead of
+    crashing — matching the oracle engine's semantics."""
+    import datetime
+
+    orders = [
+        (i, 1, "O", 100.0, datetime.date(2024, 1, 1), "1-URGENT")
+        for i in range(8)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    li = [
+        (i, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", datetime.date(2024, 1, 2))
+        for i in range(8)
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    d = str(tmp_path)
+
+    stats = REGISTRY["agg_stats_battery"].fn(spark, d).collect()
+    assert len(stats) == 1 and stats[0].corr_qty_price is None
+
+    rho = REGISTRY["agg_spearman_corr"].fn(spark, d).collect()
+    assert len(rho) == 1 and rho[0].spearman_rho is None
+
+    lin = REGISTRY["m18_linreg_exact"].fn(spark, d).collect()
+    assert len(lin) == 1 and lin[0].slope_cents_per_unit is None
+
+    auc = REGISTRY["m13_auc_rank"].fn(spark, d).collect()
+    assert len(auc) == 1 and auc[0].auc is None  # no 'F' orders: one class
+
+    hist = REGISTRY["agg_histogram_quantiles"].fn(spark, d).collect()
+    assert len(hist) >= 1  # constant column: one NULL-bin row, no crash
+
+    bkq = REGISTRY["sketch_bottomk_quantiles"].fn(spark, d).first()
+    assert bkq.n_rows == 8
+    # sample smaller than k: every quantile clamps onto real elements
+    assert bkq.p25 == bkq.p95 == 100.0

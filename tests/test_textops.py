@@ -24,3 +24,25 @@ def test_adjacent_bigrams_zero_token_doc(spark):
         (r.w1, r.w2) for r in _adjacent_bigrams(df).collect()
     )
     assert rows == [("a", "b"), ("b", "c")]
+
+
+def test_ngram_jaccard_zero_token_docs(spark, tmp_path):
+    """r9 family-wide sweep of the PMI zero-token lesson: two empty
+    documents in one source block would give Jaccard 0/0 — ANSI Spark
+    crashed where DuckDB's double division would not. Both zero-token
+    docs must now be excluded from the pair space, and real pairs must
+    still emerge."""
+    from clinical_bi_spark.queries import load_all
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "s1", 16),
+            (2, "alpha beta gamma", "en", "s1", 16),
+            (3, "", "en", "s1", 0),
+            (4, "   ", "en", "s1", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = load_all()["dedup_ngram_jaccard"].fn(spark, str(tmp_path)).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]

@@ -569,6 +569,14 @@ def pq_topk(
     raw vectors are touched for rerank candidates only — the crossJoin
     carries (id, codes), and the embedding table is re-joined against the
     broadcast ≤ queries×rerank survivor set."""
+    actual_dim = corpus.select(F.size(emb_col)).first()[0]
+    if actual_dim != dim:
+        raise ValueError(
+            f"pq_topk configured for dim={dim} but {emb_col} vectors have "
+            f"dim={actual_dim}; pass dim explicitly (must be divisible by "
+            f"m={m}) — without this check the mismatch surfaces as an "
+            "opaque numpy broadcast error inside the ADC kernel"
+        )
     books = _pq_codebooks(corpus, id_col, emb_col, m, ksub, dim)
     codes = persist_tracked(
         pq_encode(corpus, books, id_col, emb_col).select("id", "codes")

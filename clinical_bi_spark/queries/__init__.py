@@ -240,8 +240,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # r10). Also changed by the same sweep but WITHOUT a slot — the
     # remaining window entries are all at the staleness ceiling and may
     # not be displaced: m18_linreg_exact, agg_histogram_quantiles
-    # (both r7-green; guards are oracle-neutral on non-degenerate data,
-    # session oracles re-pass, degenerate tests added) — they are due
+    # (r7-green), vec_pca_power_top1 (r8-green; try_divide on the
+    # component readout), sim_ann_pq (rows-only r8; dim-mismatch
+    # validation only) — guards are oracle-neutral on non-degenerate
+    # data, session oracles re-pass, degenerate tests added; all due
     # FIRST in r10 alongside sketch_bottomk_quantiles.
     "agg_stats_battery",
     "agg_spearman_corr",

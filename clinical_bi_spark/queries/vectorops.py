@@ -762,8 +762,11 @@ def vec_pca_power_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
+    # try_divide: a degenerate (all-zero) training sample drives the
+    # iterate to the zero vector — component undefined, NULL on both
+    # engines (DuckDB's division NULLs), not an ANSI crash (r9 sweep)
     return v_df.select(
-        F.posexplode(F.transform(F.col("v"), lambda el: el / norm))
+        F.posexplode(F.transform(F.col("v"), lambda el: F.try_divide(el, norm)))
     ).select(
         (F.col("pos") + 1).cast("int").alias("dim_idx"),
         F.col("col").alias("component"),

@@ -620,3 +620,35 @@ def test_degenerate_inputs_yield_null_not_ansi_crash(spark, tmp_path):
     assert bkq.n_rows == 8
     # sample smaller than k: every quantile clamps onto real elements
     assert bkq.p25 == bkq.p95 == 100.0
+
+
+def test_degenerate_vectors_yield_null_or_clear_error(spark, tmp_path):
+    """r9 sweep, vector family: an all-zero training sample drives the
+    PCA iterate to the zero vector — components must be NULL on both
+    engines, not an ANSI crash; and a PQ dim mismatch must raise a clear
+    ValueError instead of an opaque numpy broadcast error."""
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    rows = [(i, [0.0] * 8, i % 2) for i in range(20)]
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = REGISTRY["vec_pca_power_top1"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 64 and all(r.component is None for r in out)
+    with _pytest.raises(ValueError, match="dim=8"):
+        REGISTRY["sim_ann_pq"].fn(spark, str(tmp_path)).collect()

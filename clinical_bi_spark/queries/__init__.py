@@ -242,9 +242,16 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # not be displaced: m18_linreg_exact, agg_histogram_quantiles
     # (r7-green), vec_pca_power_top1 (r8-green; try_divide on the
     # component readout), sim_ann_pq (rows-only r8; dim-mismatch
-    # validation only) — guards are oracle-neutral on non-degenerate
-    # data, session oracles re-pass, degenerate tests added; all due
-    # FIRST in r10 alongside sketch_bottomk_quantiles.
+    # validation only), m6_one_hot (r6-green; get()+coalesce(0) slot
+    # extraction, semantically exact) — guards are oracle-neutral on
+    # non-degenerate data, session oracles re-pass, degenerate tests
+    # added; all due FIRST in r10 alongside sketch_bottomk_quantiles
+    # and the deferred rows-only rotation (m9_mlp_train_eval,
+    # a3_approx_count_distinct). data_mixture_sample's loud ANSI cast
+    # failure on malformed source names is INTENTIONAL and kept: the
+    # source-number weight map is a data contract, and silently
+    # null-weighting corrupt source names at 100 TB would hide the
+    # corruption (r9 sweep finding, documented not "fixed").
     "agg_stats_battery",
     "agg_spearman_corr",
     # -- (3) the 31 r5-green exact entries at the staleness ceiling --
@@ -290,9 +297,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- (5) headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- (6) stale rows-only rotation (r7 rows) --
-    "m9_mlp_train_eval",
-    "a3_approx_count_distinct",
+    # -- (6) two more r9 degenerate-sweep fixes (changed code, exact
+    #    oracles): A-Res weighted sampling now excludes zero-weight docs
+    #    on both engines; confusion metrics try_divide. They take the
+    #    two rows-only-rotation slots (m9_mlp_train_eval /
+    #    a3_approx_count_distinct, r7 rows-only, deferred to r10):
+    #    changed code outranks re-rotating a rows-only row, by the
+    #    priority order this comment block states --
+    "data_weighted_sample",
+    "m15_confusion_metrics",
     # -- (7) oldest-first fill: oldest r6-green entries, alphabetical;
     #    the 4th slot executed its pre-declared swap (see the window
     #    comment): dedup_containment_superset LANDED this round, so

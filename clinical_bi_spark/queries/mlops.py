@@ -169,8 +169,18 @@ def m6_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey",
         "priority_code",
-        *[prio[i].cast("int").alias(f"prio_{i}") for i in range(5)],
-        *[status[i].cast("int").alias(f"status_{i}") for i in range(3)],
+        # get() + coalesce(0): a category slot the fit never saw means
+        # the indicator is 0 for every row — semantically exact, and it
+        # keeps a degenerate single-category corpus from an OOB crash
+        # (r9 sweep; indices are 0-based for get())
+        *[
+            F.coalesce(F.get(prio, F.lit(i)), F.lit(0.0)).cast("int").alias(f"prio_{i}")
+            for i in range(5)
+        ],
+        *[
+            F.coalesce(F.get(status, F.lit(i)), F.lit(0.0)).cast("int").alias(f"status_{i}")
+            for i in range(3)
+        ],
     )
 
 
@@ -467,10 +477,18 @@ def m15_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").cast("bigint").alias("fp"),
         F.col("fn").cast("bigint").alias("fn"),
         F.col("tn").cast("bigint").alias("tn"),
-        (tp / (tp + fp)).alias("precision"),
-        (tp / (tp + fn)).alias("recall"),
-        ((F.lit(2) * F.col("tp")).cast("double") / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")).alias("f1"),
-        ((F.col("tp") + F.col("tn")).cast("double") / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).cast("double")).alias("accuracy"),
+        # try_divide: a class absent from the corpus zeroes a metric's
+        # denominator — NULL on both engines, not an ANSI crash (r9 sweep)
+        F.try_divide(tp, tp + fp).alias("precision"),
+        F.try_divide(tp, tp + fn).alias("recall"),
+        F.try_divide(
+            (F.lit(2) * F.col("tp")).cast("double"),
+            (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+        ).alias("f1"),
+        F.try_divide(
+            (F.col("tp") + F.col("tn")).cast("double"),
+            (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).cast("double"),
+        ).alias("accuracy"),
     )
 
 

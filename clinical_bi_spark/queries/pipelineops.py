@@ -513,6 +513,7 @@ WITH w AS (
          ({_U32_SQL.format(key="doc_id::VARCHAR || ':wrs'")} + 1)
            / 4294967296.0 AS u
   FROM documents
+  WHERE length(text) > 0
 ), k AS (
   SELECT doc_id, weight, -ln(u) / weight AS pk FROM w
 ), r AS (
@@ -545,7 +546,10 @@ def data_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _u32(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))) + 1
     ) / F.lit(_U32_DENOM)
     weight = F.length("text").cast("bigint")
-    keyed = t.documents.select(
+    # zero-weight (empty) documents have sampling probability 0 BY
+    # DEFINITION — excluded up front on both engines rather than letting
+    # -ln(u)/0 throw under ANSI where DuckDB would NULL (r9 sweep)
+    keyed = t.documents.filter(F.length("text") > 0).select(
         "doc_id",
         weight.alias("weight"),
         (-F.log(u) / weight.cast("double")).alias("pk"),

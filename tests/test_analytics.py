@@ -652,3 +652,43 @@ def test_degenerate_vectors_yield_null_or_clear_error(spark, tmp_path):
     assert len(out) == 64 and all(r.component is None for r in out)
     with _pytest.raises(ValueError, match="dim=8"):
         REGISTRY["sim_ann_pq"].fn(spark, str(tmp_path)).collect()
+
+
+def test_degenerate_eval_and_sampling(spark, tmp_path):
+    """r9 sweep, third batch: single-class corpora zero the confusion-
+    metric denominators (NULL, not crash); zero-weight documents are
+    excluded from the weighted sample by definition; a single-category
+    one-hot fit yields 0 indicators for unseen slots instead of an OOB
+    crash."""
+    import datetime
+
+    orders = [
+        (i, 1, "O", 100.0, datetime.date(2024, 1, 1), "1-URGENT")
+        for i in range(8)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    docs = [
+        (1, "hello world", "en", "s1", 11),
+        (2, "", "en", "s1", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    d = str(tmp_path)
+
+    m15 = REGISTRY["m15_confusion_metrics"].fn(spark, d).first()
+    # all-positive labels, no positive predictions: precision = 0/0 is
+    # undefined (NULL); recall = 0/8 is a defined 0.0
+    assert m15.tp == 0 and m15.precision is None and m15.recall == 0.0
+
+    wrs = REGISTRY["data_weighted_sample"].fn(spark, d).collect()
+    assert [r.doc_id for r in wrs] == [1]  # empty doc never sampled
+
+    oh = REGISTRY["m6_one_hot"].fn(spark, d).collect()
+    assert len(oh) == 8
+    assert all(r.prio_4 == 1 and r.prio_0 == 0 for r in oh)

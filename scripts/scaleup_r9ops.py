@@ -13,9 +13,14 @@ Rows:
 * m13_auc_rank — sharded global rank over the replicated orders fact.
 * agg_equidepth_histogram — sharded per-group rank over replicated
   lineitem (3 groups: the low-cardinality-partition regime).
+* dedup_containment_prefix / dedup_containment_superset — the r9
+  rebuilt forms (u64 + length filter + two-sided positional bound),
+  at the document multipliers CBS_R9_DOC_MULTS (default 1,4: the r8
+  form was already disk-heavy at x1-equivalent volume; these rows
+  record the new forms' growth curve on linkage-replicated docs).
 
 Usage: python scripts/scaleup_r9ops.py [sf_dir]
-Env:   CBS_R9_MULTS=1,10,50
+Env:   CBS_R9_MULTS=1,10,50   CBS_R9_DOC_MULTS=1,4
 """
 
 from __future__ import annotations
@@ -28,9 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from types import SimpleNamespace
 
 from clinical_bi_spark.queries import events as events_mod
-from clinical_bi_spark.queries import extended, relational
+from clinical_bi_spark.queries import extended, relational, textops
 from clinical_bi_spark.session import get_spark, warm
 from clinical_bi_spark.sources import normalize_events
+from scripts.scaleup_linkage import replicate
 from scripts.scaleup_r7ops import _replicated
 from scripts.scaleup_r8ops import _time
 
@@ -91,6 +97,33 @@ def main() -> None:
         li.unpersist()
 
         print(f"x{mult}", row, flush=True)
+
+    docs_base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs_base.count()
+    doc_mults = tuple(
+        int(m)
+        for m in os.environ.get("CBS_R9_DOC_MULTS", "1,4").split(",")
+    )
+    for mult in doc_mults:
+        docs = (
+            replicate(
+                docs_base.select("doc_id", "text"), mult, "doc_id", "text",
+                100_000_000,
+            )
+            .repartition(par)
+            .persist()
+        )
+        docs.count()
+        t_docs = SimpleNamespace(documents=docs)
+        row = {"docs": n_docs * mult}
+        row["contain_sec"], row["contain_pairs"] = _time(
+            textops, textops.dedup_containment_prefix, spark, t_docs
+        )
+        row["superset_sec"], row["superset_rows"] = _time(
+            textops, textops.dedup_containment_superset, spark, t_docs
+        )
+        docs.unpersist()
+        print(f"docs x{mult}", row, flush=True)
 
 
 if __name__ == "__main__":

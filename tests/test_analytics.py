@@ -692,3 +692,19 @@ def test_degenerate_eval_and_sampling(spark, tmp_path):
     oh = REGISTRY["m6_one_hot"].fn(spark, d).collect()
     assert len(oh) == 8
     assert all(r.prio_4 == 1 and r.prio_0 == 0 for r in oh)
+
+
+def test_global_row_number_empty_and_single_row(spark):
+    """Boundary pins for the sharded rank: an empty relation yields an
+    empty (schema-stable) result, a single row ranks 1 — no NPE from the
+    empty offsets frame, no clamp failure."""
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.operators.ranking import global_row_number
+
+    empty = spark.range(0).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    out = global_row_number(empty, [F.col("v"), F.col("k")])
+    assert out.count() == 0 and "rnk" in out.columns
+
+    one = spark.range(1).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    assert [r.rnk for r in global_row_number(one, [F.col("v"), F.col("k")]).collect()] == [1]

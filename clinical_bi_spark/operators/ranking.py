@@ -74,6 +74,14 @@ def global_row_number(
     ``partition_by`` are column NAMES (needed as pandas group keys) and
     must be low-cardinality — per-(partition, group) counts are collected
     to the driver (one long each).
+
+    NULL group keys are handled explicitly (r9 ADVICE): SQL's
+    ROW_NUMBER() OVER (PARTITION BY g ...) puts NULLs in their own
+    partition, so the local cumcount groups with ``dropna=False``, the
+    pandas bookkeeping normalizes NaN/NaT keys to ``None`` (NaN is
+    unusable as a dict key — NaN != NaN breaks lookups), and the offset
+    join is null-safe (``<=>``); a plain equi-join would drop null-key
+    rows' offsets and silently restart their ranks per partition.
     """
     import pandas as pd
 
@@ -97,9 +105,15 @@ def global_row_number(
                 yield pdf.assign(__local_rn=pd.Series([], dtype="int64"))
                 continue
             if part_cols:
-                base = pdf.groupby(part_cols, sort=False).cumcount() + 1
+                base = (
+                    pdf.groupby(part_cols, sort=False, dropna=False).cumcount()
+                    + 1
+                )
+                # NaN/NaT -> None so tuples are stable dict keys
+                kdf = pdf[part_cols].astype(object)
+                kdf = kdf.where(kdf.notna(), None)
                 keys = pd.Series(
-                    list(pdf[part_cols].itertuples(index=False, name=None)),
+                    list(kdf.itertuples(index=False, name=None)),
                     index=pdf.index,
                 )
                 offs = keys.map(lambda k: seen.get(k, 0)).astype("int64")
@@ -136,13 +150,114 @@ def global_row_number(
         + [StructField("__offset", LongType(), True)]
     )
     off_df = spark.createDataFrame(offsets or [], off_schema)
-    joined = local.join(F.broadcast(off_df), ["__pid", *part_cols], "left")
+    if part_cols:
+        # null-safe offset join: NULL group keys are a real rank partition
+        off_df = off_df.select(
+            F.col("__pid").alias("__o_pid"),
+            *[F.col(c).alias(f"__o_{c}") for c in part_cols],
+            "__offset",
+        )
+        cond = F.col("__pid") == F.col("__o_pid")
+        for c in part_cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+        joined = local.join(F.broadcast(off_df), cond, "left").drop(
+            "__o_pid", *[f"__o_{c}" for c in part_cols]
+        )
+    else:
+        joined = local.join(F.broadcast(off_df), ["__pid"], "left")
     return joined.withColumn(
         out_col,
         (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local_rn")).cast(
             "bigint"
         ),
     ).drop("__pid", "__local_rn", "__offset")
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_by: list[Column],
+    value_cols: list[str],
+    out_cols: list[str],
+    *,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append inclusive running totals ``out_cols[i] = SUM(value_cols[i])
+    OVER (ORDER BY order_by)`` without a SinglePartition window — the
+    cumsum generalization of :func:`global_row_number` (same shard
+    decomposition: prefix sums distribute because addition is
+    associative).
+
+    1. range-partition + sort by ``order_by`` (must be a total order);
+    2. local cumulative sums per partition (narrow ``mapInPandas``,
+       carried across Arrow batches);
+    3. per-partition TOTALS of each value col to the driver — one long
+       per (partition, value col), bounded driver state;
+    4. broadcast exclusive prefix offsets back; global running total =
+       offset + local cumsum.
+
+    ``value_cols`` must be integer-typed (bigint running totals — the
+    exact-arithmetic contract of the callers); NULLs count as 0 locally
+    and are skipped by the Spark-side totals, which agree.
+    """
+    import pandas as pd
+
+    from clinical_bi_spark.caching import persist_tracked
+
+    spark = df.sparkSession
+    np_ = n_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(np_, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    cum_cols = [f"__cum_{c}" for c in value_cols]
+
+    def local_cum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = dict.fromkeys(value_cols, 0)
+        for pdf in it:
+            out = {}
+            for c, cc in zip(value_cols, cum_cols):
+                if len(pdf):
+                    cs = (
+                        pdf[c].fillna(0).astype("int64").cumsum() + carry[c]
+                    ).astype("int64")
+                    carry[c] = int(cs.iloc[-1])
+                else:
+                    cs = pd.Series([], dtype="int64")
+                out[cc] = cs
+            yield pdf.assign(**out)
+
+    schema = StructType(
+        list(ranged.schema.fields)
+        + [StructField(cc, LongType()) for cc in cum_cols]
+    )
+    # persist: the totals job and the final job must see one partition layout
+    local = persist_tracked(ranged.mapInPandas(local_cum, schema=schema))
+    totals = local.groupBy("__pid").agg(
+        *[F.sum(c).alias(c) for c in value_cols]
+    ).collect()
+    acc = dict.fromkeys(value_cols, 0)
+    offsets = []
+    for r in sorted(totals, key=lambda row: row["__pid"]):
+        offsets.append((r["__pid"], *[acc[c] for c in value_cols]))
+        for c in value_cols:
+            acc[c] += int(r[c] or 0)
+    off_schema = StructType(
+        [StructField("__pid", local.schema["__pid"].dataType, True)]
+        + [StructField(f"__off_{c}", LongType(), True) for c in value_cols]
+    )
+    off_df = spark.createDataFrame(offsets or [], off_schema)
+    joined = local.join(F.broadcast(off_df), ["__pid"], "left")
+    for c, cc, oc in zip(value_cols, cum_cols, out_cols):
+        joined = joined.withColumn(
+            oc,
+            (
+                F.coalesce(F.col(f"__off_{c}"), F.lit(0)) + F.col(cc)
+            ).cast("bigint"),
+        )
+    return joined.drop(
+        "__pid", *cum_cols, *[f"__off_{c}" for c in value_cols]
+    )
 
 
 def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:

@@ -1441,3 +1441,181 @@ def agg_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ci")[0], 4).alias("ci_lo"),
         F.round(F.col("ci")[1], 4).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient per group — inequality of the price distribution, the
+# rank-sum identity G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n over ascending
+# x. SUM(i*x_i) is invariant to tie ordering (equal x within a tie), but
+# both engines use the same (value, orderkey, linenumber) total order
+# anyway. EXACT integer sums (cents; the rank*cents product in
+# DECIMAL(19,0)*DECIMAL(19,0) -> DECIMAL(38,0), headroom past 1e12 rows x
+# 1e7-cent values = 1e31 << 1e38), then one identically-associated double
+# expression — bit-identical across engines, the agg_stats_battery
+# contract. Reuses the r9-graduated sharded rank (one range exchange,
+# never a SinglePartition sort).
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                    l_orderkey, l_linenumber
+         ) AS rn
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s_cents,
+         SUM(CAST(rn AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS si
+  FROM r GROUP BY l_returnflag
+)
+SELECT l_returnflag AS l_returnflag,
+       n AS n,
+       CASE WHEN s_cents <> 0 THEN
+         ROUND(2.0 * CAST(si AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(s_cents AS DOUBLE))
+               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 9)
+       END AS gini
+FROM s
+"""
+
+
+@query("agg_gini_coefficient", oracle=_GINI_ORACLE)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Gini coefficient of l_extendedprice via the rank-sum
+    identity, EXACTLY oracled (see _GINI_ORACLE). The global ascending
+    rank per group comes from
+    :func:`clinical_bi_spark.operators.ranking.global_row_number` — the
+    sharded prefix-sum rank graduated in r9 (range exchange + narrow
+    local cumcount + broadcast offsets; 3 groups x n_partitions longs of
+    driver state), so the plan scales where ROW_NUMBER() OVER a 3-value
+    PARTITION BY cannot. All-zero prices yield NULL (not an ANSI crash)
+    on both engines — the r9 degenerate-sweep contract."""
+    from clinical_bi_spark.operators.ranking import global_row_number
+
+    t = load_tables(tune(spark), sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    base = t.lineitem.select(
+        "l_returnflag", cents.alias("cents"), "l_orderkey", "l_linenumber"
+    )
+    ranked = global_row_number(
+        base,
+        [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
+        partition_by=["l_returnflag"],
+        out_col="rn",
+    )
+    s = ranked.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s_cents"),
+        F.sum(
+            F.col("rn").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("si"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s_cents").cast("double")
+    si_d = F.col("si").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.when(
+            F.col("s_cents") != 0,
+            F.round(
+                F.lit(2.0) * si_d / (n_d * s_d)
+                - (n_d + F.lit(1.0)) / n_d,
+                9,
+            ),
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance between the open ('O') and
+# finished ('F') l_linestatus price distributions: D = max over values of
+# |ECDF_1(x) - ECDF_2(x)|. Per-distinct-value cohort counts (one shuffle
+# on the value), then the sharded running total (global_prefix_sums, no
+# SinglePartition window), then one max-abs aggregate over exact-integer-
+# derived doubles. An empty cohort NULLs D on both engines (try_divide /
+# NULLIF), and an empty relation yields the same single NULL row.
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM lineitem
+  GROUP BY 1
+), n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM v
+), c AS (
+  SELECT SUM(c1) OVER (ORDER BY cents) AS k1,
+         SUM(c2) OVER (ORDER BY cents) AS k2
+  FROM v
+)
+SELECT (SELECT n1 FROM n) AS n1,
+       (SELECT n2 FROM n) AS n2,
+       (SELECT ROUND(MAX(ABS(
+            CAST(k1 AS DOUBLE)
+              / NULLIF(CAST((SELECT n1 FROM n) AS DOUBLE), 0.0)
+          - CAST(k2 AS DOUBLE)
+              / NULLIF(CAST((SELECT n2 FROM n) AS DOUBLE), 0.0))), 9)
+        FROM c) AS ks_d
+"""
+
+
+@query("agg_ks_two_sample", oracle=_KS_ORACLE)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic, oracled against DuckDB's window
+    cumsum. The ECDFs need a running total over the ordered distinct
+    values — at 100 TB that is still millions of distinct prices, so the
+    cumulative counts come from
+    :func:`clinical_bi_spark.operators.ranking.global_prefix_sums`
+    (range exchange + local cumsum + broadcast per-partition offsets;
+    driver state = 2 longs per partition) instead of an unpartitioned
+    window. D compares doubles derived from exact integer counts with
+    identical association on both engines."""
+    from clinical_bi_spark.operators.ranking import global_prefix_sums
+
+    t = load_tables(tune(spark), sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    v = persist_tracked(
+        t.lineitem.groupBy(cents.alias("cents")).agg(
+            F.sum(
+                F.when(F.col("l_linestatus") == "O", 1).otherwise(0)
+            ).cast("bigint").alias("c1"),
+            F.sum(
+                F.when(F.col("l_linestatus") == "F", 1).otherwise(0)
+            ).cast("bigint").alias("c2"),
+        )
+    )
+    cum = global_prefix_sums(
+        v, [F.col("cents")], ["c1", "c2"], ["k1", "k2"]
+    )
+    n = v.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.try_divide(
+                        F.col("k1").cast("double"), F.col("n1").cast("double")
+                    )
+                    - F.try_divide(
+                        F.col("k2").cast("double"), F.col("n2").cast("double")
+                    )
+                )
+            ),
+            9,
+        ).alias("ks_d")
+    )
+    return n.crossJoin(F.broadcast(d)).select("n1", "n2", "ks_d")

@@ -708,3 +708,99 @@ def test_global_row_number_empty_and_single_row(spark):
 
     one = spark.range(1).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
     assert [r.rnk for r in global_row_number(one, [F.col("v"), F.col("k")]).collect()] == [1]
+
+
+def test_global_row_number_null_group_keys(spark):
+    """r9 ADVICE: NULL partition_by keys must rank as their own group —
+    dropna grouping NaN'd the cumcount and the plain offset equi-join
+    restarted null-key ranks per partition. Differential vs the window
+    form on a relation where a third of the keys are NULL."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from clinical_bi_spark.operators.ranking import global_row_number
+
+    df = spark.range(300).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("g"),
+        (F.col("id") * 37 % 101).alias("v"),
+        F.col("id").alias("k"),
+    )
+    got = {
+        (r.g, r.k): r.rnk
+        for r in global_row_number(
+            df, [F.col("v"), F.col("k")], partition_by=["g"], n_partitions=7
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = {
+        (r.g, r.k): r.rnk
+        for r in df.select("g", "k", F.row_number().over(w).alias("rnk")).collect()
+    }
+    assert got == want
+
+
+def test_global_prefix_sums_matches_window_and_boundaries(spark):
+    """The sharded running total (global_prefix_sums) is value-identical
+    to SUM() OVER (ORDER BY ...) — including NULL values (count as 0) —
+    and survives the empty and single-row relations."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from clinical_bi_spark.operators.ranking import global_prefix_sums
+
+    df = spark.range(500).select(
+        (F.col("id") * 53 % 997).alias("o"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(F.col("id") % 7).alias("a"),
+        (F.col("id") % 5 - 2).alias("b"),  # negative values too
+    )
+    got = {
+        r.o: (r.ka, r.kb)
+        for r in global_prefix_sums(
+            df, [F.col("o")], ["a", "b"], ["ka", "kb"], n_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("o").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.o: (r.ka, r.kb)
+        for r in df.select(
+            "o",
+            F.sum(F.coalesce("a", F.lit(0))).over(w).alias("ka"),
+            F.sum(F.coalesce("b", F.lit(0))).over(w).alias("kb"),
+        ).collect()
+    }
+    assert got == want
+
+    empty = spark.range(0).select(F.col("id").alias("o"), F.lit(1).alias("a"))
+    out = global_prefix_sums(empty, [F.col("o")], ["a"], ["ka"])
+    assert out.count() == 0 and "ka" in out.columns
+
+    one = spark.range(1).select(F.col("id").alias("o"), F.lit(5).alias("a"))
+    assert [r.ka for r in global_prefix_sums(one, [F.col("o")], ["a"], ["ka"]).collect()] == [5]
+
+
+def test_degenerate_gini_and_ks(spark, tmp_path):
+    """r10 additions inherit the degenerate-corpus contract at birth:
+    all-zero prices NULL the Gini (not an ANSI crash); a single-status
+    corpus (no 'F' rows) NULLs the KS distance on both engines."""
+    import datetime
+
+    li = [
+        (i, 1, 1, 1, 1.0, 0.0, 0.0, 0.0, "N", "O", datetime.date(2024, 1, 2))
+        for i in range(8)
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    d = str(tmp_path)
+
+    gini = REGISTRY["agg_gini_coefficient"].fn(spark, d).collect()
+    assert len(gini) == 1 and gini[0].n == 8 and gini[0].gini is None
+
+    ks = REGISTRY["agg_ks_two_sample"].fn(spark, d).first()
+    assert ks.n1 == 8 and ks.n2 == 0 and ks.ks_d is None

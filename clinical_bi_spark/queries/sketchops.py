@@ -981,13 +981,18 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # LEAST-clamped indices: n_rows < k leaves a short
                 # sample; positions beyond it collapse onto the last
                 # element instead of throwing (mirrors the oracle's
-                # LEAST(i, len(vs)); r9 degenerate-input sweep)
+                # LEAST(i, len(vs)); r9 degenerate-input sweep).
+                # F.get (0-based, NULL out of bounds) rather than
+                # element_at: an EMPTY relation clamps the index to 0,
+                # where element_at raises ANSI INVALID_ARRAY_INDEX while
+                # the oracle's vs[0] is NULL — get(-1) is the matching
+                # NULL (r10, ADVICE)
                 F.round(
-                    F.element_at(vs, F.least(F.lit(i), F.size(vs)))
+                    F.get(vs, F.least(F.lit(i), F.size(vs)) - 1)
                     + F.lit(frac)
                     * (
-                        F.element_at(vs, F.least(F.lit(i + 1), F.size(vs)))
-                        - F.element_at(vs, F.least(F.lit(i), F.size(vs)))
+                        F.get(vs, F.least(F.lit(i + 1), F.size(vs)) - 1)
+                        - F.get(vs, F.least(F.lit(i), F.size(vs)) - 1)
                     ),
                     6,
                 ).alias(name)

@@ -1543,9 +1543,12 @@ WHERE CAST(n_inter AS DOUBLE)
 #: odds: a vocabulary of V distinct tokens collides somewhere with
 #: P <= V^2 / 2^65 (birthday bound) — ~3e-9 even at V = 1e5 (the bench
 #: corpus) and ~0.05 at V = 1e9 (a 100 TB corpus), which is why the
-#: audit is a per-run certificate rather than an assumption; on audit
-#: failure fall back to CLINICAL_BI_JACCARD_TOKENS=str (identical
-#: machinery on raw strings; also the A/B baseline).
+#: audit is a per-run certificate rather than an assumption. As of r10
+#: the certificate is issued INSIDE every u64-mode query
+#: (audited_token_relation below — ADVICE medium): on audit failure the
+#: query automatically falls back to string tokens (identical machinery
+#: on raw strings; also the A/B baseline) with a RuntimeWarning;
+#: CLINICAL_BI_JACCARD_TOKENS=str forces the string form outright.
 JACCARD_TOKEN_MODE_ENV = "CLINICAL_BI_JACCARD_TOKENS"
 
 
@@ -1553,6 +1556,57 @@ def _jaccard_u64_tokens() -> bool:
     import os
 
     return os.environ.get(JACCARD_TOKEN_MODE_ENV, "u64") != "str"
+
+
+#: Test seam: when set, replaces xxhash64 as BOTH the audited and the
+#: join-key token hash, so a forged collision exercises the real
+#: fallback path (tests/test_dedup.py monkeypatches this to a
+#: deliberately colliding function; production never sets it).
+_TOKEN_HASH_OVERRIDE = None
+
+
+def _token_hash_fn():
+    return _TOKEN_HASH_OVERRIDE or F.xxhash64
+
+
+def audited_token_relation(toks: DataFrame) -> DataFrame:
+    """Resolve the token-mode contract PER RUN (r10; ADVICE medium): the
+    u64 mode's exactness rests on the per-corpus injectivity certificate,
+    so the certificate must be issued inside the query, not only in tests.
+
+    * str mode: persist and return the string tokens unchanged.
+    * u64 mode: persist the string tokens, run ``jaccard_token_audit``
+      on THIS corpus (one cheap aggregate over the already-persisted
+      relation), and only on a clean certificate hash the arrays
+      (persisted — candidates and verify both consume them). On a
+      collision (count(DISTINCT token) != count(DISTINCT hash)) fall
+      back to the string tokens with a loud RuntimeWarning — exactly the
+      ``CLINICAL_BI_JACCARD_TOKENS=str`` behavior the docstrings
+      promise, made automatic. The fallback is pinned end-to-end by
+      tests/test_dedup.py's forged-collision test.
+    """
+    if not _jaccard_u64_tokens():
+        return persist_tracked(toks)
+    toks = persist_tracked(toks)
+    hash_fn = _token_hash_fn()
+    n_tok, n_hash = jaccard_token_audit(toks, hash_fn=hash_fn)
+    if n_tok != n_hash:
+        import warnings
+
+        warnings.warn(
+            "u64 token-mode injectivity audit FAILED on this corpus "
+            f"({n_tok} distinct tokens -> {n_hash} distinct hashes): "
+            "falling back to string tokens (identical machinery, exact "
+            f"output); set {JACCARD_TOKEN_MODE_ENV}=str to silence",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return toks
+    return persist_tracked(
+        toks.select(
+            "doc_id", F.transform("words", lambda w: hash_fn(w)).alias("words")
+        )
+    )
 
 
 def jaccard_token_audit(toks: DataFrame, hash_fn=None) -> tuple[int, int]:
@@ -1704,11 +1758,9 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("words") >= 1)
     )
-    if _jaccard_u64_tokens():
-        toks = toks.select(
-            "doc_id", F.transform("words", lambda w: F.xxhash64(w)).alias("words")
-        )
-    toks = persist_tracked(toks)
+    # u64 mode hashes ONLY behind a clean per-run injectivity certificate
+    # (audit inside the query; auto-fallback to strings on a collision)
+    toks = audited_token_relation(toks)
     cand = _jaccard_prefix_candidates(toks, tau, positional=True)
     wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wsa"))
     wb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wsb"))
@@ -2339,11 +2391,9 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(word_tokens(F.lower(F.col("text")))).alias("words"),
     ).filter(F.size("words") >= 1)
-    if _jaccard_u64_tokens():
-        toks = toks.select(
-            "doc_id", F.transform("words", lambda w: F.xxhash64(w)).alias("words")
-        )
-    toks = persist_tracked(toks)
+    # u64 mode hashes ONLY behind a clean per-run injectivity certificate
+    # (audit inside the query; auto-fallback to strings on a collision)
+    toks = audited_token_relation(toks)
     tok = toks.select("doc_id", F.explode("words").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
     ordered = (
@@ -2459,11 +2509,9 @@ def dedup_containment_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(word_tokens(F.lower(F.col("text")))).alias("words"),
     ).filter(F.size("words") >= 1)
-    if _jaccard_u64_tokens():
-        toks = toks.select(
-            "doc_id", F.transform("words", lambda w: F.xxhash64(w)).alias("words")
-        )
-    toks = persist_tracked(toks)
+    # u64 mode hashes ONLY behind a clean per-run injectivity certificate
+    # (audit inside the query; auto-fallback to strings on a collision)
+    toks = audited_token_relation(toks)
     tok = toks.select("doc_id", F.explode("words").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
     ordered = (

@@ -121,6 +121,10 @@ def main() -> None:
             orig = textops.load_tables
             textops.load_tables = lambda _s, _d, _t=tables: _t
             modes = os.environ.get("CBS_PP_TOKENMODES", "u64").split(",")
+            # restore (not just pop) the user's token mode afterwards —
+            # popping an exported value would flip later runs in the
+            # same shell-inherited environment (r9 ADVICE)
+            prior_mode = os.environ.get("CLINICAL_BI_JACCARD_TOKENS")
             try:
                 for mode in modes:
                     os.environ["CLINICAL_BI_JACCARD_TOKENS"] = mode
@@ -144,7 +148,10 @@ def main() -> None:
                 )
             finally:
                 textops.load_tables = orig
-                os.environ.pop("CLINICAL_BI_JACCARD_TOKENS", None)
+                if prior_mode is None:
+                    os.environ.pop("CLINICAL_BI_JACCARD_TOKENS", None)
+                else:
+                    os.environ["CLINICAL_BI_JACCARD_TOKENS"] = prior_mode
             caching.release_all(spark)
         docs.unpersist()
         print(f"x{mult}", row, flush=True)

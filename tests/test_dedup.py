@@ -380,3 +380,57 @@ def test_jaccard_token_audit_detects_planted_collision(spark):
     n_tok_w, n_hash_w = jaccard_token_audit(toks, hash_fn=F.length)
     assert n_tok_w == 4
     assert n_hash_w == 2  # len-5 bucket {alpha, gamma, delta} collides
+
+
+def test_forged_audit_failure_engages_string_fallback(spark, tmp_path, monkeypatch):
+    """r9 verdict Next #7: prove the AUTO-FALLBACK path actually engages.
+    Override the token hash (test seam _TOKEN_HASH_OVERRIDE) with a
+    deliberately colliding function so the in-query audit fails on a
+    corpus with same-length distinct tokens, then assert (a) a
+    RuntimeWarning fires and (b) the query still returns the exact
+    string-mode answer — the documented contract of the fallback."""
+    import warnings
+
+    from clinical_bi_spark.queries import load_all
+    from clinical_bi_spark.queries import textops as to
+
+    # every token is length 4, so a length hash collides everything;
+    # J(1,2) = 5/6 >= 0.8 qualifies, doc 3 shares nothing
+    docs = [
+        (1, "aaaa bbbb cccc dddd eeee"),
+        (2, "aaaa bbbb cccc dddd eeee ffff"),
+        (3, "zzzz yyyy xxxx wwww vvvv"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s1' AS source",
+        "CAST(length(text) AS LONG) AS n_chars"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    d = str(tmp_path)
+    reg = load_all()
+
+    def rows(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_inter, r.n_union, round(r.jaccard, 9))
+            for r in df.collect()
+        )
+
+    monkeypatch.setenv("CLINICAL_BI_JACCARD_TOKENS", "str")
+    want = rows(reg["dedup_jaccard_prefix"].fn(spark, d))
+    assert want == [(1, 2, 5, 6, round(5 / 6, 9))]
+    monkeypatch.delenv("CLINICAL_BI_JACCARD_TOKENS", raising=False)
+
+    colliding = lambda c: F.length(c).cast("long")  # noqa: E731
+    monkeypatch.setattr(to, "_TOKEN_HASH_OVERRIDE", colliding)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = rows(reg["dedup_jaccard_prefix"].fn(spark, d))
+    assert got == want, "fallback must return the string-exact answer"
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "injectivity audit FAILED" in str(w.message)
+        for w in caught
+    ), "the audit failure must warn loudly"
+
+    # and with the override removed, the clean certificate hashes as usual
+    monkeypatch.setattr(to, "_TOKEN_HASH_OVERRIDE", None)
+    assert rows(reg["dedup_jaccard_prefix"].fn(spark, d)) == want

@@ -271,3 +271,22 @@ def test_bottomk_sample_is_mergeable(spark):
     )
     merged = [(r.hv, r.v) for r in parts.orderBy("hv", "v").limit(_BKQ_K).collect()]
     assert merged == whole
+
+
+def test_bottomk_quantiles_empty_relation_yields_null_row(spark, tmp_path):
+    """r9 ADVICE: an EMPTY relation must yield one row with NULL
+    quantiles (matching the oracle's vs[0] -> NULL), not an ANSI
+    INVALID_ARRAY_INDEX crash from element_at(vs, 0)."""
+    from clinical_bi_spark.queries import load_all
+
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    row = load_all()["sketch_bottomk_quantiles"].fn(spark, str(tmp_path)).first()
+    assert row.n_rows == 0
+    assert row.p25 is None and row.p50 is None
+    assert row.p75 is None and row.p95 is None

@@ -102,6 +102,17 @@ _R9_SET = _R8_SET | frozenset(
 )
 
 
+# The bench set as of round 10 (r9 set + the verdict-mandated floor-at-
+# birth entries: the bottom-k quantile sketch and the two new r10
+# queries on the sharded rank/prefix-sum machinery).
+_R10_SET = _R9_SET | frozenset(
+    {
+        "sketch_bottomk_quantiles", "agg_gini_coefficient",
+        "agg_ks_two_sample",
+    }
+)
+
+
 def main() -> None:
     registry = load_all()
     bench_specs = {n: s for n, s in registry.items() if s.bench}
@@ -160,6 +171,8 @@ def main() -> None:
     assert not missing_r8, f"r8-set queries missing from bench: {missing_r8}"
     missing_r9 = _R9_SET - set(timings)
     assert not missing_r9, f"r9-set queries missing from bench: {missing_r9}"
+    missing_r10 = _R10_SET - set(timings)
+    assert not missing_r10, f"r10-set queries missing from bench: {missing_r10}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -190,6 +203,9 @@ def main() -> None:
         ),
         "subtotal_r9_set": round(
             sum(t for n, t in timings.items() if n in _R9_SET), 3
+        ),
+        "subtotal_r10_set": round(
+            sum(t for n, t in timings.items() if n in _R10_SET), 3
         ),
         # Global-rank dual path (operators/ranking.py): benched timings
         # measure the sharded prefix-sum production form (the default);

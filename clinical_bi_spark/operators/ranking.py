@@ -179,21 +179,26 @@ def global_prefix_sums(
     value_cols: list[str],
     out_cols: list[str],
     *,
+    partition_by: list[str] | None = None,
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Append inclusive running totals ``out_cols[i] = SUM(value_cols[i])
-    OVER (ORDER BY order_by)`` without a SinglePartition window — the
-    cumsum generalization of :func:`global_row_number` (same shard
+    OVER (PARTITION BY partition_by ORDER BY order_by)`` without a
+    SinglePartition (or low-cardinality-partition) window — the cumsum
+    generalization of :func:`global_row_number` (same shard
     decomposition: prefix sums distribute because addition is
     associative).
 
-    1. range-partition + sort by ``order_by`` (must be a total order);
-    2. local cumulative sums per partition (narrow ``mapInPandas``,
-       carried across Arrow batches);
-    3. per-partition TOTALS of each value col to the driver — one long
-       per (partition, value col), bounded driver state;
-    4. broadcast exclusive prefix offsets back; global running total =
-       offset + local cumsum.
+    1. range-partition + sort by (partition_by, order_by) — order_by
+       must be a total order within each group;
+    2. local cumulative sums per (partition, group) (narrow
+       ``mapInPandas``, carried across Arrow batches);
+    3. per-(partition, group) TOTALS of each value col to the driver —
+       one long per cell, bounded driver state (``partition_by`` must be
+       low-cardinality, like global_row_number's);
+    4. broadcast exclusive prefix offsets back (null-safe join — NULL
+       group keys are their own running-total partition, as in SQL);
+       global running total = offset + local cumsum.
 
     ``value_cols`` must be integer-typed (bigint running totals — the
     exact-arithmetic contract of the callers); NULLs count as 0 locally
@@ -203,28 +208,63 @@ def global_prefix_sums(
 
     from clinical_bi_spark.caching import persist_tracked
 
+    part_cols = list(partition_by or [])
     spark = df.sparkSession
     np_ = n_partitions or spark.sparkContext.defaultParallelism
+    sort_exprs = [F.col(c) for c in part_cols] + list(order_by)
     ranged = (
-        df.repartitionByRange(np_, *order_by)
-        .sortWithinPartitions(*order_by)
+        df.repartitionByRange(np_, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
         .withColumn("__pid", F.spark_partition_id())
     )
     cum_cols = [f"__cum_{c}" for c in value_cols]
 
+    def _keys(pdf: pd.DataFrame) -> pd.Series:
+        # NaN/NaT -> None so tuples are stable dict keys (see
+        # global_row_number)
+        kdf = pdf[part_cols].astype(object)
+        kdf = kdf.where(kdf.notna(), None)
+        return pd.Series(
+            list(kdf.itertuples(index=False, name=None)), index=pdf.index
+        )
+
     def local_cum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry = dict.fromkeys(value_cols, 0)
+        carry: dict[tuple, dict[str, int]] = {}
         for pdf in it:
             out = {}
-            for c, cc in zip(value_cols, cum_cols):
-                if len(pdf):
-                    cs = (
-                        pdf[c].fillna(0).astype("int64").cumsum() + carry[c]
+            if not len(pdf):
+                for cc in cum_cols:
+                    out[cc] = pd.Series([], dtype="int64")
+                yield pdf.assign(**out)
+                continue
+            if part_cols:
+                keys = _keys(pdf)
+                for c, cc in zip(value_cols, cum_cols):
+                    # GroupBy.cumsum aligns to the original index
+                    local = (
+                        pdf[c]
+                        .fillna(0)
+                        .astype("int64")
+                        .groupby(keys.values)
+                        .cumsum()
+                        .astype("int64")
+                    )
+                    offs = keys.map(
+                        lambda k, _c=c: carry.get(k, {}).get(_c, 0)
                     ).astype("int64")
-                    carry[c] = int(cs.iloc[-1])
-                else:
-                    cs = pd.Series([], dtype="int64")
-                out[cc] = cs
+                    cs = (local + offs).astype("int64")
+                    out[cc] = cs
+                    last = cs.groupby(keys.values).last()
+                    for k, v in last.items():
+                        carry.setdefault(k, {})[c] = int(v)
+            else:
+                for c, cc in zip(value_cols, cum_cols):
+                    prev = carry.setdefault((), {}).get(c, 0)
+                    cs = (
+                        pdf[c].fillna(0).astype("int64").cumsum() + prev
+                    ).astype("int64")
+                    carry[()][c] = int(cs.iloc[-1])
+                    out[cc] = cs
             yield pdf.assign(**out)
 
     schema = StructType(
@@ -233,21 +273,37 @@ def global_prefix_sums(
     )
     # persist: the totals job and the final job must see one partition layout
     local = persist_tracked(ranged.mapInPandas(local_cum, schema=schema))
-    totals = local.groupBy("__pid").agg(
+    totals = local.groupBy("__pid", *part_cols).agg(
         *[F.sum(c).alias(c) for c in value_cols]
     ).collect()
-    acc = dict.fromkeys(value_cols, 0)
+    acc: dict[tuple, dict[str, int]] = {}
     offsets = []
     for r in sorted(totals, key=lambda row: row["__pid"]):
-        offsets.append((r["__pid"], *[acc[c] for c in value_cols]))
+        key = tuple(r[c] for c in part_cols)
+        cell = acc.setdefault(key, dict.fromkeys(value_cols, 0))
+        offsets.append((r["__pid"], *key, *[cell[c] for c in value_cols]))
         for c in value_cols:
-            acc[c] += int(r[c] or 0)
+            cell[c] += int(r[c] or 0)
+    fields = [local.schema["__pid"]] + [local.schema[c] for c in part_cols]
     off_schema = StructType(
-        [StructField("__pid", local.schema["__pid"].dataType, True)]
+        [StructField(f.name, f.dataType, True) for f in fields]
         + [StructField(f"__off_{c}", LongType(), True) for c in value_cols]
     )
     off_df = spark.createDataFrame(offsets or [], off_schema)
-    joined = local.join(F.broadcast(off_df), ["__pid"], "left")
+    if part_cols:
+        off_df = off_df.select(
+            F.col("__pid").alias("__o_pid"),
+            *[F.col(c).alias(f"__o_{c}") for c in part_cols],
+            *[f"__off_{c}" for c in value_cols],
+        )
+        cond = F.col("__pid") == F.col("__o_pid")
+        for c in part_cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+        joined = local.join(F.broadcast(off_df), cond, "left").drop(
+            "__o_pid", *[f"__o_{c}" for c in part_cols]
+        )
+    else:
+        joined = local.join(F.broadcast(off_df), ["__pid"], "left")
     for c, cc, oc in zip(value_cols, cum_cols, out_cols):
         joined = joined.withColumn(
             oc,

@@ -1484,37 +1484,54 @@ FROM s
 """
 
 
-@query("agg_gini_coefficient", oracle=_GINI_ORACLE)
+@query("agg_gini_coefficient", oracle=_GINI_ORACLE, bench=True)
 def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Gini coefficient of l_extendedprice via the rank-sum
-    identity, EXACTLY oracled (see _GINI_ORACLE). The global ascending
-    rank per group comes from
-    :func:`clinical_bi_spark.operators.ranking.global_row_number` — the
-    sharded prefix-sum rank graduated in r9 (range exchange + narrow
-    local cumcount + broadcast offsets; 3 groups x n_partitions longs of
-    driver state), so the plan scales where ROW_NUMBER() OVER a 3-value
-    PARTITION BY cannot. All-zero prices yield NULL (not an ANSI crash)
-    on both engines — the r9 degenerate-sweep contract."""
-    from clinical_bi_spark.operators.ranking import global_row_number
+    identity, EXACTLY oracled (see _GINI_ORACLE) — computed at the VALUE
+    level, with NO per-row ranks (the r10 equidepth profile's lesson
+    applied at birth): a tie-run of c equal values v with exclusive
+    prefix count R contributes v * (R*c + c*(c+1)/2) to SUM(rank*value)
+    — rank order within ties cannot matter because v is constant across
+    the run. So the plan is: groupBy(flag, cents) counts (the only
+    fact-scale op, map-side combined, shuffle bounded by the PRICE
+    DOMAIN), sharded running counts over distinct values
+    (:func:`clinical_bi_spark.operators.ranking.global_prefix_sums`,
+    domain-bounded), then exact DECIMAL(38,0) tie-run arithmetic
+    (c*(c+1)/2 split into even/odd integer halves — no fractional
+    intermediate) and one identically-associated double expression.
+    All-zero prices yield NULL (not an ANSI crash) on both engines —
+    the r9 degenerate-sweep contract."""
+    from clinical_bi_spark.operators.ranking import global_prefix_sums
 
     t = load_tables(tune(spark), sf_dir)
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    base = t.lineitem.select(
-        "l_returnflag", cents.alias("cents"), "l_orderkey", "l_linenumber"
+    vals = persist_tracked(
+        t.lineitem.select("l_returnflag", cents.alias("cents"))
+        .groupBy("l_returnflag", "cents")
+        .agg(F.count("*").alias("c"))
     )
-    ranked = global_row_number(
-        base,
-        [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
+    cum = global_prefix_sums(
+        vals,
+        [F.col("cents")],
+        ["c"],
+        ["k"],
         partition_by=["l_returnflag"],
-        out_col="rn",
     )
-    s = ranked.groupBy("l_returnflag").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("s_cents"),
-        F.sum(
-            F.col("rn").cast("decimal(19,0)")
-            * F.col("cents").cast("decimal(19,0)")
-        ).alias("si"),
+    c_l = F.col("c")
+    # triangular term c*(c+1)/2 with integer halving (c or c+1 is even),
+    # factors cast to DECIMAL(19,0) so products land in DECIMAL(38,0)
+    half_c = F.expr("CAST(c DIV 2 AS DECIMAL(19,0))")
+    half_c1 = F.expr("CAST((c + 1) DIV 2 AS DECIMAL(19,0))")
+    c_d = c_l.cast("decimal(19,0)")
+    c1_d = (c_l + F.lit(1)).cast("decimal(19,0)")
+    tri = F.when(c_l % 2 == 0, half_c * c1_d).otherwise(c_d * half_c1)
+    r_d = (F.col("k") - c_l).cast("decimal(19,0)")  # exclusive prefix
+    rsum = r_d * c_d + tri
+    term = F.col("cents").cast("decimal(8,0)") * rsum
+    s = cum.groupBy("l_returnflag").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * c_d).alias("s_cents"),
+        F.sum(term).alias("si"),
     )
     n_d = F.col("n").cast("double")
     s_d = F.col("s_cents").cast("double")
@@ -1571,7 +1588,7 @@ SELECT (SELECT n1 FROM n) AS n1,
 """
 
 
-@query("agg_ks_two_sample", oracle=_KS_ORACLE)
+@query("agg_ks_two_sample", oracle=_KS_ORACLE, bench=True)
 def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic, oracled against DuckDB's window
     cumsum. The ECDFs need a running total over the ordered distinct

@@ -23,6 +23,7 @@ from clinical_bi_spark.functions.exprs import (
     encode_last_writer_wins,
     null_to_zero,
 )
+from clinical_bi_spark.caching import persist_tracked
 from clinical_bi_spark.queries import query
 from clinical_bi_spark.session import tune
 from clinical_bi_spark.sources import load_tables
@@ -1433,20 +1434,35 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_histogram_quantiles: bucket populations equal by construction,
     boundaries adapt to the distribution.
 
-    Dual path (r9, the RFM graduation template): l_returnflag has 3
-    values, so the partitioned ntile window still funnels a third of the
-    fact table through one task — the low-cardinality-partition variant
-    of the SinglePartition problem. The DEFAULT is the sharded
-    per-group rank (:func:`global_row_number` with ``partition_by``:
-    range exchange on (flag, price, key), per-(partition, flag) counts —
-    at most n_partitions x 3 longs — broadcast back) composed with
-    ``ntile_from_rank``'s exact NTILE(8) arithmetic;
+    Dual path (r9, the RFM graduation template; REBUILT r10 after the
+    profile the r9 verdict asked for). The r10 phase attribution of the
+    generic sharded-rank form (scripts/profile_equidepth.py) read, at
+    x50: ~4.5 s fact range-exchange + ~9 s fact-sized Arrow round-trip /
+    offsets join / final fact-sized agg — all to produce 24 rows. The
+    fix is not a faster rank but NO per-row rank: a bucket's n/lo/hi are
+    TIE-BREAK INDEPENDENT (the tie-break only permutes equal values
+    within ranks, so the value multiset at ranks [start_b, end_b] is
+    determined by value-level counts alone). The DEFAULT path therefore
+    collapses to the VALUE level:
+
+    1. groupBy(flag, price) -> counts (map-side combine; the only
+       fact-scale op, and its shuffle is bounded by the PRICE DOMAIN,
+       not the row count — the right asymptote for 100 TB);
+    2. sharded running counts over distinct values per flag
+       (:func:`global_prefix_sums` with partition_by — value-level,
+       domain-bounded);
+    3. each value spans NTILE buckets b1..b2 = ntile_from_rank(R+1) ..
+       ntile_from_rank(R+c) (exact integer arithmetic); explode the
+       <= k-long span, min/max prices per bucket, bucket sizes in
+       closed form.
+
     ``CLINICAL_BI_SINGLE_PARTITION_RANK=1`` selects the window parity
-    form. Differential-pinned in tests/test_analytics.py."""
+    form. Differential-pinned in tests/test_analytics.py; the NTILE SQL
+    oracle adjudicates the value-level path directly."""
     from pyspark.sql.window import Window
 
     from clinical_bi_spark.operators.ranking import (
-        global_row_number,
+        global_prefix_sums,
         ntile_from_rank,
         use_single_partition_rank,
     )
@@ -1462,23 +1478,48 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed = li.select(
             "l_returnflag", "l_extendedprice", F.ntile(8).over(w).alias("bucket")
         )
-    else:
-        grp_n = li.groupBy("l_returnflag").agg(F.count("*").alias("__ng"))
-        ranked = global_row_number(
-            li,
-            [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
-            partition_by=["l_returnflag"],
-            out_col="__rnk",
+        return bucketed.groupBy("l_returnflag", "bucket").agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 4).alias("lo"),
+            F.round(F.max("l_extendedprice"), 4).alias("hi"),
         )
-        bucketed = ranked.join(F.broadcast(grp_n), "l_returnflag").select(
-            "l_returnflag",
-            "l_extendedprice",
-            ntile_from_rank(F.col("__rnk"), F.col("__ng"), 8).alias("bucket"),
+    vals = persist_tracked(
+        li.groupBy("l_returnflag", "l_extendedprice").agg(
+            F.count("*").alias("c")
         )
-    return bucketed.groupBy("l_returnflag", "bucket").agg(
-        F.count("*").alias("n"),
-        F.round(F.min("l_extendedprice"), 4).alias("lo"),
-        F.round(F.max("l_extendedprice"), 4).alias("hi"),
+    )
+    cum = global_prefix_sums(
+        vals,
+        [F.col("l_extendedprice")],
+        ["c"],
+        ["k"],
+        partition_by=["l_returnflag"],
+    )
+    ng = vals.groupBy("l_returnflag").agg(
+        F.sum("c").cast("bigint").alias("__ng")
+    )
+    e = cum.join(F.broadcast(ng), "l_returnflag")
+    b1 = ntile_from_rank(F.col("k") - F.col("c") + 1, F.col("__ng"), 8)
+    b2 = ntile_from_rank(F.col("k"), F.col("__ng"), 8)
+    spans = e.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "__ng",
+        F.explode(F.sequence(b1, b2)).alias("bucket"),
+    )
+    # bucket sizes in closed form: first (n mod 8) buckets take one extra
+    n_b = (
+        F.floor(F.col("__ng") / 8)
+        + F.when(F.col("bucket") <= F.col("__ng") % 8, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        spans.withColumn("__nb", n_b)
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.max("__nb").alias("n"),
+            F.round(F.min("l_extendedprice"), 4).alias("lo"),
+            F.round(F.max("l_extendedprice"), 4).alias("hi"),
+        )
     )
 
 

@@ -942,7 +942,7 @@ FROM arr, n
 """
 
 
-@query("sketch_bottomk_quantiles", oracle=_BKQ_ORACLE)
+@query("sketch_bottomk_quantiles", oracle=_BKQ_ORACLE, bench=True)
 def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable bottom-k quantile sketch over l_extendedprice: keep the
     k = 256 rows with the smallest md5-u32 row hash (uniform sample,

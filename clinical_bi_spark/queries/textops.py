@@ -1619,9 +1619,13 @@ def jaccard_token_audit(toks: DataFrame, hash_fn=None) -> tuple[int, int]:
     production xxhash64; tests inject a weak hash to prove the audit
     detects collisions."""
     hash_fn = hash_fn or F.xxhash64
-    tok = toks.select(F.explode("words").alias("w"))
-    row = tok.agg(
-        F.countDistinct("w").alias("n_tok"),
+    # collapse to the VOCABULARY first (partial-agg'd distinct), then one
+    # count + countDistinct over it — two countDistincts over the full
+    # token stream would expand the relation 2x before shrinking (r10:
+    # matters now that every u64-mode query run pays for the audit)
+    vocab = toks.select(F.explode("words").alias("w")).distinct()
+    row = vocab.agg(
+        F.count("*").alias("n_tok"),
         F.countDistinct(hash_fn(F.col("w"))).alias("n_hash"),
     ).first()
     return int(row["n_tok"]), int(row["n_hash"])

@@ -107,9 +107,18 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #:     dedup_containment_prefix, dedup_containment_superset (planned
 #:     in-query u64 injectivity audit — ADVICE medium; output-neutral
 #:     by construction, session oracles re-pass),
-#:     evt_rfm_segmentation / m13_auc_rank / agg_equidepth_histogram
-#:     (ranking.py null-key handling — latent-path fix, oracle-neutral
-#:     on non-null keys, differential + oracle tests re-pass).
+#:     evt_rfm_segmentation / m13_auc_rank (ranking.py null-key handling
+#:     — latent-path fix, oracle-neutral on non-null keys, differential
+#:     + oracle tests re-pass); agg_equidepth_histogram (same, plus the
+#:     r10 value-level rebuild after the profile the r9 verdict asked
+#:     for — NTILE oracle + sharded≡windowed differential re-pass);
+#:     agg_gini_coefficient (value-level rebuild pre-adjudication — it
+#:     is IN this window, so it gets a current row anyway); and the r10
+#:     degenerate-probe guard fixes (empty-corpus scalar/fit guards,
+#:     oracle-neutral on non-degenerate data, probe + session oracles
+#:     re-pass): text_bigram_pmi_topk (r9-green),
+#:     agg_benford_firstdigit (r8-green), m9_mlp_train_eval /
+#:     m3_feature_importance (rows-only, already in the r11 rotation).
 #: r11 arithmetic check at this commit: 42 r7-green entries hit the
 #: ceiling at r11; 42 + 2 headliners + 4 overflow rows-only/changed-r9 =
 #: 48, leaving 2 slots for r11 new/changed code — tight but sound, and

@@ -958,7 +958,11 @@ def agg_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
-    total = c.agg(F.sum("n")).first()[0]
+    # `or 0`: SUM over zero qualifying orders is NULL — the empty audit
+    # must yield zero rows, not a driver-side float(None) crash (r10
+    # degenerate probe; the 0.0 literal never divides a real row because
+    # the grouped relation is empty exactly when total is NULL)
+    total = c.agg(F.sum("n")).first()[0] or 0
     share = F.col("n").cast("double") / F.lit(float(total))
     benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
     return c.select(

@@ -244,10 +244,19 @@ def m9_mlp_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = encoded.filter(F.col("split") == "train")
     test = encoded.filter(F.col("split") == "test")
 
+    if not train.head(1):
+        # degenerate corpus (no F/O orders at all): NULL accuracy, zero
+        # tallies — not an opaque MLP weight-init crash (r10 probe)
+        return spark.createDataFrame(
+            [(None, 0, 0)], "accuracy double, correct bigint, total bigint"
+        )
+    # input layer = 4 numeric + however many priority categories the fit
+    # actually saw (5 on real data, ct_estimator.py:117-120; fewer on a
+    # degenerate corpus — a hardcoded 9 crashes weight init, r10 probe)
+    input_dim = 4 + int(encoder.categorySizes[0])
     mlp = MultilayerPerceptronClassifier(
-        # 4 numeric + 5 indicator inputs; 5 hidden × 8 units
-        # (ct_estimator.py:117-120)
-        layers=[9, 8, 8, 8, 8, 8, 2],
+        # 5 hidden x 8 units (ct_estimator.py:117-120)
+        layers=[input_dim, 8, 8, 8, 8, 8, 2],
         blockSize=100,  # batch_size=100 (ct_estimator.py:33)
         maxIter=20,
         seed=42,
@@ -288,6 +297,13 @@ def m3_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _feature_table(spark, sf_dir)
     cols = ["label", "price", "order_year", "priority_code", "acctbal", "seg_building"]
     assembled = VectorAssembler(inputCols=cols, outputCol="vec").transform(feats)
+    if not assembled.head(1):
+        # degenerate corpus (no F/O orders): no importances to report —
+        # Correlation.corr on an empty RDD is an opaque RuntimeException
+        # (r10 probe)
+        return spark.createDataFrame(
+            [], "feature string, relative_importance double"
+        )
     corr = Correlation.corr(assembled, "vec").head()[0].toArray()
     shares = lmg_relative_importance(corr)
     total = float(shares.sum()) or 1.0

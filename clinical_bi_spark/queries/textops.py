@@ -2293,7 +2293,10 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c_xy"))
         .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
     )
-    n_tok = uc.agg(F.sum("c")).first()[0]
+    # `or 0`: SUM over an empty vocabulary is NULL — a zero-token corpus
+    # must yield the empty top-K, not a driver-side float(None) crash
+    # (r10 degenerate probe)
+    n_tok = uc.agg(F.sum("c")).first()[0] or 0
     scored = (
         bc.join(uc.select(F.col("tok").alias("w1"), F.col("c").alias("c_x")), "w1")
         .join(uc.select(F.col("tok").alias("w2"), F.col("c").alias("c_y")), "w2")

@@ -804,3 +804,41 @@ def test_degenerate_gini_and_ks(spark, tmp_path):
 
     ks = REGISTRY["agg_ks_two_sample"].fn(spark, d).first()
     assert ks.n1 == 8 and ks.n2 == 0 and ks.ks_d is None
+
+
+def test_global_prefix_sums_grouped_matches_window(spark):
+    """The r10 grouped extension (partition_by): sharded running totals
+    must match SUM() OVER (PARTITION BY g ORDER BY o) — including NULL
+    group keys (their own partition, null-safe offsets) and groups that
+    span shard boundaries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from clinical_bi_spark.operators.ranking import global_prefix_sums
+
+    df = spark.range(600).select(
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise((F.col("id") % 4).cast("string"))
+        .alias("g"),
+        (F.col("id") * 41 % 601).alias("o"),
+        (F.col("id") % 9 - 3).alias("a"),
+    )
+    got = {
+        (r.g, r.o): r.ka
+        for r in global_prefix_sums(
+            df, [F.col("o")], ["a"], ["ka"],
+            partition_by=["g"], n_partitions=7,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.g, r.o): r.ka
+        for r in df.select(
+            "g", "o", F.sum(F.coalesce("a", F.lit(0))).over(w).alias("ka")
+        ).collect()
+    }
+    assert got == want

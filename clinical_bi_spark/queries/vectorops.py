@@ -771,3 +771,191 @@ def vec_pca_power_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("int").alias("dim_idx"),
         F.col("col").alias("component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-prune semantic dedup (r11 REGISTRATION CANDIDATE).
+#
+# NOT yet decorated with @query: the r10 adjudication window was committed
+# before this landed, and the staleness arithmetic caps r10 registry growth
+# at the two queries that landed pre-window (agg_gini_coefficient /
+# agg_ks_two_sample). Registering now would force a _DEFERRED_NEW parking
+# the r9 verdict asked us to avoid. TO REGISTER IN r11 (before that round's
+# window commit — it has a 2-slot new-code budget): add
+#   @query("dedup_semantic_cluster", oracle=_semdedup_oracle())
+# above the function, move it into the r11 window head, and give it a bench
+# floor + x1/x10/x50 scale row at birth per the r9 convention. Oracle parity
+# and behavior tests are ALREADY pinned in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_EPS = 0.4  # where the fixture has pairs at all (max cos ~ 0.513)
+
+
+def _semdedup_oracle(
+    n_cells: int = 16, dim: int = 64, n_train: int = 512, iters: int = 3,
+    eps: float = 0.4,
+) -> str:
+    """Exact DuckDB twin of the FULL SemDeDup pipeline — deterministic
+    k-means training included (the same unrolled-CTE device as
+    ``_ivf_det_oracle``; kept textually separate so the r7-adjudicated
+    sim_ann_ivf oracle string stays byte-identical), then intra-cluster
+    eps-neighbor pairs and the keep-the-outlier drop rule on ROUND(cos, 6)
+    values so both engines order identically."""
+    zeros = f"list_transform(range(1, {dim + 1}), x -> 0.0::DOUBLE)"
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), train AS (
+  SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {n_train}
+), cent0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         emb AS cell_emb
+  FROM (SELECT vec_id, emb FROM train ORDER BY vec_id LIMIT {n_cells}) t0
+)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f""", assign{i} AS (
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT t.vec_id, t.emb, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+             ORDER BY list_cosine_similarity(t.emb, c.cell_emb) DESC,
+                      c.cell_id) AS rnk
+    FROM train t CROSS JOIN cent{p} c
+  ) a WHERE rnk = 1
+), cent{i} AS (
+  SELECT c.cell_id, COALESCE(s.s_emb, c.cell_emb) AS cell_emb
+  FROM cent{p} c LEFT JOIN (
+    SELECT cell_id,
+           list_reduce(
+             list_prepend({zeros},
+               list_transform(
+                 list_sort(list(struct_pack(v := vec_id, m := emb))),
+                 x -> x.m)),
+             (a, b) -> list_transform(range(1, {dim + 1}),
+                                      j -> a[j] + b[j])) AS s_emb
+    FROM assign{i} GROUP BY cell_id
+  ) s ON s.cell_id = c.cell_id
+)""")
+    parts.append(f""", assigned AS (
+  SELECT vec_id, emb, cell_id, ROUND(cc, 6) AS cent_cos FROM (
+    SELECT e.vec_id, e.emb, c.cell_id,
+           list_cosine_similarity(e.emb, c.cell_emb) AS cc,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, c.cell_emb) DESC,
+                      c.cell_id) AS rnk
+    FROM e CROSS JOIN cent{iters} c
+  ) a WHERE rnk = 1
+), pairs AS (
+  SELECT a.vec_id AS va, a.cent_cos AS ca, b.vec_id AS vb, b.cent_cos AS cb
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {eps}
+), nbr AS (
+  SELECT va AS vec_id, ca AS d_cos, vb AS n_id, cb AS n_cos FROM pairs
+  UNION ALL
+  SELECT vb, cb, va, ca FROM pairs
+), verdict AS (
+  SELECT vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         BOOL_OR(n_cos < d_cos OR (n_cos = d_cos AND n_id < vec_id))
+           AS dropped
+  FROM nbr GROUP BY vec_id
+)
+SELECT a.vec_id, a.cell_id, a.cent_cos,
+       COALESCE(v.n_neighbors, 0) AS n_neighbors,
+       COALESCE(v.dropped, FALSE) AS dropped
+FROM assigned a LEFT JOIN verdict v ON v.vec_id = a.vec_id""")
+    return "".join(parts)
+
+
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-scoped semantic dedup over the embedding corpus
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540 — the published
+    scale recipe: k-means the embeddings, then look for near-duplicates
+    ONLY within each cluster, never across the whole corpus).
+
+    Pipeline, all exactly oracle-replicable:
+    1. quantizer = the deterministic spherical Lloyd's fit
+       (operators/similarity.det_kmeans_centroids — the sim_ann_ivf
+       machinery, 16 cells, bounded lowest-id training sample);
+    2. every vector joins its argmax-cosine cell (broadcast centroid
+       table, no shuffle on the corpus side beyond the cell_id exchange);
+    3. eps-neighbor pairs (cos >= 0.4, rounded to 6) via an intra-cell
+       self-join — the SemDeDup cost model: sum over cells of |cell|^2
+       instead of corpus^2;
+    4. drop rule = keep-the-outlier, the deterministic non-iterative
+       variant of the paper's keep-low-centroid-similarity policy: a
+       vector is dropped iff some eps-neighbor in its cell has strictly
+       lower ROUND(centroid-cosine, 6) (ties to the lower vec_id). Every
+       eps-neighborhood component keeps >= 1 survivor (its minimal
+       (cent_cos, vec_id) member has no smaller neighbor), pinned in
+       tests/test_similarity.py.
+
+    100 TB posture: cells are the unit of work — K grows with the corpus
+    (the paper uses K ~ 10k-100k at web scale) so the per-cell pair join
+    stays bounded and the cell_id hash exchange shards evenly across
+    executors; the centroid table stays broadcast-sized; nothing is
+    all-pairs. Pairs crossing cluster boundaries are missed BY DESIGN
+    (the paper's documented recall trade for tractability); the exact
+    in-cluster semantics are what the DuckDB oracle replicates, training
+    included. Reference has no counterpart (extension surface).
+    """
+    t = load_tables(tune(spark), sf_dir)
+    from clinical_bi_spark.operators.similarity import det_kmeans_centroids
+
+    cent = det_kmeans_centroids(
+        t.embeddings, id_col="vec_id", emb_col="embedding", n_cells=16
+    )
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cc = cosine_similarity(F.col("emb"), F.col("cell_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cell_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "emb", "cell_id", cc.alias("cc"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "emb", "cell_id", F.round("cc", 6).alias("cent_cos"))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("va"), F.col("emb").alias("ea"),
+        "cell_id", F.col("cent_cos").alias("ca"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"), F.col("emb").alias("eb"),
+        "cell_id", F.col("cent_cos").alias("cb"),
+    )
+    pair_cos = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(pair_cos >= F.lit(_SEMDEDUP_EPS))
+        .select("va", "ca", "vb", "cb")
+    )
+    nbr = pairs.select(
+        F.col("va").alias("vec_id"), F.col("ca").alias("d_cos"),
+        F.col("vb").alias("n_id"), F.col("cb").alias("n_cos"),
+    ).unionAll(
+        pairs.select(
+            F.col("vb").alias("vec_id"), F.col("cb").alias("d_cos"),
+            F.col("va").alias("n_id"), F.col("ca").alias("n_cos"),
+        )
+    )
+    verdict = nbr.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("n_neighbors"),
+        F.bool_or(
+            (F.col("n_cos") < F.col("d_cos"))
+            | ((F.col("n_cos") == F.col("d_cos")) & (F.col("n_id") < F.col("vec_id")))
+        ).alias("dropped"),
+    )
+    return (
+        assigned.select("vec_id", "cell_id", "cent_cos")
+        .join(verdict, "vec_id", "left")
+        .select(
+            "vec_id", "cell_id", "cent_cos",
+            F.coalesce("n_neighbors", F.lit(0).cast("bigint")).alias("n_neighbors"),
+            F.coalesce("dropped", F.lit(False)).alias("dropped"),
+        )
+    )

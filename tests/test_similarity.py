@@ -435,3 +435,58 @@ def test_ann_ivf_exact_arithmetic_matches_fast_path(spark, embeddings):
         embeddings, queries_df, exact_arithmetic=True, **kw
     ).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, exact))
+
+
+# --- SemDeDup (r11 registration candidate: oracle + behavior pinned now,
+# --- @query registration happens before the r11 window commit) -----------
+
+
+@pytest.fixture(scope="module")
+def semdedup_rows(spark):
+    from clinical_bi_spark.queries.vectorops import dedup_semantic_cluster
+
+    return dedup_semantic_cluster(spark, SF_ORACLE).collect()
+
+
+def test_semdedup_matches_oracle(spark, oracle_con):
+    from clinical_bi_spark.queries.vectorops import (
+        _semdedup_oracle,
+        dedup_semantic_cluster,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    df = dedup_semantic_cluster(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, oracle_con, _semdedup_oracle(), name="dedup_semantic_cluster"
+    )
+
+
+def test_semdedup_drops_something_and_only_neighbors(semdedup_rows):
+    # the fixture has 59 eps-pairs corpus-wide; at least some are
+    # intra-cell, so the drop rule must fire — and ONLY on vectors that
+    # actually have an eps-neighbor
+    assert any(r.dropped for r in semdedup_rows)
+    for r in semdedup_rows:
+        if r.dropped:
+            assert r.n_neighbors >= 1
+        if r.n_neighbors == 0:
+            assert not r.dropped
+
+
+def test_semdedup_every_neighborhood_keeps_a_survivor(semdedup_rows):
+    # keep-the-outlier is local, but the minimal (cent_cos, vec_id)
+    # member of every eps-neighborhood component has no smaller neighbor,
+    # so each component retains >= 1 survivor; in particular the global
+    # minimum among n_neighbors>0 rows must be kept
+    nbrs = [r for r in semdedup_rows if r.n_neighbors > 0]
+    assert nbrs, "fixture should produce eps-neighborhoods"
+    keeper = min(nbrs, key=lambda r: (r.cent_cos, r.vec_id))
+    assert not keeper.dropped
+    # and survivors exist alongside drops (we never wipe a whole cell)
+    assert any(not r.dropped for r in nbrs)
+
+
+def test_semdedup_total_rows_is_corpus(spark, semdedup_rows):
+    n = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
+    assert len(semdedup_rows) == n
+    assert len({r.vec_id for r in semdedup_rows}) == n

@@ -561,3 +561,243 @@ def data_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (r11 REGISTRATION
+# CANDIDATE; Xie et al. 2023, arXiv:2302.03169): select raw-corpus
+# documents whose hashed-n-gram distribution looks like a TARGET corpus,
+# by importance weight log(p_target/p_raw) under bag-of-hashed-feature
+# bigram models, then Gumbel-top-k resampling. The published recipe for
+# "give me the 100 TB slice that looks like Wikipedia".
+#
+# NOT yet decorated with @query: the r10 adjudication window was committed
+# before this landed and the staleness arithmetic caps r10 registry growth
+# at the two pre-window queries. TO REGISTER IN r11 (before that round's
+# window commit, alongside dedup_semantic_cluster — the 2-query budget):
+# add `@query("data_dsir_select", oracle=_DSIR_ORACLE)` and give it a
+# bench floor + x1/x10/x50 scale row at birth. Oracle parity and behavior
+# tests are ALREADY pinned in tests/test_pipelineops_dsir.py.
+#
+# Exactness design (the text_lm_score playbook + one strengthening): the
+# hashed generative model is TINY (m = 1024 buckets), so the per-bucket
+# log-ratios are computed DRIVER-SIDE in Python libm — bit-identical to
+# DuckDB's libm ln on this platform, removing the JVM-vs-libm 1-ulp class
+# for the model entirely — and broadcast back as a literal table (the
+# paper's own deployment shape: fit the small importance model, ship it
+# to every worker). Only the per-document Gumbel keys take in-plan JVM
+# logs, with the same micro-nat ROUND absorption lm_score documents.
+# All per-document totals are BIGINT sums of integers: order-independent,
+# hence exactly oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_DSIR_M = 1024  # hashed feature buckets (paper: 10k; domain-scaled here)
+_DSIR_K = 100  # documents to select
+_DSIR_TARGET = "en"  # target distribution: English documents
+#: libm constants, computed in Python so they match DuckDB bit-for-bit
+_LN_2POW32 = __import__("math").log(4294967296.0)
+_LN_1E6 = __import__("math").log(1000000.0)
+
+_DSIR_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_DSIR_TOKENS} AS t FROM documents
+), feat AS (
+  SELECT doc_id, lang,
+         UNNEST(list_concat(t,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS f
+  FROM tok
+), fb AS (
+  SELECT doc_id, lang,
+         CAST({_U32_SQL.format(key="f || ':dsirf'")} % {_DSIR_M} AS BIGINT)
+           AS bucket
+  FROM feat
+), bt AS (
+  SELECT bucket, COUNT(*) AS cq,
+         COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET}') AS ct
+  FROM fb GROUP BY bucket
+), tot AS (
+  SELECT COALESCE(SUM(cq), 0) AS nq, COALESCE(SUM(ct), 0) AS nt FROM bt
+), mb AS (
+  SELECT bucket,
+         CAST(ROUND(1000000.0 * (ln(ct + 1) - ln(cq + 1))) AS BIGINT) AS micro
+  FROM bt
+), kc AS (
+  SELECT CAST(ROUND(1000000.0 * (ln(nq + {_DSIR_M}) - ln(nt + {_DSIR_M})))
+              AS BIGINT) AS kmicro
+  FROM tot
+), ds AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         CAST(SUM(micro) AS BIGINT) AS fsum
+  FROM fb JOIN mb USING (bucket) GROUP BY doc_id
+), gz AS (
+  SELECT doc_id,
+         GREATEST(1, CAST(ROUND(1000000.0 * (ln(4294967296)
+           - ln({_U32_SQL.format(key="doc_id::VARCHAR || ':dsirg'")} + 1)))
+           AS BIGINT)) AS e_int
+  FROM documents
+), scored AS (
+  SELECT d.doc_id,
+         COALESCE(ds.n_features, 0) AS n_features,
+         COALESCE(ds.fsum, 0) + COALESCE(ds.n_features, 0) * kc.kmicro
+           AS logw_micro,
+         CAST(ROUND(1000000.0 * (ln(1000000) - ln(gz.e_int))) AS BIGINT)
+           AS gumbel_micro
+  FROM documents d
+  CROSS JOIN kc
+  JOIN gz ON gz.doc_id = d.doc_id
+  LEFT JOIN ds ON ds.doc_id = d.doc_id
+), keyed AS (
+  SELECT doc_id, n_features, logw_micro, gumbel_micro,
+         logw_micro + gumbel_micro AS key_micro,
+         ROW_NUMBER() OVER (ORDER BY logw_micro + gumbel_micro DESC, doc_id)
+           AS pos
+  FROM scored
+)
+SELECT doc_id, n_features, logw_micro, gumbel_micro, key_micro,
+       CAST(pos AS BIGINT) AS pos
+FROM keyed WHERE pos <= {_DSIR_K}
+"""
+
+
+def _round_half_away(x: float) -> int:
+    """DuckDB/Spark ROUND semantics (half away from zero) — Python's
+    built-in round() is banker's and would disagree on exact .5 cases."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus DSIR scoring relation (every document, with its hashed
+    feature count, micro-nat log importance weight, and Gumbel key).
+    Shared by :func:`data_dsir_select` and the behavior tests."""
+    import math
+
+    t = load_tables(tune(spark), sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = t.documents.select("doc_id", "lang", toks.alias("t"))
+    n = F.size("t")
+    # features = unigrams ++ adjacent word bigrams (space-joined, so the
+    # two classes cannot collide: tokens contain no whitespace)
+    feats = F.concat(
+        F.col("t"),
+        F.zip_with(
+            F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+            F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    )
+    # hash to the m-bucket space IN the explode projection: feature
+    # strings never reach an exchange — only (doc_id, lang, bucket) ints
+    fb = (
+        base.select("doc_id", "lang", F.explode(feats).alias("f"))
+        .select(
+            "doc_id",
+            "lang",
+            (_u32(F.concat(F.col("f"), F.lit(":dsirf"))) % _DSIR_M).alias(
+                "bucket"
+            ),
+        )
+        .persist()
+    )
+    # ONE fact-scale pass yields both models: raw counts cq and target
+    # counts ct per bucket. The collect is bounded by m = 1024 rows BY
+    # CONSTRUCTION (bucket = u32 % m) — the documented bounded-collect
+    # contract, same class as ranking.py's per-(partition,group) counts.
+    bt = fb.groupBy("bucket").agg(
+        F.count("*").alias("cq"),
+        F.count_if(F.col("lang") == _DSIR_TARGET).alias("ct"),
+    ).collect()
+    nq = sum(r.cq for r in bt)
+    nt = sum(r.ct for r in bt)
+    # driver-side libm: bit-identical to DuckDB's ln on this platform
+    kmicro = _round_half_away(
+        1e6 * (math.log(nq + _DSIR_M) - math.log(nt + _DSIR_M))
+    )
+    mrows = [
+        (int(r.bucket), _round_half_away(1e6 * (math.log(r.ct + 1) - math.log(r.cq + 1))))
+        for r in bt
+    ]
+    mdf = spark.createDataFrame(mrows, schema="bucket bigint, micro bigint")
+    ds = (
+        fb.join(F.broadcast(mdf), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.sum("micro").cast("bigint").alias("fsum"),
+        )
+    )
+    # Gumbel key from the doc_id coin: u = (h+1)/2^32 in (0, 1],
+    # e = -ln(u) rounded to integer micro-nats (clamped >= 1 for the
+    # ~5e-7-probability round-to-zero tail, identically on both engines),
+    # g = -ln(e/1e6) = ln(1e6) - ln(e) — every ln argument is an INTEGER,
+    # so the lm_score micro-nat portability argument applies per term
+    h = _u32(F.concat(F.col("doc_id").cast("string"), F.lit(":dsirg")))
+    e_int = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.round(
+            F.lit(1_000_000.0) * (F.lit(_LN_2POW32) - F.log(h + F.lit(1)))
+        ).cast("bigint"),
+    )
+    g = F.round(
+        F.lit(1_000_000.0) * (F.lit(_LN_1E6) - F.log(e_int))
+    ).cast("bigint")
+    return (
+        t.documents.select("doc_id")
+        .join(ds, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_features", F.lit(0).cast("bigint")).alias(
+                "n_features"
+            ),
+            (
+                F.coalesce("fsum", F.lit(0).cast("bigint"))
+                + F.coalesce("n_features", F.lit(0).cast("bigint"))
+                * F.lit(kmicro).cast("bigint")
+            ).alias("logw_micro"),
+            g.alias("gumbel_micro"),
+        )
+        .withColumn(
+            "key_micro", F.col("logw_micro") + F.col("gumbel_micro")
+        )
+    )
+
+
+def data_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): keep the
+    K = 100 raw-corpus documents most like the TARGET distribution
+    (lang = 'en'), by Gumbel-top-k over hashed-bigram importance weights.
+
+    Per document z with hashed features f_1..f_n (unigrams + adjacent
+    word bigrams, md5-u32 mod 1024 buckets):
+      log w(z) = sum_i [ ln((ct[b_i]+1)) - ln((cq[b_i]+1)) ]
+                 + n * [ ln(Nq+m) - ln(Nt+m) ]
+    (Laplace-smoothed bucket unigram models of target ct / raw cq), each
+    bracketed term an integer micro-nat; selection key = logw + Gumbel
+    noise from the doc_id coin — sampling WITHOUT replacement from the
+    softmax of importance weights (Gumbel-top-k identity), deterministic
+    and engine-portable.
+
+    Scale shape: feature hashing happens inside the explode projection so
+    no exchange ever carries a feature string; the two bucket models come
+    out of ONE map-side-combined fact-scale groupBy; the fitted model is
+    m = 1024 literal rows broadcast back (the paper's own fit-small,
+    score-everywhere deployment shape); per-doc scoring is one broadcast
+    join + one doc_id groupBy; the K-largest selection compiles to
+    TakeOrderedAndProject (per-partition top-K + K-row merge — never a
+    global sort). Reference has no counterpart (extension surface)."""
+    scored = _dsir_scored(spark, sf_dir)
+    topk = scored.orderBy(F.col("key_micro").desc(), "doc_id").limit(_DSIR_K)
+    w = Window.orderBy(F.col("key_micro").desc(), "doc_id")
+    return topk.select(
+        "doc_id",
+        "n_features",
+        "logw_micro",
+        "gumbel_micro",
+        "key_micro",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -842,3 +842,65 @@ def test_global_prefix_sums_grouped_matches_window(spark):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r10 additions: engine-independent numpy twins. The DuckDB oracles share
+# the rank-sum / windowed-cumsum FORMULATION with the Spark plans; these
+# recompute both statistics from the raw parquet through independently
+# coded numpy paths (Lorenz trapezoid; searchsorted ECDFs), so a
+# translation bug common to both SQL engines would still be caught.
+# ---------------------------------------------------------------------------
+
+
+def test_gini_matches_numpy_lorenz(spark):
+    """Per-group Gini recomputed via the Lorenz-curve trapezoid
+    G = 1 - sum(cum_{i-1} + cum_i) / (n * S) over ascending cents —
+    algebraically equal to the query's rank-sum identity but a different
+    code path (numpy int64 cumsum; tie order is irrelevant because equal
+    values contribute identically). Matches to well inside the query's
+    9-dp rounding."""
+    import pandas as pd
+
+    got = {
+        r.l_returnflag: (r.n, r.gini)
+        for r in REGISTRY["agg_gini_coefficient"].fn(spark, SF_ORACLE).collect()
+    }
+    li = pd.read_parquet(
+        f"{SF_ORACLE}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    assert set(got) == set(li["l_returnflag"].unique())
+    for flag, grp in li.groupby("l_returnflag"):
+        x = np.sort(
+            np.round(grp["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        )
+        n, s = len(x), int(x.sum())
+        cum = np.cumsum(x)
+        trap = int((np.concatenate(([0], cum[:-1])) + cum).sum())
+        want = 1.0 - trap / (n * float(s))
+        assert got[flag][0] == n
+        assert got[flag][1] == pytest.approx(want, abs=1e-8)
+
+
+def test_ks_matches_numpy_ecdf(spark):
+    """Two-sample KS distance recomputed with searchsorted ECDFs over the
+    union of observed values — the textbook D = sup|F1 - F2| evaluated
+    pointwise, no running-total machinery shared with the query plan."""
+    import pandas as pd
+
+    row = REGISTRY["agg_ks_two_sample"].fn(spark, SF_ORACLE).first()
+    li = pd.read_parquet(
+        f"{SF_ORACLE}/lineitem.parquet",
+        columns=["l_linestatus", "l_extendedprice"],
+    )
+    cents = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    status = li["l_linestatus"].to_numpy()
+    x1 = np.sort(cents[status == "O"])
+    x2 = np.sort(cents[status == "F"])
+    grid = np.union1d(x1, x2)
+    e1 = np.searchsorted(x1, grid, side="right") / len(x1)
+    e2 = np.searchsorted(x2, grid, side="right") / len(x2)
+    want = float(np.abs(e1 - e2).max())
+    assert row.n1 == len(x1) and row.n2 == len(x2)
+    assert row.ks_d == pytest.approx(want, abs=1e-8)

@@ -500,7 +500,14 @@ def test_welch_partial_aggregation(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["evt_rfm_segmentation", "m13_auc_rank", "agg_equidepth_histogram"]
+    "name",
+    [
+        "evt_rfm_segmentation",
+        "m13_auc_rank",
+        "agg_equidepth_histogram",
+        "agg_gini_coefficient",
+        "agg_ks_two_sample",
+    ],
 )
 def test_sharded_rank_production_plan_has_no_single_partition(spark, name):
     """r9 graduation of the r8 `weak`: the DEFAULT path of every
@@ -508,16 +515,20 @@ def test_sharded_rank_production_plan_has_no_single_partition(spark, name):
     operator — range exchange + narrow mapInPandas — with NO
     SinglePartition exchange and no window rank function anywhere in the
     plan. (Replaces the r8 test whose `or "ntile" in plan` fallback made
-    the structural assertion vacuous — ADVICE r8.)"""
+    the structural assertion vacuous — ADVICE r8.) The r10 additions
+    (gini, KS) inherit the family pin at birth; KS ends in scalar
+    aggregates (n1/n2/D are single rows by construction), so it shares
+    m13's allowance: every SinglePartition must be a scalar
+    HashAggregate's exchange, data-independent width."""
     assert "CLINICAL_BI_SINGLE_PARTITION_RANK" not in os.environ
     plan = explain(spark, name)
     assert "ntile" not in plan, plan
     assert "row_number" not in plan, plan
     assert "Window" not in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
-    if name == "m13_auc_rank":
-        # the one allowed SinglePartition is the final SCALAR aggregate's
-        # exchange (three partial longs) — data-independent width
+    if name in ("m13_auc_rank", "agg_ks_two_sample"):
+        # the allowed SinglePartitions are scalar aggregates' exchanges
+        # (a few partial longs) — data-independent width
         lines = plan.splitlines()
         for i, l in enumerate(lines):
             if "SinglePartition" in l:

@@ -647,7 +647,8 @@ def winnow_neardup_pairs(
     pipeline pattern): explode to (fingerprint, doc) postings, drop
     boilerplate fingerprints appearing in more than ``max_df`` documents
     (the df cap bounds every join bucket, so no hot key can go quadratic),
-    self-equi-join on the fingerprint, and keep pairs sharing at least
+    generate same-fingerprint pairs within each bucket, and keep pairs
+    sharing at least
     ``min_shared`` fingerprints with containment
     shared / min(|fps_a|, |fps_b|) >= ``min_containment`` — containment is
     measured against the *post-cap* fingerprint sets, so ubiquitous grams
@@ -664,12 +665,16 @@ def winnow_neardup_pairs(
       max_df can make the overflow set data-sized; forcing a broadcast
       there would OOM the driver). Either way every posting is capped
       *before* the expensive fp shuffle, the hot keys never travel, and
-      the self-join's buckets are bounded at shuffle time (no AQE
-      skew-split needed). The count itself is a map-side-combined groupBy,
-      immune to fp skew.
+      the pair buckets are bounded at shuffle time (no AQE skew-split
+      needed). The count itself is a map-side-combined groupBy, immune to
+      fp skew.
     * per-doc fingerprint sizes join onto the SMALL aggregated pair set,
-      not the wide posting stream — nfps never rides the self-join (the
-      widest stage carries exactly (fp, id_a, id_b)).
+      not the wide posting stream — nfps never rides the candidate
+      stream (the widest stage carries exactly (fp, id_a, id_b)).
+    * candidates come from ONE exchange of the capped posting list
+      (groupBy fp + in-bucket combination), not a posting self-join that
+      ships the list once per side (r10 shuffle-census finding; see the
+      inline comment).
     """
     # Materialization barrier (same as the MinHash signature path), placed
     # BEFORE the explode: Catalyst inlines a projected array expression into
@@ -698,11 +703,30 @@ def winnow_neardup_pairs(
     else:
         e = e.join(overflow, "fp", "left_anti")
     sz = e.groupBy("id").agg(F.count("*").alias("n_fps"))
-    a = e.select(F.col("id").alias("id_a"), "fp")
-    b = e.select(F.col("id").alias("id_b"), "fp")
+    # Self-join via two ALIASES of the one posting plan, not two renamed
+    # Projects: the r10 shuffle census measured the old
+    # e.select(id_a).join(e.select(id_b)) form shipping the full posting
+    # list TWICE (2x10.2 MiB of the curation funnel's 24.4 MiB at sf0.1)
+    # because the pre-exchange rename made the two sides canonically
+    # different plans, so ReuseExchange could not fire. With both sides
+    # the byte-identical (id, fp) projection, Catalyst plans ONE exchange
+    # and a ReusedExchange for the other side — postings ship once.
+    # (A collect_list bucket-combination form was A/B'd and REJECTED:
+    # per-fp array state serialized ~1.5x LARGER than the duplicate
+    # exchange it saved on this fp-cardinality profile — most buckets
+    # hold 1-2 postings, so array headers dominate.)
+    ea, eb = e.alias("wnp_a"), e.alias("wnp_b")
     pairs = (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        ea.join(
+            eb,
+            [
+                F.col("wnp_a.fp") == F.col("wnp_b.fp"),
+                F.col("wnp_a.id") < F.col("wnp_b.id"),
+            ],
+        )
+        .select(
+            F.col("wnp_a.id").alias("id_a"), F.col("wnp_b.id").alias("id_b")
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
@@ -799,11 +823,27 @@ def connected_components(
     (dedup_cluster_winnow oracle), and both paths are differential-tested
     against each other (tests/test_dedup.py).
     """
+    # Both directions via ONE explode over the edge stream, not
+    # union(edges, reversed(edges)): a union reads `edges` through two
+    # plan branches, and when the caller hands a LAZY pair-mining plan
+    # (every dedup query does) the whole miner executes twice — the r10
+    # shuffle census caught the curation funnel paying its candidate
+    # aggregate exchange 2x10.2 MiB because of exactly this (ReuseExchange
+    # does not fire across the differently-projected union branches).
     both = persist_tracked(
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.u", "e.v")
         .distinct()
     )
     # the count also materializes the persist, so downstream consumers

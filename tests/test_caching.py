@@ -120,3 +120,35 @@ def test_sequential_replay_storage_flat(spark):
     # and the LAST query's leftovers release at the next boundary
     caching.release_all(spark)
     assert _persistent_rdd_count(spark) == baseline
+
+
+def test_connected_components_reads_edge_source_exactly_once(spark):
+    """r10 census-driven regression pin: the bidirectional edge list must
+    be built with ONE pass over the caller's (lazy, often expensive)
+    pair-mining plan. The pre-fix union(edges, reversed(edges)) form read
+    the source through two plan branches, executing the whole miner twice
+    (the curation funnel paid its 10.2 MiB candidate exchange 2x). An
+    accumulator inside the edge source counts actual row productions:
+    it must equal the edge count, not 2x."""
+    import pandas as pd
+
+    acc = spark.sparkContext.accumulator(0)
+    n_edges = 40
+
+    def produce(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pd.DataFrame(
+                {"id_a": pdf["id"] * 2, "id_b": pdf["id"] * 2 + 1}
+            )
+
+    src = spark.range(n_edges).repartition(4)
+    edges = src.mapInPandas(produce, schema="id_a bigint, id_b bigint")
+    comps = connected_components(edges)
+    rows = comps.collect()
+    # every vertex appears, paired with its chain partner
+    assert len(rows) == 2 * n_edges
+    assert acc.value == n_edges, (
+        f"edge source produced {acc.value} rows for {n_edges} edges — "
+        "the miner plan executed more than once"
+    )

@@ -555,3 +555,59 @@ def test_cep_update_batch_slicing_invariant(types, cuts):
     single = run([0, n])
     sliced = run(sorted({0, n, *[c for c in cuts if c < n]}))
     assert single == sliced
+
+
+# ---------------------------------------------------------------------------
+# Sharded prefix sums (operators/ranking.py): hypothesis-random relations —
+# random values incl. NULLs, random (possibly NULL) group keys, random shard
+# counts — must match SUM() OVER (PARTITION BY g ORDER BY o) exactly. The
+# deterministic boundary cases live in test_analytics.py; this is the
+# adversarial-random sweep.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # group
+            st.integers(min_value=-5, max_value=5),                   # order
+            st.one_of(st.none(), st.integers(-1000, 1000)),           # value
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+def test_global_prefix_sums_random_matches_window(spark, rows, n_parts):
+    from pyspark.sql.window import Window
+
+    from clinical_bi_spark.operators.ranking import global_prefix_sums
+
+    # disambiguate the order within (g, o) ties with a unique id so both
+    # forms share one total order
+    data = [(g, o, i, v) for i, (g, o, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "g string, o int, tie long, v long"
+    )
+    got = {
+        (r.g, r.o, r.tie): r.kv
+        for r in global_prefix_sums(
+            df, [F.col("o"), F.col("tie")], ["v"], ["kv"],
+            partition_by=["g"], n_partitions=n_parts,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o", "tie")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.g, r.o, r.tie): r.kv
+        for r in df.select(
+            "g", "o", "tie",
+            F.sum(F.coalesce("v", F.lit(0))).over(w).alias("kv"),
+        ).collect()
+    }
+    assert got == want

@@ -56,10 +56,48 @@ def subword_count(col: Column) -> Column:
     return (words + punct).cast("int")
 
 
+#: one millionth — the engine-exact fixed-point grain of every text ratio
+_MICRO = 1_000_000
+
+
+def _exact_div(a: Column, b: Column) -> Column:
+    """Exact integer ``a DIV b`` for non-negative bigints: strip the
+    remainder first, so the double division is of an exact multiple and
+    is correctly rounded to the (representable) integer quotient. Exact
+    for operands below 2^53 — the callers' micro-scaled counts top out
+    around 4e15 only past ~2e9-character documents."""
+    a = a.cast("bigint")
+    b = b.cast("bigint")
+    return ((a - a % b) / b).cast("bigint")
+
+
+def _half_up_micro(numer: Column, denom: Column) -> Column:
+    """ROUND-half-up of ``numer/denom`` at 6 decimals as an exact bigint
+    micro count — the integer twin of ``ROUND(x, 6)``. The r10 unicode
+    differential sweep caught Spark's BigDecimal HALF_UP and DuckDB's
+    ``std::round(x*1e6)`` disagreeing by one micro on exact .5e-6
+    boundaries (latent on the ASCII fixture, where punctuation counts
+    are zero); integers cannot disagree."""
+    two = F.lit(2).cast("bigint")
+    n = numer.cast("bigint") * F.lit(_MICRO).cast("bigint")
+    return _exact_div(two * n + denom.cast("bigint"), two * denom.cast("bigint"))
+
+
+def _micro_to_double(micro: Column) -> Column:
+    """micro/1e6 as double — both engines divide the same exact integer
+    by the same constant, so the IEEE quotients are identical."""
+    return (micro.cast("double") / F.lit(1_000_000.0)).cast("double")
+
+
+def _punct_chars(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+
+
 def punct_ratio(col: Column) -> Column:
-    """Fraction of characters that are neither alphanumeric nor whitespace."""
-    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
-    return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), 6)
+    """Fraction of characters that are neither alphanumeric nor
+    whitespace, at exact micro grain (see ``_half_up_micro``)."""
+    micro = _half_up_micro(_punct_chars(col), F.greatest(F.length(col), F.lit(1)))
+    return _micro_to_double(micro)
 
 
 def _stopword_hits(lowered: Column, stopwords: tuple[str, ...]) -> Column:
@@ -71,17 +109,27 @@ def _stopword_hits(lowered: Column, stopwords: tuple[str, ...]) -> Column:
     return F.regexp_count(lowered, F.lit(pat))
 
 
-def stopword_ratio(col: Column, lang: str = "en") -> Column:
-    """Fraction of tokens that are stopwords (lowercased match)."""
+def _stopword_micro(col: Column, lang: str = "en") -> Column:
     lowered = F.lower(col)
     hits = _stopword_hits(lowered, STOPWORDS[lang])
-    return F.round(hits / F.greatest(token_count(lowered), F.lit(1)), 6)
+    return _half_up_micro(hits, F.greatest(token_count(lowered), F.lit(1)))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords (lowercased match), at exact
+    micro grain (see ``_half_up_micro``)."""
+    return _micro_to_double(_stopword_micro(col, lang))
+
+
+def _mean_token_length_micro(col: Column) -> Column:
+    # sum of token lengths == count of non-whitespace characters
+    total = F.length(F.regexp_replace(col, r"\s+", ""))
+    return _half_up_micro(total, F.greatest(token_count(col), F.lit(1)))
 
 
 def mean_token_length(col: Column) -> Column:
-    # sum of token lengths == count of non-whitespace characters
-    total = F.length(F.regexp_replace(col, r"\s+", ""))
-    return F.round(total / F.greatest(token_count(col), F.lit(1)), 6)
+    """Mean whitespace-token length, at exact micro grain."""
+    return _micro_to_double(_mean_token_length_micro(col))
 
 
 def quality_score(col: Column) -> Column:
@@ -90,16 +138,44 @@ def quality_score(col: Column) -> Column:
     Combines length adequacy, stopword presence, punctuation sanity, and
     mean token length — the standard cheap pre-filters an LLM data
     pipeline applies before expensive dedup/scoring stages.
+
+    All arithmetic is exact bigint micro-units end to end (the r10
+    unicode sweep's lesson: the old double form hit .5e-6 rounding
+    boundaries where the engines' round() implementations disagree —
+    only observable once punctuation counts were nonzero). Each term is
+    an exact micro int; the final average rounds half-up in integer
+    space ((sum + 2) DIV 4), so the score is the same micro integer in
+    any engine.
     """
-    n_tokens = token_count(col)
-    length_ok = F.least(n_tokens / F.lit(64.0), F.lit(1.0))  # saturates at 64 tokens
-    sw = stopword_ratio(col)
-    sw_ok = F.least(sw / F.lit(0.05), F.lit(1.0))  # saturates at 5% stopwords
-    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) / F.lit(0.3), F.lit(1.0))
-    mtl = mean_token_length(col)
-    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    score = (length_ok + sw_ok + punct_ok + mtl_ok) / F.lit(4.0)
-    return F.round(score, 6)
+    return _micro_to_double(quality_score_micro(col))
+
+
+def quality_score_micro(col: Column) -> Column:
+    """``quality_score`` as its exact bigint micro count (quality × 1e6)
+    — for callers that aggregate or threshold the score and need integer
+    arithmetic all the way (the curation funnel's average; a >= 0.85
+    gate is exactly ``micro >= 850000``)."""
+    micro = F.lit(_MICRO).cast("bigint")
+    n_tokens = token_count(col).cast("bigint")
+    # n/64 saturating at 1: 1e6/64 = 15625 exactly
+    length_ok = F.least(n_tokens * F.lit(15625).cast("bigint"), micro)
+    # stopword ratio / 0.05 = micro * 20, saturating
+    sw_ok = F.least(_stopword_micro(col) * F.lit(20).cast("bigint"), micro)
+    # punct ratio / 0.3 = micro * 10/3, half-up, saturating; then 1 - x
+    p = _exact_div(
+        F.lit(20).cast("bigint") * _half_up_micro(
+            _punct_chars(col), F.greatest(F.length(col), F.lit(1))
+        )
+        + F.lit(3).cast("bigint"),
+        F.lit(6).cast("bigint"),
+    )
+    punct_ok = micro - F.least(p, micro)
+    mtl = _mean_token_length_micro(col)
+    mtl_ok = F.when(
+        (mtl >= F.lit(2 * _MICRO)) & (mtl <= F.lit(12 * _MICRO)), micro
+    ).otherwise(F.lit(0).cast("bigint"))
+    total = length_ok + sw_ok + punct_ok + mtl_ok
+    return _exact_div(total + F.lit(2).cast("bigint"), F.lit(4).cast("bigint"))
 
 
 def language_guess(col: Column) -> Column:

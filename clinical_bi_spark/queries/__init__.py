@@ -118,7 +118,16 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #:     oracle-neutral on non-degenerate data, probe + session oracles
 #:     re-pass): text_bigram_pmi_topk (r9-green),
 #:     agg_benford_firstdigit (r8-green), m9_mlp_train_eval /
-#:     m3_feature_importance (rows-only, already in the r11 rotation).
+#:     m3_feature_importance (rows-only, already in the r11 rotation);
+#:     and the r10 UNICODE-sweep fixes, landed after this window was
+#:     committed (scripts/unicode_probe.py found three real cross-engine
+#:     divergences; quality/ratio family now exact bigint micro-units,
+#:     frame oracle now byte-faithful — Spark and oracle moved in
+#:     LOCKSTEP, so session oracles + the full unicode sweep re-pass
+#:     178/0): text_quality_score (r8-green), data_quality_select
+#:     (r7-green), text_stats (r8-green) changed WITHOUT r10 slots and
+#:     are due in r11 oldest-first; multimodal_frame_sample and
+#:     pipeline_corpus_curation are IN this window and get current rows.
 #: r11 arithmetic check at this commit: 42 r7-green entries hit the
 #: ceiling at r11; 42 + 2 headliners + 4 overflow rows-only/changed-r9 =
 #: 48, leaving 2 slots for r11 new/changed code — tight but sound, and

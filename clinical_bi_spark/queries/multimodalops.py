@@ -82,11 +82,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The fixture text is pure ASCII (verified: octet_length(encode(text)) ==
 # length(text) for every row), so DuckDB's VARCHAR substring slices the
 # same bytes Spark's binary slicing does and the md5s agree exactly.
+#: BYTE semantics, not characters: the media column is encode(text) and
+#: the codec slices bytes, so the oracle must too. DuckDB cannot slice a
+#: BLOB or md5 one (md5 is VARCHAR-only), so both engines fingerprint the
+#: frame's HEX instead — hex is pure ASCII (Spark and DuckDB both emit
+#: uppercase), making md5(VARCHAR) byte-faithful. The r10 unicode sweep
+#: caught the old character-sliced oracle diverging (333 vs 299 frames)
+#: the moment text stopped being ASCII — chars == bytes only there.
 _FRAME_ORACLE = """
 SELECT doc_id AS asset_id,
        CAST(i AS INT) AS frame_index,
-       md5(substring(text, CAST(i * 256 + 1 AS INT), 256)) AS frame_md5
-FROM documents, UNNEST(range(0, length(text) // 256, 2)) AS t(i)
+       md5(substring(hex(encode(text)), CAST(i * 512 + 1 AS INT), 512))
+         AS frame_md5
+FROM documents,
+     UNNEST(range(0, octet_length(encode(text)) // 256, 2)) AS t(i)
 """
 
 
@@ -191,8 +200,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("media"),
     )
     frames = sample_video_frames(media, every_n=2, frame_bytes=256)
+    # md5 of the frame's HEX (not raw bytes): DuckDB's md5 only hashes
+    # VARCHAR, so the engine-portable fingerprint is over the ASCII hex
+    # of the frame bytes — byte-faithful for any input encoding
     return frames.select(
-        "asset_id", "frame_index", F.md5("frame").alias("frame_md5")
+        "asset_id",
+        "frame_index",
+        F.md5(F.hex(F.col("frame"))).alias("frame_md5"),
     )
 
 

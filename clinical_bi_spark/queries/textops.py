@@ -17,12 +17,14 @@ from pyspark.sql.window import Window
 
 from clinical_bi_spark.caching import persist_tracked
 from clinical_bi_spark.functions.text import (
+    _exact_div as _t_exact_div,
     STOPWORDS,
     doc_fingerprint,
     language_guess,
     mean_token_length,
     punct_ratio,
     quality_score,
+    quality_score_micro,
     stopword_ratio,
     subword_count,
     token_count,
@@ -37,16 +39,39 @@ _TOKENS = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
 _LTOKENS = _TOKENS.format(col="lower({col})")
 
 
+def _half_up_micro_sql(numer: str, denom: str) -> str:
+    """ROUND-half-up of numer/denom at micro (1e-6) grain as exact BIGINT
+    arithmetic — the DuckDB twin of functions/text._half_up_micro. The
+    r10 unicode sweep caught the old ROUND(double, 6) forms diverging by
+    one micro on exact .5e-6 boundaries (Spark BigDecimal HALF_UP vs
+    DuckDB std::round(x*1e6)); integer DIV cannot diverge. ``denom``
+    must already be clamped >= 1."""
+    return (
+        f"((2 * (CAST({numer} AS BIGINT) * 1000000) + ({denom}))"
+        f" // (2 * ({denom})))"
+    )
+
+
+
+_STATS_PUNCT_MICRO = _half_up_micro_sql(
+    "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))",
+    "greatest(length(text), 1)",
+)
+_STATS_MTL_MICRO = _half_up_micro_sql(
+    "COALESCE(list_sum(list_transform("
+    + _TOKENS.format(col="text")
+    + ", x -> length(x))), 0)",
+    "greatest(len(" + _TOKENS.format(col="text") + "), 1)",
+)
+
 _TEXT_STATS_ORACLE = f"""
 SELECT
   doc_id,
   CAST(len({_TOKENS.format(col='text')}) AS INT) AS n_tokens,
   CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''))
        + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_subwords,
-  ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-        / greatest(length(text), 1), 6) AS punct_ratio,
-  ROUND(list_sum(list_transform({_TOKENS.format(col='text')}, x -> length(x)))::DOUBLE
-        / greatest(len({_TOKENS.format(col='text')}), 1), 6) AS mean_token_len
+  CAST({_STATS_PUNCT_MICRO} AS DOUBLE) / 1000000.0 AS punct_ratio,
+  CAST({_STATS_MTL_MICRO} AS DOUBLE) / 1000000.0 AS mean_token_len
 FROM documents
 """
 
@@ -74,27 +99,47 @@ def _sw_hits_sql(lang: str) -> str:
     )
 
 
+_PUNCT_SQL = "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+
+
+def _sw_micro_sql() -> str:
+    return _half_up_micro_sql(
+        _sw_hits_sql("en"),
+        f"greatest(len({_LTOKENS.format(col='text')}), 1)",
+    )
+
+
+def _quality_micro_sql() -> str:
+    """quality_score as its exact BIGINT micro count (quality x 1e6) —
+    mirrors functions/text.quality_score_micro exactly: bigint micro
+    units end to end, integer half-up average (_half_up_micro_sql)."""
+    t = f"len({_TOKENS.format(col='text')})"
+    nw = (
+        "COALESCE(list_sum(list_transform("
+        + _TOKENS.format(col="text")
+        + ", x -> length(x))), 0)"
+    )
+    pm = _half_up_micro_sql(_PUNCT_SQL, "greatest(length(text), 1)")
+    mtlm = _half_up_micro_sql(nw, f"greatest({t}, 1)")
+    return f"""((
+    least(CAST({t} AS BIGINT) * 15625, 1000000)
+    + least({_sw_micro_sql()} * 20, 1000000)
+    + (1000000 - least((20 * {pm} + 3) // 6, 1000000))
+    + (CASE WHEN {mtlm} BETWEEN 2000000 AND 12000000
+            THEN 1000000 ELSE 0 END)
+    + 2) // 4)"""
+
+
 def _quality_sql() -> str:
-    """The quality-score expression as a reusable SQL fragment (mirrors
-    functions/text.quality_score exactly)."""
-    return f"""ROUND((
-    least(len({_TOKENS.format(col='text')}) / 64.0, 1.0)
-    + least(ROUND({_sw_hits_sql('en')}::DOUBLE
-            / greatest(len({_LTOKENS.format(col='text')}), 1), 6) / 0.05, 1.0)
-    + 1.0 - least(ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-            / greatest(length(text), 1), 6) / 0.3, 1.0)
-    + CASE WHEN ROUND(list_sum(list_transform({_TOKENS.format(col='text')}, x -> length(x)))::DOUBLE
-                / greatest(len({_TOKENS.format(col='text')}), 1), 6) BETWEEN 2.0 AND 12.0
-           THEN 1.0 ELSE 0.0 END
-  ) / 4.0, 6)"""
+    """The quality score as a DOUBLE fragment (micro / 1e6)."""
+    return f"(CAST({_quality_micro_sql()} AS DOUBLE) / 1000000.0)"
 
 
 _QUALITY_ORACLE = f"""
 SELECT
   doc_id,
   {_quality_sql()} AS quality,
-  ROUND({_sw_hits_sql('en')}::DOUBLE
-        / greatest(len({_LTOKENS.format(col='text')}), 1), 6) AS en_stopword_ratio
+  CAST({_sw_micro_sql()} AS DOUBLE) / 1000000.0 AS en_stopword_ratio
 FROM documents
 """
 
@@ -627,10 +672,11 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURATION_ORACLE = (
     f"""
 WITH RECURSIVE scored AS (
-  SELECT *, {_quality_sql()} AS quality, {_lang_case_sql()} AS glang
+  SELECT *, {_quality_micro_sql()} AS qmicro, {_lang_case_sql()} AS glang
   FROM documents
 ), kept0 AS (
-  SELECT * FROM scored WHERE quality >= 0.85 AND glang = 'en'
+  -- quality >= 0.85 is exactly qmicro >= 850000 (integer gate)
+  SELECT * FROM scored WHERE qmicro >= 850000 AND glang = 'en'
 ), xkeep AS (
   SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS xfp,
          MIN(doc_id) AS keep_id
@@ -667,7 +713,10 @@ SELECT source,
        CAST(SUM(len("""
     + _TOKENS.format(col="text")
     + """)) AS BIGINT) AS total_tokens,
-       ROUND(AVG(quality), 6) AS avg_quality
+       -- ROUND(AVG(quality), 6) in exact integer space: half-up of
+       -- SUM(micro)/n (float AVG order is engine-dependent at .5e-6)
+       CAST(((2 * SUM(qmicro) + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE)
+         / 1000000.0 AS avg_quality
 FROM kept1
 WHERE doc_id NOT IN (SELECT node FROM nd_drops)
 GROUP BY source
@@ -703,10 +752,15 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     docs = persist_tracked(docs, StorageLevel.DISK_ONLY)
-    scored = docs.withColumn("quality", quality_score(text)).withColumn(
+    scored = docs.withColumn("qmicro", quality_score_micro(text)).withColumn(
         "glang", language_guess(text)
     )
-    kept0 = scored.filter((F.col("quality") >= 0.85) & (F.col("glang") == "en"))
+    # quality >= 0.85 is exactly qmicro >= 850000 (integer gate; the
+    # unicode sweep's second finding was a .5e-6 AVG boundary, so quality
+    # stays an exact micro INT until the final rollup divides)
+    kept0 = scored.filter(
+        (F.col("qmicro") >= F.lit(850_000)) & (F.col("glang") == "en")
+    )
     # exact dedup: keep the lowest doc_id of every content-fingerprint group
     # — one row_number window (a single xfp shuffle; dup groups are small,
     # so no skew) instead of a groupBy + semi-join back (two shuffles and a
@@ -732,7 +786,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            "quality",
+            "qmicro",
             token_count(text).cast("bigint").alias("n_tokens"),
             "text",
         )
@@ -740,7 +794,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept1_all = persist_tracked(kept1_all, StorageLevel.DISK_ONLY)
     kept1_text = kept1_all.select("doc_id", "text")
     kept1 = persist_tracked(
-        kept1_all.select("doc_id", "source", "quality", "n_tokens")
+        kept1_all.select("doc_id", "source", "qmicro", "n_tokens")
     )
     # near-dup drop: anti-join the higher id of each winnowed pair
     pairs = winnow_neardup_pairs(
@@ -756,10 +810,23 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     kept2 = kept1.join(drops, "doc_id", "left_anti")
-    return kept2.groupBy("source").agg(
+    # ROUND(AVG(quality), 6) computed exactly: half-up of SUM(micro)/n in
+    # bigint space, then one exact int-to-double division (float AVG
+    # summation order is engine-dependent and can land on the .5e-6
+    # boundary — the unicode probe caught it doing exactly that)
+    agg = kept2.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum("qmicro").cast("bigint").alias("__qsum"),
+    )
+    two = F.lit(2).cast("bigint")
+    n = F.col("n_docs").cast("bigint")
+    avg_micro = _t_exact_div(two * F.col("__qsum") + n, two * n)
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (avg_micro.cast("double") / F.lit(1_000_000.0)).alias("avg_quality"),
     )
 
 

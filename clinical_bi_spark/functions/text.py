@@ -89,15 +89,55 @@ def _micro_to_double(micro: Column) -> Column:
     return (micro.cast("double") / F.lit(1_000_000.0)).cast("double")
 
 
+def _bind(cols: dict[str, Column], body) -> Column:
+    """Let-binding for scalar expressions: evaluate each of ``cols`` ONCE
+    per row, then apply ``body`` to the bound values.
+
+    Why it exists (r11, the stream_corpus_curation regression): the exact
+    micro-unit arithmetic duplicates its operands structurally —
+    ``_exact_div(a, b)`` mentions ``a`` twice and ``b`` twice, and
+    ``_half_up_micro`` nests it, so a ratio whose numerator is a
+    regexp_count re-scans the document 2–4× per reference. Projections
+    get common-subexpression elimination in whole-stage codegen, but
+    FILTER conditions do not — the streaming curation gate (which cannot
+    hide behind a persist barrier the way the batch funnel does) was
+    paying ~25 full-text regex scans per row. Binding the counts through
+    ``transform(array(struct(...)), r -> body)`` evaluates each scan
+    exactly once; everything duplicated afterwards is bigint arithmetic
+    on the bound fields. Stays Catalyst-native (no Python UDF), and the
+    optimizer has no rule that re-inlines a lambda application, so the
+    sharing survives every rewrite including predicate pushdown.
+    """
+    names = list(cols)
+    packed = F.struct(*[cols[n].alias(n) for n in names])
+    return F.element_at(
+        F.transform(F.array(packed), lambda r: body(**{n: r[n] for n in names})),
+        1,
+    )
+
+
 def _punct_chars(col: Column) -> Column:
-    return F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    # count of code points outside [A-Za-z0-9\s] — value-identical to the
+    # old length(regexp_replace(col, '[A-Za-z0-9\s]', '')) (Java regex
+    # classes match one code point; length() counts code points) but a
+    # single non-allocating scan instead of building a stripped copy.
+    return F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]"))
+
+
+def _nonws_chars(col: Column) -> Column:
+    # count of non-whitespace code points — value-identical to the old
+    # length(regexp_replace(col, '\s+', '')) (each removed char is one
+    # \s match) without building the stripped copy.
+    return F.length(col) - F.regexp_count(col, F.lit(r"\s"))
 
 
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are neither alphanumeric nor
     whitespace, at exact micro grain (see ``_half_up_micro``)."""
-    micro = _half_up_micro(_punct_chars(col), F.greatest(F.length(col), F.lit(1)))
-    return _micro_to_double(micro)
+    return _bind(
+        {"p": _punct_chars(col), "n": F.greatest(F.length(col), F.lit(1))},
+        lambda p, n: _micro_to_double(_half_up_micro(p, n)),
+    )
 
 
 def _stopword_hits(lowered: Column, stopwords: tuple[str, ...]) -> Column:
@@ -110,9 +150,18 @@ def _stopword_hits(lowered: Column, stopwords: tuple[str, ...]) -> Column:
 
 
 def _stopword_micro(col: Column, lang: str = "en") -> Column:
-    lowered = F.lower(col)
-    hits = _stopword_hits(lowered, STOPWORDS[lang])
-    return _half_up_micro(hits, F.greatest(token_count(lowered), F.lit(1)))
+    # denominator: token_count(col), not token_count(lower(col)) — the
+    # values are identical (no lowercase mapping turns whitespace into
+    # non-whitespace or vice versa, so the \S+ run count is unchanged by
+    # lower()), and the unlowered tree is shareable with the other
+    # quality terms; the hit count still scans the lowered text.
+    return _bind(
+        {
+            "hits": _stopword_hits(F.lower(col), STOPWORDS[lang]),
+            "toks": F.greatest(token_count(col), F.lit(1)),
+        },
+        lambda hits, toks: _half_up_micro(hits, toks),
+    )
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
@@ -123,8 +172,13 @@ def stopword_ratio(col: Column, lang: str = "en") -> Column:
 
 def _mean_token_length_micro(col: Column) -> Column:
     # sum of token lengths == count of non-whitespace characters
-    total = F.length(F.regexp_replace(col, r"\s+", ""))
-    return _half_up_micro(total, F.greatest(token_count(col), F.lit(1)))
+    return _bind(
+        {
+            "nonws": _nonws_chars(col),
+            "toks": F.greatest(token_count(col), F.lit(1)),
+        },
+        lambda nonws, toks: _half_up_micro(nonws, toks),
+    )
 
 
 def mean_token_length(col: Column) -> Column:
@@ -150,32 +204,55 @@ def quality_score(col: Column) -> Column:
     return _micro_to_double(quality_score_micro(col))
 
 
-def quality_score_micro(col: Column) -> Column:
-    """``quality_score`` as its exact bigint micro count (quality × 1e6)
-    — for callers that aggregate or threshold the score and need integer
-    arithmetic all the way (the curation funnel's average; a >= 0.85
-    gate is exactly ``micro >= 850000``)."""
+def _quality_micro_body(
+    toks: Column, hits: Column, punct: Column, nonws: Column, chars: Column
+) -> Column:
+    """The quality arithmetic over already-bound per-document counts
+    (whitespace tokens, en-stopword hits, punctuation chars, non-ws
+    chars, total chars). Pure bigint ops — the structural duplication
+    inside ``_exact_div``/``_half_up_micro`` is free here because every
+    operand is a bound field, not a regex scan."""
     micro = F.lit(_MICRO).cast("bigint")
-    n_tokens = token_count(col).cast("bigint")
+    n_tokens = toks.cast("bigint")
     # n/64 saturating at 1: 1e6/64 = 15625 exactly
     length_ok = F.least(n_tokens * F.lit(15625).cast("bigint"), micro)
     # stopword ratio / 0.05 = micro * 20, saturating
-    sw_ok = F.least(_stopword_micro(col) * F.lit(20).cast("bigint"), micro)
+    sw_micro = _half_up_micro(hits, F.greatest(n_tokens, F.lit(1).cast("bigint")))
+    sw_ok = F.least(sw_micro * F.lit(20).cast("bigint"), micro)
     # punct ratio / 0.3 = micro * 10/3, half-up, saturating; then 1 - x
     p = _exact_div(
-        F.lit(20).cast("bigint") * _half_up_micro(
-            _punct_chars(col), F.greatest(F.length(col), F.lit(1))
-        )
+        F.lit(20).cast("bigint")
+        * _half_up_micro(punct, F.greatest(chars, F.lit(1)))
         + F.lit(3).cast("bigint"),
         F.lit(6).cast("bigint"),
     )
     punct_ok = micro - F.least(p, micro)
-    mtl = _mean_token_length_micro(col)
+    mtl = _half_up_micro(nonws, F.greatest(n_tokens, F.lit(1).cast("bigint")))
     mtl_ok = F.when(
         (mtl >= F.lit(2 * _MICRO)) & (mtl <= F.lit(12 * _MICRO)), micro
     ).otherwise(F.lit(0).cast("bigint"))
     total = length_ok + sw_ok + punct_ok + mtl_ok
     return _exact_div(total + F.lit(2).cast("bigint"), F.lit(4).cast("bigint"))
+
+
+def _quality_counts(col: Column) -> dict[str, Column]:
+    """The five text scans quality needs — each appears exactly once."""
+    return {
+        "toks": token_count(col),
+        "hits": _stopword_hits(F.lower(col), STOPWORDS["en"]),
+        "punct": _punct_chars(col),
+        "nonws": _nonws_chars(col),
+        "chars": F.length(col),
+    }
+
+
+def quality_score_micro(col: Column) -> Column:
+    """``quality_score`` as its exact bigint micro count (quality × 1e6)
+    — for callers that aggregate or threshold the score and need integer
+    arithmetic all the way (the curation funnel's average; a >= 0.85
+    gate is exactly ``micro >= 850000``). The five text scans are
+    let-bound (``_bind``) so each runs once per row even in a filter."""
+    return _bind(_quality_counts(col), _quality_micro_body)
 
 
 def language_guess(col: Column) -> Column:
@@ -184,15 +261,82 @@ def language_guess(col: Column) -> Column:
     Scores each candidate language by its stopword hit-count over the
     lowercased tokens; the winner needs at least 2 hits, else 'unknown'.
     Ties break by the fixed language order en > es > fr > de
-    (deterministic; mirrors a first-wins CASE chain).
+    (deterministic; mirrors a first-wins CASE chain). The four hit
+    counts are let-bound so each scans the text once — the CASE chain's
+    repeated ``greatest``/equality references cost integer ops only.
     """
-    lowered = F.lower(col)
-    hits = {lang: _stopword_hits(lowered, sw) for lang, sw in STOPWORDS.items()}
-    best = F.greatest(*hits.values())
-    chain = F.when(best < F.lit(2), F.lit("unknown"))
-    for lang in ("en", "es", "fr", "de"):
-        chain = chain.when(hits[lang] == best, F.lit(lang))
-    return chain.otherwise(F.lit("unknown"))
+    def body(h_en: Column, h_es: Column, h_fr: Column, h_de: Column) -> Column:
+        hits = {"en": h_en, "es": h_es, "fr": h_fr, "de": h_de}
+        best = F.greatest(*hits.values())
+        chain = F.when(best < F.lit(2), F.lit("unknown"))
+        for lang in ("en", "es", "fr", "de"):
+            chain = chain.when(hits[lang] == best, F.lit(lang))
+        return chain.otherwise(F.lit("unknown"))
+
+    # nested bind: the lowercased copy is materialized once, then the
+    # four hit counts each scan that one copy once
+    return _bind(
+        {"low": F.lower(col)},
+        lambda low: _bind(
+            {f"h_{lang}": _stopword_hits(low, sw) for lang, sw in STOPWORDS.items()},
+            body,
+        ),
+    )
+
+
+def curation_keep(col: Column, threshold_micro: int = 850_000) -> Column:
+    """The corpus-curation ingest gate as ONE fused boolean:
+    ``quality_score_micro(col) >= threshold AND language_guess(col) = 'en'``
+    with all eight text scans (five quality counts, of which the en-hit
+    and the token/punct/char counts are shared with the language vote,
+    plus the es/fr/de hit counts) let-bound in a single ``_bind``.
+
+    Exists for the STREAMING funnel: the batch funnel computes qmicro and
+    glang once behind a DISK_ONLY persist, but a streaming plan cannot
+    persist, and a filter gets no codegen subexpression elimination — the
+    unfused gate re-ran ~25 regex scans per document (the r10→r11
+    ``stream_corpus_curation`` 2.4 s → 6.4 s bench regression, bisected
+    by the round-10 verdict to the exact-micro rework).
+
+    Equivalence to the unfused gate: ``language_guess = 'en'`` iff the
+    vote is decisive (``best >= 2``) and en holds the max (ties break
+    toward en, first in the CASE chain) — i.e. ``h_en == best``.
+    NULL text yields NULL, which a filter drops, exactly as before.
+    """
+    def body(
+        toks: Column,
+        hits: Column,
+        punct: Column,
+        nonws: Column,
+        chars: Column,
+        h_es: Column,
+        h_fr: Column,
+        h_de: Column,
+    ) -> Column:
+        qm = _quality_micro_body(toks, hits, punct, nonws, chars)
+        best = F.greatest(hits, h_es, h_fr, h_de)
+        is_en = (best >= F.lit(2)) & (hits == best)
+        return (qm >= F.lit(threshold_micro).cast("bigint")) & is_en
+
+    def with_lowered(low: Column) -> Column:
+        binds = {
+            "toks": token_count(col),
+            "hits": _stopword_hits(low, STOPWORDS["en"]),
+            "punct": _punct_chars(col),
+            "nonws": _nonws_chars(col),
+            "chars": F.length(col),
+        }
+        binds.update(
+            {
+                f"h_{lang}": _stopword_hits(low, sw)
+                for lang, sw in STOPWORDS.items()
+                if lang != "en"
+            }
+        )
+        return _bind(binds, body)
+
+    # nested bind: one lowercase pass shared by all four hit counts
+    return _bind({"low": F.lower(col)}, with_lowered)
 
 
 def normalized_text(col: Column) -> Column:

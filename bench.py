@@ -112,6 +112,14 @@ _R10_SET = _R9_SET | frozenset(
     }
 )
 
+# The bench set as of round 11 (r10 set + the two queries registered this
+# round with floors at birth: DSIR selection and SemDeDup).
+_R11_SET = _R10_SET | frozenset(
+    {
+        "data_dsir_select", "dedup_semantic_cluster",
+    }
+)
+
 
 def main() -> None:
     registry = load_all()
@@ -178,6 +186,8 @@ def main() -> None:
     assert not missing_r9, f"r9-set queries missing from bench: {missing_r9}"
     missing_r10 = _R10_SET - set(timings)
     assert not missing_r10, f"r10-set queries missing from bench: {missing_r10}"
+    missing_r11 = _R11_SET - set(timings)
+    assert not missing_r11, f"r11-set queries missing from bench: {missing_r11}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -211,6 +221,9 @@ def main() -> None:
         ),
         "subtotal_r10_set": round(
             sum(t for n, t in timings.items() if n in _R10_SET), 3
+        ),
+        "subtotal_r11_set": round(
+            sum(t for n, t in timings.items() if n in _R11_SET), 3
         ),
         # Global-rank dual path (operators/ranking.py): benched timings
         # measure the sharded prefix-sum production form (the default);

@@ -72,8 +72,49 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: two rounds later — registry growth must stay small (<=2-3 new queries
 #: per round) now that the surface is complete.
 #:
-#: ROUND-10 WINDOW (committed FIRST this round, new code landed before
-#: this commit — the r9 verdict's What's-wrong #1 closed to the letter).
+#: ROUND-11 WINDOW (new code landed before this commit: data_dsir_select
+#: and dedup_semantic_cluster registered exactly as the r10 parking
+#: comments planned; the stream-curation regression fix also precedes
+#: this commit so its changed queries are known at window time).
+#: The round arrived oversubscribed again (~55 candidates / 50 slots).
+#: TIEBREAK, written down here at commit time:
+#:
+#:   (a) NON-NEGOTIABLE 45: the 41 r7-green entries at the staleness-4
+#:       ceiling (at r12 they violate the pytest invariant; includes the
+#:       two r7 rows-only rotations m9_mlp_train_eval /
+#:       a3_approx_count_distinct), the 2 never-adjudicated r11
+#:       registrations (they lead), and the 2 headliners.
+#:   (b) the remaining 5 slots go to changed-code entries, oldest
+#:       verdict first: text_quality_score / data_quality_select /
+#:       text_stats (r8-green, now changed TWICE without a row — cd86f16
+#:       micro-exact rework, then this round's let-binding rewrite of
+#:       the same expressions), and pipeline_corpus_curation /
+#:       stream_corpus_curation (r10-green but their gate plans are this
+#:       round's headline fix — the regression the r10 verdict flagged
+#:       must close with a driver row through the NEW expressions, not
+#:       only session oracles).
+#:   (c) explicitly scheduled for r12, not silently dropped:
+#:       text_language_id (r9-green; language_guess let-binding changed
+#:       it this round — value-identical, session oracle + unicode sweep
+#:       re-pass), the r8 rows-only rotation (agg_percentiles_approx,
+#:       m3_feature_importance), the changed-r9 remainder
+#:       (vec_pca_power_top1, sim_ann_pq), and the changed-r10
+#:       dedup/rank block (dedup_jaccard_prefix, dedup_containment_*,
+#:       evt_rfm_segmentation, m13_auc_rank, agg_equidepth_histogram —
+#:       all r9-green, ceiling r13). All but text_language_id and the
+#:       dedup/rank block are r8-green and FORCED into r12 by the
+#:       ceiling anyway, so (c) costs nothing it wasn't already owed.
+#: r12 arithmetic check at this commit: 36 r8-green entries hit the
+#: ceiling at r12 (39 minus the three quality entries adjudicated here);
+#: 36 + 2 headliners + text_language_id = 39, leaving 11 slots for r12
+#: new/changed code and early r9 rotation — the loosest window since r8,
+#: because this round paid the whole r7 block down.
+#: Streaming members sit at the window TAIL per standing policy (a
+#: wedged stream must only cost streaming rows): stream_sliding_window
+#: (r7 block) and stream_corpus_curation (changed this round) are last.
+#:
+#: ROUND-10 WINDOW (history; committed FIRST that round, new code landed
+#: before the commit — the r9 verdict's What's-wrong #1 closed to the letter).
 #: The round arrived oversubscribed (~53 candidates / 50 slots), so the
 #: TIEBREAK the r9 verdict demanded is written down here at commit time:
 #:
@@ -280,62 +321,68 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (1) the never-adjudicated r9 _DEFERRED_NEW entry LEADS --
-    "sketch_bottomk_quantiles",
-    # -- (2) NEW r10 queries, landed before this window commit --
-    "agg_gini_coefficient",
-    "agg_ks_two_sample",
-    # -- (3) oldest r9 changed-without-slot entry (r7-green) --
-    "m18_linreg_exact",
-    # -- (4) the 44 r6-green staleness-ceiling entries (37 batch) --
-    "a3_hll_merge",
-    "a3_hll_portable",
-    "agg_grouping_sets",
-    "agg_histogram_quantiles",  # also r9 changed-without-slot: gets its row here
-    "agg_percentiles",
-    "dedup_cluster_winnow",
-    "dedup_decontaminate",
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_blocked",
-    "dedup_span_ngram",
-    "dedup_winnow_pairs",
-    "dq_constraint_report",
-    "etl_scd2_history",
-    "evt_markov_transitions",
-    "evt_ohlc_downsample",
-    "f_array_battery",
-    "graph_pagerank",
-    "j_bloom_prefilter_join",
-    "j_range_interval_join",
-    "m1_distributed_split_sizes",
-    "m1_exact_split_sizes",
-    "m5_bucketize",
-    "m6_one_hot",  # also r9 changed-without-slot: gets its row here
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "multimodal_resize",
-    "multimodal_resize_gif",
-    "multimodal_resize_png",
+    # -- (1) the 2 NEW r11 registrations LEAD (never adjudicated; parked
+    #        as planned-in-code since r10) --
+    "data_dsir_select",
+    "dedup_semantic_cluster",
+    # -- (2) changed-code slots, oldest verdict first: the quality family
+    #        (r8-green, changed in cd86f16 AND again by this round's
+    #        let-binding rewrite) and the batch curation funnel whose
+    #        gate expressions this round's headline fix rewrote --
+    "text_quality_score",
+    "data_quality_select",
+    "text_stats",
     "pipeline_corpus_curation",
-    "sketch_countmin_topk",
-    "text_bm25_topk",
-    "text_chunk_split",
-    "text_sequence_packing",
-    "w5_rolling_range_window",
-    # -- (5) headliners, every round --
+    # -- (3) the 41 r7-green staleness-ceiling entries (40 batch;
+    #        includes the two r7 rows-only rotations m9/a3_approx and
+    #        text_gopher_filters, which also changed this round) --
+    "a3_approx_count_distinct",
+    "agg_bitwise_battery",
+    "agg_chi_square",
+    "agg_cube",
+    "agg_pivot",
+    "data_temperature_mixture",
+    "entity_resolution_parts",
+    "etl_calculated_values_rebuild",
+    "etl_cohort_literal_joins",
+    "etl_incremental_agg_maintenance",
+    "etl_interventions_conditions",
+    "etl_name_keyed_rollup",
+    "evt_anomaly_mad",
+    "evt_attribution_last_touch",
+    "evt_json_typed_parse",
+    "f_regex_battery",
+    "f_string_battery",
+    "graph_bfs_distance",
+    "graph_label_propagation",
+    "graph_triangles",
+    "j_fuzzy_editdist_pairs",
+    "j_point_in_time_scd2",
+    "m14_kfold_assign",
+    "m16_feature_hashing",
+    "m17_target_encode_loo",
+    "m9_mlp_train_eval",
+    "multimodal_resize_jpeg",
+    "multimodal_video_mjpeg_frames",
+    "set_ops_all",
+    "sim_ann_ivf",
+    "sim_ann_ivf_exact",
+    "sim_ann_lsh",
+    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
+    "sketch_kmv_merge",
+    "text_boilerplate_strip",
+    "text_chunk_overlap_split",
+    "text_gopher_filters",
+    "unpivot_long",
+    "w3_lag_lead_first",
+    # -- (4) headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- streaming members of the r6 ceiling block sit LAST --
+    # -- streaming members sit LAST: the r7-block member and the
+    #    changed-this-round stream funnel --
+    "stream_sliding_window",
     "stream_corpus_curation",
-    "stream_dedup_watermark",
-    "stream_hll_distinct",
-    "stream_session_window",
-    "stream_stream_join",
-    "stream_tumbling_window",
-    "stream_upsert_cdc",
 )
 #: New queries that landed AFTER the current round's window was committed:
 #: they sit out this round (documented, not silently unadjudicated) and
@@ -343,13 +390,16 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #: fails if a never-adjudicated registry query is neither in the window
 #: nor listed here.
 _DEFERRED_NEW: tuple[str, ...] = ()
-# r10: EMPTY — the round's new code (agg_gini_coefficient,
-# agg_ks_two_sample) landed BEFORE the window commit and sits in the
-# window; sketch_bottomk_quantiles (r9's deferral) rotated in at the top.
-# Due FIRST in r11 (oldest-first): the 42 r7-green entries (staleness 4
-# at the r11 window commit) — including the two r7 rows-only rotation
-# entries m9_mlp_train_eval / a3_approx_count_distinct — plus the
-# overflow block named in the ROUND-10 WINDOW comment above.
+# r11: EMPTY — the round's new code (data_dsir_select,
+# dedup_semantic_cluster) registered BEFORE the window commit and leads
+# the window. Due FIRST in r12 (oldest-first): the 36 remaining r8-green
+# entries (staleness 4 at the r12 window commit) — including the r8
+# rows-only rotation agg_percentiles_approx / m3_feature_importance and
+# the changed-r9 remainder vec_pca_power_top1 / sim_ann_pq — plus
+# text_language_id and the changed-r10 dedup/rank block named in the
+# ROUND-11 WINDOW comment above.
+# (r10 history: empty for the same reason — gini/KS landed pre-window,
+# sketch_bottomk_quantiles rotated in at the top.)
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -564,20 +564,20 @@ def data_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# DSIR — Data Selection via Importance Resampling (r11 REGISTRATION
-# CANDIDATE; Xie et al. 2023, arXiv:2302.03169): select raw-corpus
-# documents whose hashed-n-gram distribution looks like a TARGET corpus,
-# by importance weight log(p_target/p_raw) under bag-of-hashed-feature
-# bigram models, then Gumbel-top-k resampling. The published recipe for
-# "give me the 100 TB slice that looks like Wikipedia".
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram
+# distribution looks like a TARGET corpus, by importance weight
+# log(p_target/p_raw) under bag-of-hashed-feature bigram models, then
+# Gumbel-top-k resampling. The published recipe for "give me the 100 TB
+# slice that looks like Wikipedia".
 #
-# NOT yet decorated with @query: the r10 adjudication window was committed
-# before this landed and the staleness arithmetic caps r10 registry growth
-# at the two pre-window queries. TO REGISTER IN r11 (before that round's
-# window commit, alongside dedup_semantic_cluster — the 2-query budget):
-# add `@query("data_dsir_select", oracle=_DSIR_ORACLE)` and give it a
-# bench floor + x1/x10/x50 scale row at birth. Oracle parity and behavior
-# tests are ALREADY pinned in tests/test_pipelineops_dsir.py.
+# Landed r10 undecorated (the r10 window was committed before it, and the
+# staleness arithmetic capped r10 registry growth at the two pre-window
+# queries); REGISTERED r11 before that round's window commit, leading the
+# window as never-adjudicated, per the plan written here in r10. Oracle
+# parity and behavior tests in tests/test_pipelineops_dsir.py; bench
+# floor + x1/x10/x50 scale rows recorded at birth
+# (scripts/scaleup_r11cand.py, PERF.md).
 #
 # Exactness design (the text_lm_score playbook + one strengthening): the
 # hashed generative model is TINY (m = 1024 buckets), so the per-bucket
@@ -767,6 +767,7 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("data_dsir_select", oracle=_DSIR_ORACLE, bench=True)
 def data_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): keep the
     K = 100 raw-corpus documents most like the TARGET distribution

@@ -774,18 +774,15 @@ def vec_pca_power_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SemDeDup — cluster-then-prune semantic dedup (r11 REGISTRATION CANDIDATE).
+# SemDeDup — cluster-then-prune semantic dedup.
 #
-# NOT yet decorated with @query: the r10 adjudication window was committed
-# before this landed, and the staleness arithmetic caps r10 registry growth
-# at the two queries that landed pre-window (agg_gini_coefficient /
-# agg_ks_two_sample). Registering now would force a _DEFERRED_NEW parking
-# the r9 verdict asked us to avoid. TO REGISTER IN r11 (before that round's
-# window commit — it has a 2-slot new-code budget): add
-#   @query("dedup_semantic_cluster", oracle=_semdedup_oracle())
-# above the function, move it into the r11 window head, and give it a bench
-# floor + x1/x10/x50 scale row at birth per the r9 convention. Oracle parity
-# and behavior tests are ALREADY pinned in tests/test_similarity.py.
+# Landed r10 undecorated (the r10 adjudication window was committed before
+# it, and the staleness arithmetic capped r10 registry growth at the two
+# queries that landed pre-window); REGISTERED r11 before that round's
+# window commit, leading the window as never-adjudicated, exactly per the
+# plan written here in r10. Oracle parity and behavior tests in
+# tests/test_similarity.py; bench floor + scale rows recorded at birth
+# (scripts/scaleup_r11cand.py, PERF.md).
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_EPS = 0.4  # where the fixture has pairs at all (max cos ~ 0.513)
@@ -868,6 +865,7 @@ FROM assigned a LEFT JOIN verdict v ON v.vec_id = a.vec_id""")
     return "".join(parts)
 
 
+@query("dedup_semantic_cluster", oracle=_semdedup_oracle(), bench=True)
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster-scoped semantic dedup over the embedding corpus
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -907,6 +905,16 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = det_kmeans_centroids(
         t.embeddings, id_col="vec_id", emb_col="embedding", n_cells=16
     )
+    # Materialize the fitted codebook eagerly: 16 rows of 64 doubles
+    # (a bounded model fit, per the .collect() census policy), but the
+    # LAZY plan behind them is 3 unrolled Lloyd iterations deep — left
+    # inline it re-plans/compiles under every consumer and inside the
+    # broadcast exchange. IEEE doubles round-trip Python exactly, so the
+    # re-literalized centroids are bit-identical to the lazy form (the
+    # oracle's unrolled-CTE fit still matches).
+    cent = spark.createDataFrame(
+        cent.collect(), schema="cell_id int, cell_emb array<double>"
+    )
     e = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -919,6 +927,15 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("vec_id", "emb", "cell_id", F.round("cc", 6).alias("cent_cos"))
     )
+    # assigned is consumed THREE times (both pair-join sides + the final
+    # verdict join) and its lineage embeds the full 3-iteration Lloyd's
+    # fit; without a persist each consumer re-executes the fit and the
+    # assignment window (measured 8.8 s -> 4.4 s at sf0.1 when added at
+    # registration). Released at the query boundary by the bench/driver
+    # (caching.release_all).
+    from clinical_bi_spark.caching import persist_tracked
+
+    assigned = persist_tracked(assigned)
     a = assigned.select(
         F.col("vec_id").alias("va"), F.col("emb").alias("ea"),
         "cell_id", F.col("cent_cos").alias("ca"),

@@ -21,6 +21,9 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+#: optional second arg: comma-separated query names to adjudicate (r11 —
+#: lets a round spot-check just-changed queries without the full sweep)
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -74,6 +77,8 @@ def main() -> int:
     results: dict[str, dict] = {}
     failures = 0
     for name, fn in qs.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         t0 = time.perf_counter()
         rec: dict = {}
         try:

@@ -79,9 +79,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", feat_csv.alias("feature_csv"))
 
 
-# The fixture text is pure ASCII (verified: octet_length(encode(text)) ==
-# length(text) for every row), so DuckDB's VARCHAR substring slices the
-# same bytes Spark's binary slicing does and the md5s agree exactly.
 #: BYTE semantics, not characters: the media column is encode(text) and
 #: the codec slices bytes, so the oracle must too. DuckDB cannot slice a
 #: BLOB or md5 one (md5 is VARCHAR-only), so both engines fingerprint the

@@ -17,7 +17,6 @@ from pyspark.sql.window import Window
 
 from clinical_bi_spark.caching import persist_tracked
 from clinical_bi_spark.functions.text import (
-    _exact_div as _t_exact_div,
     STOPWORDS,
     doc_fingerprint,
     language_guess,
@@ -819,9 +818,17 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum("qmicro").cast("bigint").alias("__qsum"),
     )
-    two = F.lit(2).cast("bigint")
-    n = F.col("n_docs").cast("bigint")
-    avg_micro = _t_exact_div(two * F.col("__qsum") + n, two * n)
+    # true bigint DIV, not _t_exact_div: that helper's (a - a%b)/b
+    # double-division trick is only exact below 2^53, a bound the
+    # per-document callers respect but an AGGREGATE numerator does not —
+    # 2*SUM(qmicro)+n grows ~2e6 per doc, so a source group beyond
+    # ~4.5e9 docs would silently lose exactness on the Spark side while
+    # the DuckDB twin (HUGEINT // ) stayed exact (r10 ADVICE). SQL `div`
+    # is exact over the full int64 range.
+    avg_micro = F.expr(
+        "(2 * `__qsum` + cast(n_docs as bigint)) div "
+        "(2 * cast(n_docs as bigint))"
+    )
     return agg.select(
         "source",
         "n_docs",

@@ -111,6 +111,11 @@ def main() -> None:
             rows[name] = {"error": str(exc)[:200]}  # type: ignore[dict-item]
             continue
         after = _stage_totals(spark)
+        if before is None or after is None:
+            # a transient UI REST hiccup mid-census must cost one row,
+            # not abort the whole run (r10 ADVICE)
+            rows[name] = {"error": "UI REST unavailable"}  # type: ignore[dict-item]
+            continue
         rows[name] = {k: after[k] - before[k] for k in _FIELDS}
     caching.release_all(spark)
 

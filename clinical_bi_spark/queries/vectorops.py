@@ -900,12 +900,27 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     included. Reference has no counterpart (extension surface).
     """
     t = load_tables(tune(spark), sf_dir)
+    return _semdedup_pipeline(spark, t.embeddings, n_cells=16)
+
+
+def _semdedup_pipeline(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    eps: float = _SEMDEDUP_EPS,
+) -> DataFrame:
+    """The SemDeDup pipeline over an explicit embedding relation with a
+    parameterized K — the registered query pins K=16 (what the oracle
+    unrolls); scripts/scaleup_r11cand.py sweeps K upward on a replicated
+    corpus to measure the paper's own scaling lever (K grows with the
+    corpus, so sum(|cell|^2) — the pair-join cost — falls as ~1/K for a
+    fixed corpus)."""
     from clinical_bi_spark.operators.similarity import det_kmeans_centroids
 
     cent = det_kmeans_centroids(
-        t.embeddings, id_col="vec_id", emb_col="embedding", n_cells=16
+        embeddings, id_col="vec_id", emb_col="embedding", n_cells=n_cells
     )
-    # Materialize the fitted codebook eagerly: 16 rows of 64 doubles
+    # Materialize the fitted codebook eagerly: n_cells rows of 64 doubles
     # (a bounded model fit, per the .collect() census policy), but the
     # LAZY plan behind them is 3 unrolled Lloyd iterations deep — left
     # inline it re-plans/compiles under every consumer and inside the
@@ -915,7 +930,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = spark.createDataFrame(
         cent.collect(), schema="cell_id int, cell_emb array<double>"
     )
-    e = t.embeddings.select(
+    e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cc = cosine_similarity(F.col("emb"), F.col("cell_emb"))
@@ -948,7 +963,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "cell_id")
         .filter(F.col("va") < F.col("vb"))
-        .filter(pair_cos >= F.lit(_SEMDEDUP_EPS))
+        .filter(pair_cos >= F.lit(eps))
         .select("va", "ca", "vb", "cb")
     )
     nbr = pairs.select(

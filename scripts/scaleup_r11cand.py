@@ -103,6 +103,45 @@ def main() -> None:
         if not ok:
             sys.exit(1)
 
+    # --- K-scaling row (r10 verdict Next #7): the paper's recipe scales
+    # K with the corpus, which bounds |cell| and kills the fixed-K
+    # quadratic. Pin that cost model with measured numbers: hold the
+    # corpus at the largest replication and sweep K upward — pair count
+    # (sum over cells of |cell|-choose-2 survivors of the eps filter)
+    # and wall should both FALL as cells shrink. The registered query
+    # stays K=16 (what the DuckDB oracle unrolls); this sweep drives the
+    # parameterized pipeline directly.
+    from clinical_bi_spark.queries.vectorops import _semdedup_pipeline
+
+    kmult = max(sem_mults)
+    emb = (
+        _replicated(emb_base, kmult, {"vec_id": n_emb})
+        .repartition(par)
+        .persist()
+    )
+    emb.count()
+    ks = tuple(
+        int(k) for k in os.environ.get("CBS_R11_SEM_KS", "16,64,256").split(",")
+    )
+    for k in ks:
+        import time as _time_mod
+
+        t0 = _time_mod.perf_counter()
+        res = _semdedup_pipeline(spark, emb, n_cells=k).persist()
+        n_out = res.count()
+        sec = round(_time_mod.perf_counter() - t0, 2)
+        n_drop = res.filter("dropped").count()
+        pair_vol = (
+            res.groupBy().sum("n_neighbors").collect()[0][0] or 0
+        ) // 2
+        res.unpersist()
+        print(
+            f"semdedup-K x{kmult} vecs={n_emb * kmult} K={k} sec={sec} "
+            f"rows={n_out} eps_pairs={pair_vol} drops={n_drop}",
+            flush=True,
+        )
+    emb.unpersist()
+
 
 if __name__ == "__main__":
     main()

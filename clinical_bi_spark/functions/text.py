@@ -107,6 +107,12 @@ def _bind(cols: dict[str, Column], body) -> Column:
     on the bound fields. Stays Catalyst-native (no Python UDF), and the
     optimizer has no rule that re-inlines a lambda application, so the
     sharing survives every rewrite including predicate pushdown.
+
+    Use it in FILTER context only. In a projection the lambda is a
+    codegen boundary that BLOCKS the cross-column subexpression
+    elimination projections already get, measured ~1.1x slower on
+    text_stats (r11 A/B) — so the projection-only ratio helpers below
+    stay unbound on purpose.
     """
     names = list(cols)
     packed = F.struct(*[cols[n].alias(n) for n in names])
@@ -133,11 +139,18 @@ def _nonws_chars(col: Column) -> Column:
 
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are neither alphanumeric nor
-    whitespace, at exact micro grain (see ``_half_up_micro``)."""
-    return _bind(
-        {"p": _punct_chars(col), "n": F.greatest(F.length(col), F.lit(1))},
-        lambda p, n: _micro_to_double(_half_up_micro(p, n)),
-    )
+    whitespace, at exact micro grain (see ``_half_up_micro``).
+
+    Deliberately UNBOUND (no ``_bind``): every caller is a projection,
+    where whole-stage codegen's subexpression elimination already shares
+    the duplicated count subtrees — both within this expression and
+    ACROSS sibling output columns (e.g. a projected ``token_count``
+    next to it). A lambda boundary would block that cross-column
+    sharing; the r11 A/B measured the bound form ~1.1x slower on
+    text_stats. Filter-context callers go through the bound
+    ``quality_score_micro`` / ``curation_keep`` instead."""
+    micro = _half_up_micro(_punct_chars(col), F.greatest(F.length(col), F.lit(1)))
+    return _micro_to_double(micro)
 
 
 def _stopword_hits(lowered: Column, stopwords: tuple[str, ...]) -> Column:
@@ -150,18 +163,14 @@ def _stopword_hits(lowered: Column, stopwords: tuple[str, ...]) -> Column:
 
 
 def _stopword_micro(col: Column, lang: str = "en") -> Column:
-    # denominator: token_count(col), not token_count(lower(col)) — the
+    # UNBOUND on purpose — projection-only callers, see punct_ratio.
+    # Denominator: token_count(col), not token_count(lower(col)) — the
     # values are identical (no lowercase mapping turns whitespace into
     # non-whitespace or vice versa, so the \S+ run count is unchanged by
-    # lower()), and the unlowered tree is shareable with the other
-    # quality terms; the hit count still scans the lowered text.
-    return _bind(
-        {
-            "hits": _stopword_hits(F.lower(col), STOPWORDS[lang]),
-            "toks": F.greatest(token_count(col), F.lit(1)),
-        },
-        lambda hits, toks: _half_up_micro(hits, toks),
-    )
+    # lower()), and the unlowered tree is shareable (codegen CSE) with
+    # sibling projected columns; the hit count still scans lowered text.
+    hits = _stopword_hits(F.lower(col), STOPWORDS[lang])
+    return _half_up_micro(hits, F.greatest(token_count(col), F.lit(1)))
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
@@ -171,14 +180,9 @@ def stopword_ratio(col: Column, lang: str = "en") -> Column:
 
 
 def _mean_token_length_micro(col: Column) -> Column:
-    # sum of token lengths == count of non-whitespace characters
-    return _bind(
-        {
-            "nonws": _nonws_chars(col),
-            "toks": F.greatest(token_count(col), F.lit(1)),
-        },
-        lambda nonws, toks: _half_up_micro(nonws, toks),
-    )
+    # sum of token lengths == count of non-whitespace characters.
+    # UNBOUND on purpose — projection-only callers, see punct_ratio.
+    return _half_up_micro(_nonws_chars(col), F.greatest(token_count(col), F.lit(1)))
 
 
 def mean_token_length(col: Column) -> Column:

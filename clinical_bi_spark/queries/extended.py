@@ -1640,3 +1640,143 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_d")
     )
     return n.crossJoin(F.broadcast(d)).select("n1", "n2", "ks_d")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) two-sample test — r12 REGISTRATION
+# CANDIDATE, deliberately undecorated: the r11 window was committed with
+# this round's 2-query budget spent (DSIR / SemDeDup), so per standing
+# policy this leads the r12 window instead of sitting unadjudicated. TO
+# REGISTER IN r12 (before that round's window commit): add
+#   @query("agg_mannwhitney_u", oracle=_MWU_ORACLE, bench=True)
+# and record its bench floor + scale row at birth. Oracle parity,
+# scipy-free numpy twin, and degenerate contracts are ALREADY pinned in
+# tests/test_analytics.py.
+#
+# Completes the two-sample family (Welch t = means, KS = distributions,
+# MWU = stochastic dominance) on the same value-level machinery: with
+# per-distinct-value cohort counts c1, c2 and the inclusive running
+# total kt of ct = c1 + c2 over ascending values, the MIDRANK identity
+#   2*R1 = sum_v c1(v) * (2*kt(v) - ct(v) + 1)
+# gives the rank sum with tie midranks and NO per-row ranks anywhere
+# (a tie run's midrank is (kt_excl + (ct+1)/2); doubling clears the
+# half). U1 = R1 - n1(n1+1)/2; the tie-corrected normal z uses
+# S3 = sum_v (ct^3 - ct), all exact DECIMAL(38,0) / HUGEINT integers
+# until one identically-associated double expression per engine.
+# Distinct from m13_auc_rank, which resolves ties by a deterministic KEY
+# (classifier AUC under a total order); the test statistic REQUIRES
+# midranks and carries the tie-corrected variance.
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM lineitem
+  GROUP BY 1
+), c AS (
+  SELECT c1, c2, c1 + c2 AS ct,
+         SUM(c1 + c2) OVER (ORDER BY cents) AS kt
+  FROM v
+), s AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         SUM(CAST(c1 AS HUGEINT)
+             * CAST(2 * kt - ct + 1 AS HUGEINT)) AS two_r1,
+         SUM(CAST(ct - 1 AS HUGEINT) * CAST(ct AS HUGEINT)
+             * CAST(ct + 1 AS HUGEINT)) AS s3
+  FROM c
+)
+SELECT n1, n2,
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    CAST(two_r1 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT)
+         AS DOUBLE) / 2.0
+  END AS u1,
+  CASE WHEN n1 > 0 AND n2 > 0
+        AND (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+            * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+               - CAST(s3 AS DOUBLE)
+                 / (CAST(n1 + n2 AS DOUBLE)
+                    * (CAST(n1 + n2 AS DOUBLE) - 1.0))) > 0.0 THEN
+    ROUND(
+      (CAST(two_r1 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT)
+            AS DOUBLE) / 2.0
+       - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+      / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+             * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                - CAST(s3 AS DOUBLE)
+                  / (CAST(n1 + n2 AS DOUBLE)
+                     * (CAST(n1 + n2 AS DOUBLE) - 1.0)))), 9)
+  END AS z
+FROM s
+"""
+
+
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U with midrank ties and tie-corrected z (see
+    the block comment above for the value-level identity and the r12
+    registration plan). One fact-scale groupBy (map-side combined,
+    shuffle bounded by the price DOMAIN), one sharded running total
+    (:func:`clinical_bi_spark.operators.ranking.global_prefix_sums`),
+    exact integer arithmetic to two identically-associated double
+    expressions. Empty cohort or zero tie-corrected variance (all values
+    in one tie run) yields NULL u1/z on both engines, not a crash."""
+    from clinical_bi_spark.operators.ranking import global_prefix_sums
+
+    t = load_tables(tune(spark), sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    v = persist_tracked(
+        t.lineitem.groupBy(cents.alias("cents"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_linestatus") == "O", 1).otherwise(0)
+            ).cast("bigint").alias("c1"),
+            F.sum(
+                F.when(F.col("l_linestatus") == "F", 1).otherwise(0)
+            ).cast("bigint").alias("c2"),
+        )
+        .withColumn("ct", F.col("c1") + F.col("c2"))
+    )
+    cum = global_prefix_sums(v, [F.col("cents")], ["ct"], ["kt"])
+    # exact integers: DECIMAL(38,0) sums mirror the oracle's HUGEINT
+    two_r1_term = F.col("c1").cast("decimal(19,0)") * (
+        F.lit(2).cast("bigint") * F.col("kt") - F.col("ct") + F.lit(1)
+    ).cast("decimal(19,0)")
+    s3_term = (
+        (F.col("ct") - F.lit(1)).cast("decimal(12,0)")
+        * F.col("ct").cast("decimal(12,0)")
+        * (F.col("ct") + F.lit(1)).cast("decimal(13,0)")
+    )
+    s = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(two_r1_term).alias("two_r1"),
+        F.sum(s3_term).alias("s3"),
+    )
+    n1_d = F.col("n1").cast("double")
+    n2_d = F.col("n2").cast("double")
+    n_d = (F.col("n1") + F.col("n2")).cast("double")
+    # single exact-integer-to-double conversion, association identical
+    # to the oracle: (two_r1 - n1*(n1+1)) stays integer-exact, then one
+    # cast and one division
+    two_u1 = F.col("two_r1") - F.col("n1").cast("decimal(19,0)") * (
+        F.col("n1") + F.lit(1)
+    ).cast("decimal(19,0)")
+    u1 = two_u1.cast("double") / F.lit(2.0)
+    var = (n1_d * n2_d / F.lit(12.0)) * (
+        (n_d + F.lit(1.0))
+        - F.col("s3").cast("double") / (n_d * (n_d - F.lit(1.0)))
+    )
+    both = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return s.select(
+        "n1",
+        "n2",
+        F.when(both, u1).alias("u1"),
+        F.when(
+            both & (var > F.lit(0.0)),
+            F.round((u1 - n1_d * n2_d / F.lit(2.0)) / F.sqrt(var), 9),
+        ).alias("z"),
+    )

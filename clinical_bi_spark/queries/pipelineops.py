@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clinical_bi_spark.caching import persist_tracked
 from clinical_bi_spark.functions.text import doc_fingerprint
 from clinical_bi_spark.queries import query
 from clinical_bi_spark.session import tune
@@ -801,4 +802,143 @@ def data_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gumbel_micro",
         "key_micro",
         F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI — Population Stability Index between two corpus snapshots (r12
+# REGISTRATION CANDIDATE, deliberately undecorated: the r11 window was
+# committed with the round's 2-query budget spent on DSIR / SemDeDup, so
+# per standing policy this leads the r12 window instead of sitting
+# unadjudicated). TO REGISTER IN r12 (before that round's window commit):
+# add `@query("data_psi_drift", oracle=_PSI_ORACLE, bench=True)` and
+# record a bench floor + scale row at birth. Oracle parity, numpy twin,
+# and degenerate contracts are ALREADY pinned in tests/test_analytics.py.
+#
+# The standard production data-drift gate: bucket a numeric feature,
+# compare the reference-era vs current-era bucket frequencies,
+# PSI = sum_b (p_b - q_b) * ln(p_b / q_b). Conventions chosen for
+# determinism and engine portability (documented, not hidden): fixed
+# $20k-wide buckets on o_totalprice cents (quantile buckets would drag
+# in the equidepth machinery; fixed-width is the common monitoring
+# deployment), Laplace +1 smoothing over the OBSERVED bucket set (the
+# standard zero-bucket guard, same device as DSIR's models), eras split
+# at o_orderdate 1998-01-01 (~the corpus midpoint).
+#
+# Exactness design (the text_lm_score playbook): ln is the only
+# transcendental — each bucket's contribution is rounded to an integer
+# NANO-nat ((p-q)*ln(p/q) is transcendental except at the exact-zero
+# p==q point, so the HALF_UP-vs-round .5-boundary class the quality
+# family hit on RATIONAL values has measure zero here), and the
+# cross-bucket total is an order-independent bigint SUM, so the one
+# double division at the end is identical in both engines.
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKET_CENTS = 2_000_000  # $20k buckets
+_PSI_SPLIT = "1998-01-01"
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // {_PSI_BUCKET_CENTS}
+           AS bucket,
+         CAST(SUM(CASE WHEN o_orderdate < DATE '{_PSI_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(SUM(CASE WHEN o_orderdate >= DATE '{_PSI_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM b
+), t AS (
+  SELECT CAST(ROUND(1000000000.0 * (
+           (CAST(c_ref + 1 AS DOUBLE)
+              / CAST((SELECT n_ref + n_buckets FROM s) AS DOUBLE)
+            - CAST(c_cur + 1 AS DOUBLE)
+              / CAST((SELECT n_cur + n_buckets FROM s) AS DOUBLE))
+           * LN((CAST(c_ref + 1 AS DOUBLE)
+                   / CAST((SELECT n_ref + n_buckets FROM s) AS DOUBLE))
+                / (CAST(c_cur + 1 AS DOUBLE)
+                   / CAST((SELECT n_cur + n_buckets FROM s) AS DOUBLE)))
+         )) AS BIGINT) AS nano
+  FROM b
+)
+SELECT (SELECT n_ref FROM s) AS n_ref,
+       (SELECT n_cur FROM s) AS n_cur,
+       (SELECT n_buckets FROM s) AS n_buckets,
+       CASE WHEN COALESCE((SELECT n_ref FROM s), 0) > 0
+             AND COALESCE((SELECT n_cur FROM s), 0) > 0
+            THEN CAST(SUM(nano) AS DOUBLE) / 1000000000.0 END AS psi
+FROM t
+"""
+
+
+def data_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the o_totalprice distribution,
+    reference era (< 1995-01-01) vs current era — see the block comment
+    above for the conventions, the nano-nat exactness design, and the
+    r12 registration plan.
+
+    Scale shape: ONE fact-scale groupBy on the bucket id (map-side
+    combined; shuffle bounded by the bucket DOMAIN, ~hundreds of rows),
+    a 3-long scalar aggregate broadcast back, then arithmetic on the
+    bucket relation. Nothing else touches the fact table; the bucket
+    relation is monitoring-dashboard sized at any corpus scale."""
+    t = load_tables(tune(spark), sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    b = persist_tracked(
+        t.orders.groupBy(
+            F.expr(
+                f"CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+                f" div {_PSI_BUCKET_CENTS}"
+            ).alias("bucket")
+        ).agg(
+            F.sum(
+                F.when(F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("date"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("c_ref"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= F.lit(_PSI_SPLIT).cast("date"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("c_cur"),
+        )
+    )
+    s = b.agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+    )
+    # identical association to the oracle: p and q each one division of
+    # exact-integer-derived doubles, one subtraction, one LN of their
+    # ratio, one nano-nat ROUND -> bigint, order-independent SUM
+    p = (F.col("c_ref") + F.lit(1)).cast("double") / (
+        F.col("n_ref") + F.col("n_buckets")
+    ).cast("double")
+    q = (F.col("c_cur") + F.lit(1)).cast("double") / (
+        F.col("n_cur") + F.col("n_buckets")
+    ).cast("double")
+    nano = F.round(F.lit(1_000_000_000.0) * ((p - q) * F.log(p / q))).cast(
+        "bigint"
+    )
+    total = (
+        b.crossJoin(F.broadcast(s))
+        .select(nano.alias("nano"))
+        .agg(F.sum("nano").alias("nano_sum"))
+    )
+    gate = (F.coalesce(F.col("n_ref"), F.lit(0)) > 0) & (
+        F.coalesce(F.col("n_cur"), F.lit(0)) > 0
+    )
+    return (
+        s.crossJoin(F.broadcast(total))
+        .select(
+            "n_ref",
+            "n_cur",
+            "n_buckets",
+            F.when(
+                gate,
+                F.col("nano_sum").cast("double") / F.lit(1_000_000_000.0),
+            ).alias("psi"),
+        )
     )

@@ -904,3 +904,175 @@ def test_ks_matches_numpy_ecdf(spark):
     want = float(np.abs(e1 - e2).max())
     assert row.n1 == len(x1) and row.n2 == len(x2)
     assert row.ks_d == pytest.approx(want, abs=1e-8)
+
+
+def test_mannwhitney_matches_oracle(spark, oracle_con):
+    """The r12 registration candidate's exact-oracle contract, pinned
+    the round it LANDS (r11) so registration is a decorator flip: the
+    value-level midrank identity vs DuckDB's window-cumsum HUGEINT
+    twin, typed and value-exact."""
+    from clinical_bi_spark.queries.extended import (
+        _MWU_ORACLE,
+        agg_mannwhitney_u,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        agg_mannwhitney_u(spark, SF_ORACLE),
+        oracle_con,
+        _MWU_ORACLE,
+        name="agg_mannwhitney_u",
+    )
+
+
+def test_mannwhitney_matches_numpy_midranks(spark):
+    """U and tie-corrected z recomputed from explicit per-row MIDRANKS
+    (mergesort + tie-run averaging) — the textbook definition, no
+    value-level identity or prefix-sum machinery shared with the query
+    plan."""
+    import pandas as pd
+
+    from clinical_bi_spark.queries.extended import agg_mannwhitney_u
+
+    row = agg_mannwhitney_u(spark, SF_ORACLE).first()
+    li = pd.read_parquet(
+        f"{SF_ORACLE}/lineitem.parquet",
+        columns=["l_linestatus", "l_extendedprice"],
+    )
+    cents = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    status = li["l_linestatus"].to_numpy()
+    x1, x2 = cents[status == "O"], cents[status == "F"]
+    allv = np.concatenate([x1, x2])
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(len(allv), dtype=np.float64)
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n1, n2 = len(x1), len(x2)
+    n = n1 + n2
+    u1 = ranks[:n1].sum() - n1 * (n1 + 1) / 2.0
+    _, cnt = np.unique(allv, return_counts=True)
+    s3 = float((cnt.astype(np.float64) ** 3 - cnt).sum())
+    var = n1 * n2 / 12.0 * ((n + 1) - s3 / (n * (n - 1)))
+    want_z = (u1 - n1 * n2 / 2.0) / np.sqrt(var)
+    assert row.n1 == n1 and row.n2 == n2
+    assert row.u1 == pytest.approx(u1, rel=1e-12)
+    assert row.z == pytest.approx(want_z, abs=1e-8)
+
+
+def test_degenerate_mannwhitney(spark, tmp_path):
+    """Degenerate contract at birth: a single-cohort corpus NULLs u1 and
+    z; an all-tied corpus (every value equal) keeps u1 defined but NULLs
+    z (tie-corrected variance is exactly zero)."""
+    import datetime
+
+    from clinical_bi_spark.queries.extended import agg_mannwhitney_u
+
+    def _write(rows, d):
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate date",
+        ).write.parquet(f"{d}/lineitem.parquet")
+
+    one_cohort = str(tmp_path / "one")
+    _write(
+        [
+            (i, 1, 1, 1, 1.0, float(i), 0.0, 0.0, "N", "O",
+             datetime.date(2024, 1, 2))
+            for i in range(6)
+        ],
+        one_cohort,
+    )
+    r = agg_mannwhitney_u(spark, one_cohort).first()
+    assert r.n1 == 6 and r.n2 == 0 and r.u1 is None and r.z is None
+
+    all_tied = str(tmp_path / "tied")
+    _write(
+        [
+            (i, 1, 1, 1, 1.0, 7.0, 0.0, 0.0, "N", "O" if i % 2 else "F",
+             datetime.date(2024, 1, 2))
+            for i in range(6)
+        ],
+        all_tied,
+    )
+    r = agg_mannwhitney_u(spark, all_tied).first()
+    # one tie run: U1 = n1*n2/2 exactly, z undefined (variance 0)
+    assert r.n1 == 3 and r.n2 == 3 and r.u1 == 4.5 and r.z is None
+
+
+def test_psi_matches_oracle(spark, oracle_con):
+    """The second r12 registration candidate's exact-oracle contract,
+    pinned the round it LANDS: fixed-width bucket counts, Laplace +1
+    smoothing over observed buckets, nano-nat integer terms (the
+    text_lm_score ln playbook), one double division at the end."""
+    from clinical_bi_spark.queries.pipelineops import (
+        _PSI_ORACLE,
+        data_psi_drift,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        data_psi_drift(spark, SF_ORACLE),
+        oracle_con,
+        _PSI_ORACLE,
+        name="data_psi_drift",
+    )
+
+
+def test_psi_matches_numpy(spark):
+    """PSI recomputed with numpy bincounts over the same buckets and
+    conventions — independent of the query plan and of DuckDB."""
+    import pandas as pd
+
+    from clinical_bi_spark.queries.pipelineops import (
+        _PSI_BUCKET_CENTS,
+        _PSI_SPLIT,
+        data_psi_drift,
+    )
+
+    row = data_psi_drift(spark, SF_ORACLE).first()
+    od = pd.read_parquet(
+        f"{SF_ORACLE}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    cents = np.round(od["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    bucket = cents // _PSI_BUCKET_CENTS
+    ref = od["o_orderdate"].to_numpy() < np.datetime64(_PSI_SPLIT)
+    buckets = np.unique(bucket)
+    nb = len(buckets)
+    c_ref = np.array([(bucket[ref] == b).sum() for b in buckets], dtype=float)
+    c_cur = np.array([(bucket[~ref] == b).sum() for b in buckets], dtype=float)
+    p = (c_ref + 1) / (ref.sum() + nb)
+    q = (c_cur + 1) / ((~ref).sum() + nb)
+    want = float(((p - q) * np.log(p / q)).sum())
+    assert row.n_ref == ref.sum() and row.n_cur == (~ref).sum()
+    assert row.n_buckets == nb
+    assert row.psi == pytest.approx(want, abs=1e-7)
+
+
+def test_degenerate_psi(spark, tmp_path):
+    """Degenerate contract at birth: a single-era corpus NULLs psi (no
+    reference distribution to compare against); counts stay reported."""
+    import datetime
+
+    from clinical_bi_spark.queries.pipelineops import data_psi_drift
+
+    spark.createDataFrame(
+        [
+            (i, 1, "O", float(100 * i), datetime.datetime(2000, 1, 2),
+             "1-URGENT", "c", 0, "x")
+            for i in range(5)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string, "
+        "o_clerk string, o_shippriority int, o_comment string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    r = data_psi_drift(spark, str(tmp_path)).first()
+    assert r.n_ref == 0 and r.n_cur == 5 and r.psi is None

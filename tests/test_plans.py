@@ -579,3 +579,84 @@ def test_cusum_reuses_one_user_exchange(spark):
     )
     assert n_exchanges <= 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def _explain_df(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_mannwhitney_plan_shape(spark):
+    """The r12 candidate inherits the sharded-rank family pin at birth:
+    no window rank anywhere, the running total comes from the range
+    exchange + narrow mapInPandas, and every SinglePartition is a scalar
+    HashAggregate's exchange (the KS/m13 allowance — n1/n2/u1/z are one
+    row by construction)."""
+    from clinical_bi_spark.queries.extended import agg_mannwhitney_u
+
+    plan = _explain_df(agg_mannwhitney_u(spark, SF_ORACLE))
+    assert "row_number" not in plan and "ntile" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "SinglePartition" in l:
+            below = "\n".join(lines[i : i + 4])
+            assert "HashAggregate" in below, plan
+
+
+def test_psi_plan_bucket_agg_is_mapside_partial(spark, monkeypatch):
+    """PSI's only fact-scale op is the bucket groupBy: the exchange must
+    carry partially-aggregated bucket counts (map-side combine), never
+    raw order rows, and nothing in the plan is a CartesianProduct (the
+    one-row scalar aggregates ride broadcast crossJoins, the KS
+    pattern). persist is disabled for the explain — a cached relation's
+    formatted plan hides its child exchange's arguments."""
+    from clinical_bi_spark.queries import pipelineops
+
+    monkeypatch.setattr(pipelineops, "persist_tracked", lambda df: df)
+    plan = _explain_df(pipelineops.data_psi_drift(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    # formatted mode splits operator args into the details section; the
+    # bucket alias is rewritten to _groupingexpression, so pin (a) the
+    # exchange partitioning on that grouping expression and (b) the
+    # map-side combine: the era counts must be PARTIAL sums of the CASE
+    # expressions (raw order rows never cross the exchange)
+    assert "hashpartitioning(_groupingexpression" in plan, plan
+    assert "partial_sum(CASE WHEN (o_orderdate" in plan, plan
+
+
+def test_dsir_plan_topk_and_broadcast_model(spark):
+    """DSIR's scale claims, asserted structurally: the K-largest
+    selection compiles to TakeOrderedAndProject (per-partition top-K +
+    K-row merge, never a global sort of the corpus), the 1024-row model
+    joins back by broadcast hash (not nested-loop), and no
+    CartesianProduct exists anywhere."""
+    plan = explain(spark, "data_dsir_select")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semdedup_pair_join_is_equijoin(spark):
+    """SemDeDup's candidate generation must reach pairs through the
+    cell_id hash equi-join (sum of |cell|^2, the paper's cost model) —
+    never a CartesianProduct over the corpus. The only nested-loop
+    joins allowed are the bounded centroid-table crossJoins (16 rows,
+    broadcast)."""
+    plan = explain(spark, "dedup_semantic_cluster")
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    ), plan
+    # every nested-loop join must sit on a broadcast of the 16-row
+    # centroid relation, not on corpus data: in the TREE section each
+    # BNLJ line names its build side (the details section repeats the
+    # operator name bare, skip it)
+    for l in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in l and not l.strip().startswith("("):
+            assert "BuildRight" in l or "BuildLeft" in l, l

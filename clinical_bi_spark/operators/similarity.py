@@ -294,6 +294,83 @@ def det_kmeans_centroids(
     return cent
 
 
+def det_kmeans_rows(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    n_train: int = 512,
+    iters: int = 3,
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """:func:`det_kmeans_centroids` executed DRIVER-SIDE, bit-for-bit.
+
+    The Spark-plan fit is deterministic precisely because every float
+    operation has a pinned order — which also means plain Python can
+    replay it exactly (CPython floats and JVM doubles are both IEEE 754
+    binary64 with round-to-nearest; +, *, / are correctly rounded in
+    both, ``math.sqrt`` and ``Math.sqrt`` are the IEEE sqrt). Replayed
+    here: sequential fold dot/norm in element order, argmax assignment
+    with the (cos DESC, cell_id ASC) tie-break, member-embedding sums
+    folded in ascending vec_id order, empty cells keeping their previous
+    centroid. Differential-pinned equal to the Spark plan in
+    tests/test_similarity.py.
+
+    Why it exists (r11): the lazy fit is ~6 tiny shuffle stages per
+    consumer plus a deep plan that recompiles under every reuse — a
+    fixed ~1.5-2 s of orchestration for 512 x 64 doubles of actual math.
+    The training sample is the SAME bounded lowest-id sample the plan
+    form reads (the accepted .collect() census pattern: <=512 rows for a
+    model fit); a 100 TB corpus ships exactly the same 512 vectors.
+    """
+    rows = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_train)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).cast("array<double>").alias("emb"),
+        )
+        .collect()
+    )
+    train = sorted(
+        ((r.vec_id, list(r.emb)) for r in rows), key=lambda t: t[0]
+    )
+
+    def dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a: list[float]) -> float:
+        import math
+
+        acc = 0.0
+        for v in a:
+            acc = acc + v * v
+        return math.sqrt(acc)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        denom = norm(a) * norm(b)
+        return dot(a, b) / denom if denom > 0 else 0.0
+
+    cent = [emb for _vid, emb in train[:n_cells]]
+    for _ in range(iters):
+        sums: dict[int, list[float]] = {}
+        for _vid, emb in train:  # ascending vec_id — the fold order
+            best_cell, best_cos = 0, None
+            for cid, c in enumerate(cent):
+                cc = cos(emb, c)
+                if best_cos is None or cc > best_cos:
+                    best_cell, best_cos = cid, cc
+                # ties keep the LOWER cell_id (cos DESC, cell_id ASC)
+            acc = sums.setdefault(best_cell, [0.0] * dim)
+            for i, v in enumerate(emb):
+                acc[i] = acc[i] + v
+        cent = [sums.get(cid, cent[cid]) for cid in range(n_cells)]
+    return [(cid, cent[cid]) for cid in range(n_cells)]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

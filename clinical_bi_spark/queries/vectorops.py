@@ -915,20 +915,21 @@ def _semdedup_pipeline(
     corpus to measure the paper's own scaling lever (K grows with the
     corpus, so sum(|cell|^2) — the pair-join cost — falls as ~1/K for a
     fixed corpus)."""
-    from clinical_bi_spark.operators.similarity import det_kmeans_centroids
+    from clinical_bi_spark.operators.similarity import det_kmeans_rows
 
-    cent = det_kmeans_centroids(
-        embeddings, id_col="vec_id", emb_col="embedding", n_cells=n_cells
-    )
-    # Materialize the fitted codebook eagerly: n_cells rows of 64 doubles
-    # (a bounded model fit, per the .collect() census policy), but the
-    # LAZY plan behind them is 3 unrolled Lloyd iterations deep — left
-    # inline it re-plans/compiles under every consumer and inside the
-    # broadcast exchange. IEEE doubles round-trip Python exactly, so the
-    # re-literalized centroids are bit-identical to the lazy form (the
-    # oracle's unrolled-CTE fit still matches).
+    # Driver-side bit-exact Lloyd fit (det_kmeans_rows): the lazy
+    # Spark-plan fit is ~6 tiny shuffle stages of orchestration for
+    # 512 x 64 doubles of math, and its deep plan recompiles under every
+    # consumer — replaying the pinned float-op order in Python is
+    # bit-identical (differential test in tests/test_similarity.py) and
+    # removes the fixed term (measured 4.3 -> ~2.9 s at sf0.1). The
+    # n_cells-row codebook lands as a literal table, per the bounded
+    # .collect() census policy (<=512-row model fits).
     cent = spark.createDataFrame(
-        cent.collect(), schema="cell_id int, cell_emb array<double>"
+        det_kmeans_rows(
+            embeddings, id_col="vec_id", emb_col="embedding", n_cells=n_cells
+        ),
+        schema="cell_id int, cell_emb array<double>",
     )
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")

@@ -490,3 +490,25 @@ def test_semdedup_total_rows_is_corpus(spark, semdedup_rows):
     n = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
     assert len(semdedup_rows) == n
     assert len({r.vec_id for r in semdedup_rows}) == n
+
+
+def test_det_kmeans_rows_bitexact_vs_plan(spark):
+    """The driver-side Lloyd replay (det_kmeans_rows, the r11 SemDeDup
+    fixed-term fix) must equal the Spark-plan fit BIT FOR BIT — every
+    float op in both forms has the same pinned IEEE-754 order, which is
+    the whole license for swapping them under an exactly-oracled query."""
+    from clinical_bi_spark.operators.similarity import (
+        det_kmeans_centroids,
+        det_kmeans_rows,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    plan_rows = sorted(
+        (r.cell_id, list(r.cell_emb))
+        for r in det_kmeans_centroids(emb).collect()
+    )
+    local_rows = det_kmeans_rows(emb)
+    assert len(plan_rows) == len(local_rows) == 16
+    for (ca, ea), (cb, eb) in zip(plan_rows, local_rows):
+        assert ca == cb
+        assert all(x == y for x, y in zip(ea, eb)), ca

@@ -405,13 +405,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py. The deterministic FIT is unconditional:
     its determinism is the oracle's foundation either way."""
     from clinical_bi_spark.operators.similarity import (
-        det_kmeans_centroids,
+        det_kmeans_rows,
         ivf_topk,
     )
 
     t = load_tables(tune(spark), sf_dir)
     emb = t.embeddings
-    cent = det_kmeans_centroids(emb, n_cells=16, n_train=512, iters=3)
+    # r11: the fit runs driver-side, bit-for-bit (det_kmeans_rows — see
+    # the SemDeDup note; differential-pinned against the plan form), so
+    # the codebook is a 16-row literal instead of a deep lazy subtree
+    # that recompiled under the assignment, probe, and verify consumers
+    cent = spark.createDataFrame(
+        det_kmeans_rows(emb, n_cells=16, n_train=512, iters=3),
+        schema="cell_id int, cell_emb array<double>",
+    )
     return ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),

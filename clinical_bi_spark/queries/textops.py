@@ -751,14 +751,20 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     docs = persist_tracked(docs, StorageLevel.DISK_ONLY)
-    scored = docs.withColumn("qmicro", quality_score_micro(text)).withColumn(
-        "glang", language_guess(text)
-    )
     # quality >= 0.85 is exactly qmicro >= 850000 (integer gate; the
     # unicode sweep's second finding was a .5e-6 AVG boundary, so quality
-    # stays an exact micro INT until the final rollup divides)
-    kept0 = scored.filter(
-        (F.col("qmicro") >= F.lit(850_000)) & (F.col("glang") == "en")
+    # stays an exact micro INT until the final rollup divides). r11: the
+    # gate is the FUSED curation_keep boolean (pushdown re-inlines any
+    # projected score into the filter, where there is no CSE — the fused
+    # form shares all eight text scans; equivalence pinned in
+    # tests/test_text_binding.py), and qmicro is projected only for the
+    # survivors; glang is never materialized at all (the old form
+    # computed both scores twice — once inlined in the filter, once in
+    # the projection — and never read glang again).
+    from clinical_bi_spark.functions.text import curation_keep
+
+    kept0 = docs.filter(curation_keep(text)).withColumn(
+        "qmicro", quality_score_micro(text)
     )
     # exact dedup: keep the lowest doc_id of every content-fingerprint group
     # — one row_number window (a single xfp shuffle; dup groups are small,

@@ -112,6 +112,12 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: Streaming members sit at the window TAIL per standing policy (a
 #: wedged stream must only cost streaming rows): stream_sliding_window
 #: (r7 block) and stream_corpus_curation (changed this round) are last.
+#: Post-commit note (same round, before the driver run): later r11 work
+#: also changed sim_ann_ivf (driver-side Lloyd fit — IN the window via
+#: the r7 block) and landed two UNREGISTERED r12 candidates
+#: (agg_mannwhitney_u, data_psi_drift — no @query, so no window claim;
+#: they lead r12). Every registered query whose code changed in r11 has
+#: a slot in this window except text_language_id (scheduled r12, (c)).
 #:
 #: ROUND-10 WINDOW (history; committed FIRST that round, new code landed
 #: before the commit — the r9 verdict's What's-wrong #1 closed to the letter).

@@ -611,3 +611,49 @@ def test_global_prefix_sums_random_matches_window(spark, rows, n_parts):
         ).collect()
     }
     assert got == want
+
+
+_FUZZ_TEXT = st.one_of(
+    st.none(),
+    st.text(max_size=200),  # full unicode, incl. surrogate-adjacent cases
+    st.text(
+        alphabet=st.sampled_from(
+            list("the and of to in is it that for a el la de que y "
+                 "der die und das . , ! ? ; 中 文 😀   \t \n é ß")
+        ),
+        max_size=300,
+    ),
+)
+
+
+@_slow_ok
+@given(st.lists(_FUZZ_TEXT, min_size=1, max_size=40))
+def test_bound_quality_and_gate_match_unbound_forms(spark, texts):
+    """Hypothesis fuzz over arbitrary unicode for the r11 let-binding
+    rewrite: the bound quality_score_micro and the fused curation gate
+    must equal the unfused public forms on ANY input, not just the
+    probe corpus (tests/test_text_binding.py pins the fixed corpora;
+    this pins the long tail)."""
+    from clinical_bi_spark.functions.text import (
+        curation_keep,
+        language_guess,
+        quality_score,
+        quality_score_micro,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        quality_score_micro(F.col("text")).alias("qm"),
+        (quality_score(F.col("text")) * 1_000_000).alias("q6"),
+        curation_keep(F.col("text")).alias("fused"),
+        (
+            (quality_score(F.col("text")) >= 0.85)
+            & (language_guess(F.col("text")) == "en")
+        ).alias("unfused"),
+    ).collect()
+    for r in rows:
+        if r.qm is None:
+            assert r.q6 is None
+        else:
+            assert r.qm == round(r.q6), (r.qm, r.q6)
+        assert bool(r.fused) == bool(r.unfused), (r.fused, r.unfused)

@@ -354,7 +354,12 @@ def det_kmeans_rows(
         denom = norm(a) * norm(b)
         return dot(a, b) / denom if denom > 0 else 0.0
 
+    # the plan form's limit(n_cells) yields FEWER cells when the corpus
+    # is smaller than n_cells (single-document probe regime) — replicate
+    # that, not a hardcoded range (the r11 megadoc probe caught the
+    # IndexError at birth)
     cent = [emb for _vid, emb in train[:n_cells]]
+    k = len(cent)
     for _ in range(iters):
         sums: dict[int, list[float]] = {}
         for _vid, emb in train:  # ascending vec_id — the fold order
@@ -367,8 +372,8 @@ def det_kmeans_rows(
             acc = sums.setdefault(best_cell, [0.0] * dim)
             for i, v in enumerate(emb):
                 acc[i] = acc[i] + v
-        cent = [sums.get(cid, cent[cid]) for cid in range(n_cells)]
-    return [(cid, cent[cid]) for cid in range(n_cells)]
+        cent = [sums.get(cid, cent[cid]) for cid in range(k)]
+    return [(cid, cent[cid]) for cid in range(k)]
 
 
 def ivf_topk(

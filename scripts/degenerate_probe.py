@@ -2,7 +2,7 @@
 sweep found ten real ANSI crash-vs-NULL divergences — codify it as a
 round-end harness).
 
-Builds two pathological corpora from sf0.001 and runs EVERY registry
+Builds three pathological corpora from sf0.001 and runs EVERY registry
 query against each, asserting no UNEXPECTED crash (returning zero rows,
 NULL statistics, or a DOCUMENTED loud error is fine; an ANSI
 DIVIDE_BY_ZERO / INVALID_ARRAY_INDEX / numpy broadcast surprise is a
@@ -14,6 +14,9 @@ bug):
 * ``monokey`` — additionally collapses entity keys and event time:
   every event from ONE user at ONE timestamp, every order from one
   customer — the single-entity / single-instant regime.
+* ``megadoc`` (r11) — ONE ~1 MB document / one vector: per-document
+  quadratics and single-giant-row paths (token arrays, shingle
+  explosions, Arrow batch sizing) the tiny-row corpora never reach.
 
 DOCUMENTED loud errors (intentional data contracts, not bugs):
 
@@ -99,6 +102,49 @@ def build_corpus(spark, out_dir: str, mono: bool) -> None:
         )
 
 
+def _mega_text(n_tokens: int = 150_000) -> str:
+    """Deterministic ~1 MB document: varied pseudo-words mixed with real
+    stopwords so tokenizers, language ID, and the quality terms all see
+    non-degenerate values at a pathological per-document size."""
+    words = []
+    for i in range(n_tokens):
+        if i % 5 == 0:
+            words.append(("the", "of", "to", "in", "is")[(i // 5) % 5])
+        else:
+            words.append(f"w{i % 997}x{i % 31}")
+    return " ".join(words)
+
+
+def build_megadoc_corpus(spark, out_dir: str) -> None:
+    """The third regime (r11): ONE giant document / ONE vector — probes
+    per-document quadratics and single-giant-row paths (token arrays,
+    shingle explosions, Arrow batch sizing) that the zeros/monokey
+    corpora (64 tiny rows) can never reach. Non-document tables keep
+    their real 64-row slices so joins and event queries stay live."""
+    for t in TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet").limit(64)
+        if t == "documents":
+            one = df.limit(1).select(
+                *[
+                    F.lit(_mega_text()).alias(f.name)
+                    if f.name == "text"
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
+            one.coalesce(1).write.mode("overwrite").parquet(
+                f"{out_dir}/{t}.parquet"
+            )
+        elif t == "embeddings":
+            df.limit(1).coalesce(1).write.mode("overwrite").parquet(
+                f"{out_dir}/{t}.parquet"
+            )
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(
+                f"{out_dir}/{t}.parquet"
+            )
+
+
 def main() -> None:
     spark = get_spark("degenerate-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -109,9 +155,12 @@ def main() -> None:
         prefix="cbs_degenerate_"
     )
     failures = []
-    for probe, mono in (("zeros", False), ("monokey", True)):
+    for probe, mono in (("zeros", False), ("monokey", True), ("megadoc", None)):
         d = os.path.join(base, probe)
-        build_corpus(spark, d, mono)
+        if probe == "megadoc":
+            build_megadoc_corpus(spark, d)
+        else:
+            build_corpus(spark, d, mono)
         for name in names:
             try:
                 n = reg[name].fn(spark, d).count()

@@ -512,3 +512,28 @@ def test_det_kmeans_rows_bitexact_vs_plan(spark):
     for (ca, ea), (cb, eb) in zip(plan_rows, local_rows):
         assert ca == cb
         assert all(x == y for x, y in zip(ea, eb)), ca
+
+
+def test_det_kmeans_rows_bitexact_when_corpus_smaller_than_k(spark):
+    """The megadoc-probe regression, pinned: with fewer vectors than
+    n_cells the plan form's limit(n_cells) yields a SHRUNK codebook —
+    the local replay must shrink identically (bit-for-bit), not index
+    past its training sample."""
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.operators.similarity import (
+        det_kmeans_centroids,
+        det_kmeans_rows,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    for n_rows in (1, 5):
+        small = emb.filter(F.col("vec_id") < n_rows)
+        plan_rows = sorted(
+            (r.cell_id, list(r.cell_emb))
+            for r in det_kmeans_centroids(small).collect()
+        )
+        local_rows = det_kmeans_rows(small)
+        assert len(plan_rows) == len(local_rows) == n_rows
+        for (ca, ea), (cb, eb) in zip(plan_rows, local_rows):
+            assert ca == cb and all(x == y for x, y in zip(ea, eb))

@@ -636,6 +636,7 @@ def pq_topk(
     ksub: int = 16,
     dim: int = 64,
     rerank: int = 50,
+    exact_arithmetic: bool = False,
 ) -> DataFrame:
     """ANN top-k via product quantization + exact re-rank — the third leg
     of the standard ANN trio (sign-LSH buckets, IVF cells, PQ codes).
@@ -680,6 +681,45 @@ def pq_topk(
             recon[:, j * dsub : (j + 1) * dsub] = cents[C[:, j]]
         return pd.Series(((Q - recon) ** 2).sum(1))
 
+    if exact_arithmetic:
+        # Catalyst SEQUENTIAL reconstruction-L2 — the adjudication form
+        # (r11 graduation, the sim_ann_lsh/ivf dual-path contract): the
+        # codebook is a literal m x ksub x dsub nested array, recon is a
+        # concat of element_at lookups by code, and the fold over the 64
+        # diffs is the left-to-right aggregate a DuckDB list_reduce
+        # replays exactly. The numpy form computes the same squares but
+        # reduces pairwise (8-lane tree) — ulp-level different, rank-
+        # identical (differential-pinned in tests/test_similarity.py).
+        dsub_ = dim // m
+        books_lit = F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(v)) for v in cent])
+                        for cent in book
+                    ]
+                )
+                for book in flat_books
+            ]
+        )
+        recon = F.concat(
+            *[
+                F.element_at(
+                    F.element_at(books_lit, j + 1),
+                    F.col("codes")[j] + F.lit(1),
+                )
+                for j in range(m)
+            ]
+        )
+        diffs = F.zip_with(
+            F.col("q_emb").cast("array<double>"),
+            recon,
+            lambda x, y: (x - y) * (x - y),
+        )
+        adc_expr = F.aggregate(diffs, F.lit(0.0), lambda a, v: a + v)
+    else:
+        adc_expr = _adc(F.col("codes"), F.col("q_emb"))
+
     w_adc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("neighbor_id"))
     survivors = (
         codes.crossJoin(F.broadcast(q))
@@ -688,7 +728,7 @@ def pq_topk(
             "q_id",
             "q_emb",
             F.col("id").alias("neighbor_id"),
-            _adc(F.col("codes"), F.col("q_emb")).alias("adc"),
+            adc_expr.alias("adc"),
         )
         .withColumn("adc_rnk", F.row_number().over(w_adc))
         .filter(F.col("adc_rnk") <= rerank)
@@ -700,7 +740,8 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
     )
     cand = emb_tbl.join(F.broadcast(survivors), "neighbor_id")
-    cos = F.round(cosine_pandas(F.col("c_emb"), F.col("q_emb")), 6)
+    cos_fn = cosine_similarity if exact_arithmetic else cosine_pandas
+    cos = F.round(cos_fn(F.col("c_emb"), F.col("q_emb")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         cand.select("q_id", "neighbor_id", cos.alias("cos_sim"))

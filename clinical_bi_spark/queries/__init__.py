@@ -117,7 +117,10 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: the r7 block) and landed two UNREGISTERED r12 candidates
 #: (agg_mannwhitney_u, data_psi_drift — no @query, so no window claim;
 #: they lead r12). Every registered query whose code changed in r11 has
-#: a slot in this window except text_language_id (scheduled r12, (c)).
+#: a slot in this window except text_language_id (scheduled r12, (c))
+#: and sim_ann_pq — GRADUATED rows-only -> fully exact oracle late in
+#: r11 (trainer float-op census; see PERF.md), already named in (c) as
+#: due r12, where its first EXACT driver row lands.
 #:
 #: ROUND-10 WINDOW (history; committed FIRST that round, new code landed
 #: before the commit — the r9 verdict's What's-wrong #1 closed to the letter).

@@ -497,23 +497,181 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_pq", oracle=None)
+def _pq_det_oracle(
+    k: int = 5,
+    rerank: int = 50,
+    sample_n: int = 512,
+    m: int = 8,
+    ksub: int = 16,
+    dsub: int = 8,
+    iters: int = 8,
+) -> str:
+    """Exact DuckDB twin of the FULL PQ pipeline — numpy training
+    included (r11 graduation; the third ANN leg joins lsh/ivf as fully
+    adjudicable). Every float operation the Spark side performs has a
+    pinned order, replicated here term by term:
+
+    * the trainer's per-cell column means are numpy's axis-0 reduction,
+      which IS the sequential member-order fold — ``list_reduce(list(x
+      ORDER BY vec_id), +) / count`` replays it exactly;
+    * the trainer's and encoder's dsub=8 L2 distances reduce with
+      numpy's 8-term pairwise TREE ``((d0+d1)+(d2+d3))+((d4+d5)+(d6+d7))``
+      (verified: np.sum(8) is the tree, NOT a left fold), with squares
+      written ``x*x`` (POWER(x,2) routes through libm pow and diverges);
+    * the strided codebook init is integer arithmetic
+      ``(c * max(n//ksub, 1)) % n`` over the id-ordered sample;
+    * the ADC distance and rerank cosine in the ADJUDICATED Spark path
+      (exact_arithmetic=True) are sequential Catalyst folds, replayed by
+      ``list_reduce`` / ``list_cosine_similarity`` (the device the
+      sim_bruteforce_topk oracle already pins bit-for-bit).
+
+    All-pairs ADC here is the ORACLE's deliberate naivety (8 queries x
+    corpus at sf0.01); the Spark side scans the m-int code table.
+    """
+    dim = m * dsub
+    xs = ", ".join(f"e[sid * {dsub} + {kk + 1}] AS x{kk}" for kk in range(dsub))
+
+    def tree8(expr) -> str:
+        t = [expr(kk) for kk in range(8)]
+        return (
+            f"((({t[0]} + {t[1]}) + ({t[2]} + {t[3]})) + "
+            f"(({t[4]} + {t[5]}) + ({t[6]} + {t[7]})))"
+        )
+
+    d2 = tree8(lambda kk: f"(p.x{kk} - c.x{kk}) * (p.x{kk} - c.x{kk})")
+    means = ", ".join(
+        f"list_reduce(list(x{kk} ORDER BY vec_id), (a, b) -> a + b)"
+        f" / CAST(COUNT(*) AS DOUBLE) AS m{kk}"
+        for kk in range(dsub)
+    )
+    keep = ", ".join(
+        f"COALESCE(u.m{kk}, c.x{kk}) AS x{kk}" for kk in range(dsub)
+    )
+    cols = ", ".join(f"x{kk}" for kk in range(dsub))
+    parts = [
+        f"""
+WITH samp AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings ORDER BY vec_id LIMIT {sample_n}
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM samp),
+sub AS MATERIALIZED (
+  SELECT s.sid, vec_id, {xs}
+  FROM samp, (SELECT UNNEST(range({m})) AS sid) s
+), rn AS (
+  SELECT sid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY sid ORDER BY vec_id) - 1 AS pos,
+         {cols}
+  FROM sub
+), cent0 AS MATERIALIZED (
+  SELECT r.sid, cp.cell, {", ".join(f"r.x{kk}" for kk in range(dsub))}
+  FROM rn r JOIN (
+    SELECT CAST(c AS INT) AS cell,
+           (c * GREATEST((SELECT n FROM nn) // {ksub}, 1))
+             % (SELECT n FROM nn) AS pos
+    FROM (SELECT UNNEST(range({ksub})) AS c)
+  ) cp ON r.pos = cp.pos
+)"""
+    ]
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+a{t} AS MATERIALIZED (
+  SELECT p.sid, p.vec_id, c.cell, {", ".join(f"p.x{kk}" for kk in range(dsub))},
+         ROW_NUMBER() OVER (
+           PARTITION BY p.sid, p.vec_id
+           ORDER BY {d2}, c.cell) AS rnk
+  FROM sub p JOIN {prev} c ON p.sid = c.sid
+), u{t} AS MATERIALIZED (
+  SELECT sid, cell, {means}
+  FROM a{t} WHERE rnk = 1 GROUP BY sid, cell
+), cent{t} AS MATERIALIZED (
+  SELECT c.sid, c.cell, {keep}
+  FROM {prev} c LEFT JOIN u{t} u ON u.sid = c.sid AND u.cell = c.cell
+)"""
+        )
+        prev = f"cent{t}"
+    parts.append(
+        f""",
+corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), csub AS MATERIALIZED (
+  SELECT s.sid, vec_id, {xs}
+  FROM corp, (SELECT UNNEST(range({m})) AS sid) s
+), enc AS (
+  SELECT p.sid, p.vec_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.sid, p.vec_id
+           ORDER BY {d2}, c.cell) AS rnk
+  FROM csub p JOIN {prev} c ON p.sid = c.sid
+), codes AS MATERIALIZED (SELECT sid, vec_id, cell FROM enc WHERE rnk = 1),
+recon AS MATERIALIZED (
+  SELECT k.vec_id,
+         flatten(list([{", ".join(f"c.x{kk}" for kk in range(dsub))}]
+                      ORDER BY k.sid)) AS re
+  FROM codes k JOIN {prev} c ON c.sid = k.sid AND c.cell = k.cell
+  GROUP BY k.vec_id
+), adc AS (
+  SELECT q.vec_id AS q_id, r.vec_id AS neighbor_id,
+         list_reduce(
+           list_transform(range(1, {dim + 1}),
+             i -> (q.e[i] - r.re[i]) * (q.e[i] - r.re[i])),
+           (a, b) -> a + b) AS adc
+  FROM corp q JOIN recon r ON r.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+), surv AS (
+  SELECT q_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, neighbor_id)
+           AS adc_rnk
+  FROM adc
+)
+SELECT q_id, neighbor_id, cos_sim, rank FROM (
+  SELECT s.q_id, s.neighbor_id,
+         ROUND(list_cosine_similarity(ce.embedding::DOUBLE[],
+                                      qe.embedding::DOUBLE[]), 6) AS cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY s.q_id
+           ORDER BY ROUND(list_cosine_similarity(ce.embedding::DOUBLE[],
+                                                 qe.embedding::DOUBLE[]), 6)
+                    DESC, s.neighbor_id) AS INT) AS rank
+  FROM surv s
+  JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = s.q_id
+  WHERE s.adc_rnk <= {rerank}
+) t WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+@query("sim_ann_pq", oracle=_pq_det_oracle())
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via product quantization (8 subspaces × 16 centroids,
     reconstruction-ADC, exact-cosine re-rank of the best 50) — the third
-    leg of the ANN trio next to sim_ann_lsh and sim_ann_ivf. Approximate →
-    rows-only; output carries measured per-query recall@k vs the exact
-    twin, floor-pinned in tests/test_similarity.py. At scale only the
-    m-int code table is scanned per query batch; raw vectors are read for
+    leg of the ANN trio next to sim_ann_lsh and sim_ann_ivf.
+
+    GRADUATED to a fully exact oracle in r11 (closing the trio): the
+    numpy trainer was verified float-op-for-float-op replicable in SQL
+    (sequential column means, pairwise-tree dsub distances — see
+    _pq_det_oracle), so the oracle covers TRAINING + encode + ADC +
+    rerank end to end. The recall@k annotation is superseded by the
+    oracle (the lsh/ivf move); the floor now lives in
+    tests/test_similarity.py against the brute-force registry query.
+    ADC + rerank follow the CLINICAL_BI_EXACT_ARITH dual-path contract:
+    driver adjudication runs sequential Catalyst folds (default ON),
+    bench.py times the numpy batch form — differential-pinned
+    rank-identical in tests/test_similarity.py. At scale only the m-int
+    code table is scanned per query batch; raw vectors are read for
     rerank candidates only."""
     from clinical_bi_spark.operators.similarity import pq_topk
 
     t = load_tables(tune(spark), sf_dir)
     emb = t.embeddings
-    ann = pq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
-    if not _annotate_recall_enabled():
-        return ann
-    return _with_recall_at_k(ann, _exact_topk(emb, k=5))
+    return pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        exact_arithmetic=_exact_arith_enabled(),
+    )
 
 
 # ---------------------------------------------------------------------------

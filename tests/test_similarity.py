@@ -193,20 +193,49 @@ def test_pq_recall_and_planted_twin(spark, embeddings, truth):
     assert res and res[0].neighbor_id == base.vec_id
 
 
-@pytest.mark.parametrize(
-    "name,floor",
-    [("sim_ann_pq", 0.5)],
-)
-def test_registry_ann_recall_column_floor(spark, name, floor):
-    """The registry ANN queries emit their measured recall@k as an output
-    column (self-evidencing rows-only adjudication); the floor asserted
-    here is the contract the column's values must meet."""
-    df = load_all()[name].fn(spark, SF_ORACLE)
-    rows = df.collect()
-    assert rows and "recall_at_k" in df.columns
-    per_q = {r.q_id: r.recall_at_k for r in rows}
-    mean_recall = sum(per_q.values()) / len(per_q)
-    assert mean_recall >= floor, f"{name} mean recall {mean_recall}"
+def test_sim_ann_pq_recall_floor(spark):
+    """sim_ann_pq graduated from the recall@k annotation to a fully
+    exact SQL oracle (r11 — the trainer's numpy float-op order proved
+    replicable in SQL), so its recall floor is asserted HERE against the
+    brute-force registry query — the same move sim_ann_lsh (r6) and
+    sim_ann_ivf (r7) made."""
+    registry = load_all()
+    ann = registry["sim_ann_pq"].fn(spark, SF_ORACLE)
+    assert "recall_at_k" not in ann.columns  # superseded by the oracle
+    ann_pairs = {(r.q_id, r.neighbor_id) for r in ann.collect()}
+    exact_by_q: dict[int, set[int]] = {}
+    for r in registry["sim_bruteforce_topk"].fn(spark, SF_ORACLE).collect():
+        exact_by_q.setdefault(r.q_id, set()).add(r.neighbor_id)
+    recalls = [
+        len({n for (q2, n) in ann_pairs if q2 == q} & hits) / len(hits)
+        for q, hits in exact_by_q.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"sim_ann_pq mean recall {mean_recall}"
+
+
+def test_sim_ann_pq_exact_arith_matches_fast_path(spark):
+    """The PQ dual-path differential (the lsh/ivf contract): the numpy
+    batch ADC/rerank (bench form) and the sequential Catalyst folds (the
+    adjudication form the oracle replays) must produce identical rows —
+    same neighbors, same ranks, same rounded cosines. The raw adc
+    doubles differ in ulps (numpy reduces with the 8-lane pairwise tree,
+    Catalyst folds left-to-right); ranks may not."""
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 8)
+    fast = {
+        (r.q_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in pq_topk(emb, qs, k=5, exact_arithmetic=False).collect()
+    }
+    exact = {
+        (r.q_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in pq_topk(emb, qs, k=5, exact_arithmetic=True).collect()
+    }
+    assert fast == exact
 
 
 def test_sim_ann_ivf_recall_floor(spark):

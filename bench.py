@@ -24,12 +24,6 @@ from clinical_bi_spark.session import get_spark, warm
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Bench the bare ANN operators: the recall@k annotation embeds an exact
-# brute-force twin whose O(corpus × queries) pass would dominate the
-# wall-clock and stop measuring the pruned path (vectorops
-# _annotate_recall_enabled). Adjudication/correctness runs keep it on.
-os.environ.setdefault("CLINICAL_BI_ANN_RECALL", "0")
-
 # Bench the numpy production path of oracle-graduated ANN queries: the
 # sequential exact-arithmetic form exists for DuckDB adjudication and
 # costs a measured 2.2x on sim_ann_lsh (r6 regression, PERF.md round-7);
@@ -244,7 +238,6 @@ def main() -> None:
         # pruned operator (recall-annotation twin disabled below); the
         # adjudicated variant runs with the exact-recall twin ON, so its
         # output differs from what these timings measure.
-        "ann_recall_annotation": os.environ["CLINICAL_BI_ANN_RECALL"] != "0",
         # sim_ann_lsh timing measures the numpy production path; the
         # adjudicated variant (exact sequential arithmetic, 2.2x slower,
         # differential-pinned equal) runs with this flag on.

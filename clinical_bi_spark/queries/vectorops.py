@@ -133,16 +133,6 @@ def vec_norm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _annotate_recall_enabled() -> bool:
-    """Whether ANN registry queries annotate measured recall@k. The
-    annotation embeds an exact brute-force twin — right for adjudication
-    (the recall column IS the rows-only evidence), wrong for benchmarking
-    (the twin's O(corpus × queries) pass dominates the wall-clock and the
-    number stops measuring the pruned path the operator exists for).
-    bench.py sets CLINICAL_BI_ANN_RECALL=0; everything else defaults on."""
-    return os.environ.get("CLINICAL_BI_ANN_RECALL", "1") != "0"
-
-
 def _exact_arith_enabled() -> bool:
     """Whether oracle-graduated ANN queries run their SEQUENTIAL
     exact-arithmetic signature/cosine path (bit-identical to the DuckDB
@@ -151,65 +141,16 @@ def _exact_arith_enabled() -> bool:
     tests/test_similarity.py). The exact path costs a measured 2.2x on
     sim_ann_lsh (BENCH_r06 2.241s vs r5's 1.008s — PERF.md round-7
     entry), so bench.py sets CLINICAL_BI_EXACT_ARITH=0 to measure the
-    path production callers get, exactly as CLINICAL_BI_ANN_RECALL=0
-    already strips the recall-annotation twin; adjudication/correctness
-    runs default on. Consumers: sim_ann_lsh (r7) and sim_ann_ivf's
-    probe/rank cosine (r8 — its deterministic FIT stays exact
-    unconditionally). Parity is additionally pinned AT THE BENCH SF
+    path production callers get; adjudication/correctness runs default
+    on. Consumers: sim_ann_lsh (r7), sim_ann_ivf's probe/rank cosine
+    (r8 — its deterministic FIT stays exact unconditionally), and
+    sim_ann_pq's ADC/rerank (r11 graduation). The old
+    CLINICAL_BI_ANN_RECALL recall-annotation twin died with the r11 PQ
+    graduation — every ANN leg is exactly oracled now, so the
+    annotation helpers were removed outright. Parity is additionally pinned AT THE BENCH SF
     (tests/test_similarity.py::test_ann_lsh_exact_arith_parity_at_bench_sf,
     r7 ADVICE item)."""
     return os.environ.get("CLINICAL_BI_EXACT_ARITH", "1") != "0"
-
-
-def _exact_topk(emb: DataFrame, k: int = 5) -> DataFrame:
-    """The brute-force top-k twin (same queries, same tie-break) used to
-    annotate approximate results with their measured recall."""
-    queries_df = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
-    )
-    cos = F.round(cosine_similarity(F.col("c_emb"), F.col("q_emb")), 6)
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        corpus.crossJoin(F.broadcast(queries_df))
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", cos.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-
-
-def _with_recall_at_k(ann: DataFrame, exact: DataFrame) -> DataFrame:
-    """Annotate an ANN result with per-query recall@k against its exact
-    twin — the self-evidencing column for rows-only adjudication: an
-    approximate operator has no SQL oracle, but its output can still carry
-    the measured quality metric (floor pinned in tests/test_similarity.py).
-    The exact pass makes this an ADJUDICATION query; production callers
-    wanting the pruned-cost path use operators/similarity.py directly."""
-    hits = (
-        ann.select("q_id", "neighbor_id")
-        .join(
-            exact.select("q_id", "neighbor_id"),
-            ["q_id", "neighbor_id"],
-            "left_semi",
-        )
-        .groupBy("q_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    denom = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
-    recall = denom.join(hits, "q_id", "left").select(
-        "q_id",
-        F.round(
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-            / F.col("n_exact"),
-            6,
-        ).alias("recall_at_k"),
-    )
-    return ann.join(F.broadcast(recall), "q_id", "left")
 
 
 def _ann_lsh_oracle(

@@ -435,9 +435,6 @@ def test_ann_lsh_exact_arith_parity_at_bench_sf(spark, monkeypatch):
     if not os.path.isdir(bench_sf):
         pytest.skip(f"bench SF dir {bench_sf} not present")
     q = load_all()["sim_ann_lsh"].fn
-    # recall annotation off on both sides: it embeds a brute-force twin
-    # that is itself flag-independent and would dominate the runtime
-    monkeypatch.setenv("CLINICAL_BI_ANN_RECALL", "0")
     monkeypatch.setenv("CLINICAL_BI_EXACT_ARITH", "1")
     exact = q(spark, bench_sf).collect()
     monkeypatch.setenv("CLINICAL_BI_EXACT_ARITH", "0")

@@ -114,9 +114,10 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: (r7 block) and stream_corpus_curation (changed this round) are last.
 #: Post-commit note (same round, before the driver run): later r11 work
 #: also changed sim_ann_ivf (driver-side Lloyd fit — IN the window via
-#: the r7 block) and landed two UNREGISTERED r12 candidates
-#: (agg_mannwhitney_u, data_psi_drift — no @query, so no window claim;
-#: they lead r12). Every registered query whose code changed in r11 has
+#: the r7 block) and landed three UNREGISTERED r12 candidates
+#: (agg_mannwhitney_u, data_psi_drift, stream_left_outer_join — no
+#: @query, so no window claim; they lead r12, the streaming one at the
+#: tail per policy). Every registered query whose code changed in r11 has
 #: a slot in this window except text_language_id (scheduled r12, (c))
 #: and sim_ann_pq — GRADUATED rows-only -> fully exact oracle late in
 #: r11 (trainer float-op census; see PERF.md), already named in (c) as

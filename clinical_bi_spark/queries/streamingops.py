@@ -412,3 +412,63 @@ def stream_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_bi_spark.streaming.stateful import stream_forward_fill_rows
 
     return stream_forward_fill_rows(tune(spark), sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Watermarked LEFT OUTER stream-stream join — r12 REGISTRATION CANDIDATE,
+# deliberately undecorated: the r11 window was committed with the round's
+# 2-query budget spent (DSIR / SemDeDup) and two candidates already parked
+# (agg_mannwhitney_u, data_psi_drift); per standing policy this leads the
+# r12 window (streaming members at the TAIL) instead of sitting
+# unadjudicated. TO REGISTER IN r12 (before that round's window commit):
+# add `@query("stream_left_outer_join", oracle=_STREAM_LEFT_OUTER_ORACLE)`.
+# Determinism calibration, the slicing-invariance probe, and the STRICT
+# boundary pin live in tests/test_streaming.py.
+#
+# Why an outer stream join can carry an EXACT oracle at all: Spark emits
+# an unmatched left row only once the watermark strictly passes the end
+# of its match window (calibrated empirically: a view exactly AT
+# final_watermark - within is withheld), and the final watermark is
+# min(max view_ts, max purchase_ts) - delay — a function of the data,
+# not of batch slicing. So the emitted set is the batch LEFT JOIN with
+# the tail cutoff below, exactly SQL-expressible. An empty purchase side
+# leaves the watermark unset (NULL wm -> every unmatched row withheld),
+# matching Spark's never-advancing watermark.
+# ---------------------------------------------------------------------------
+
+_STREAM_LEFT_OUTER_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT LEAST((SELECT MAX(view_ts) FROM v),
+               (SELECT MAX(purchase_ts) FROM p))
+         - INTERVAL 30 MINUTE AS w
+)
+SELECT j.view_id, j.purchase_id, j.user_id, j.view_ts, j.purchase_ts
+FROM (
+  SELECT v.view_id, p.purchase_id, v.v_user AS user_id,
+         v.view_ts, p.purchase_ts
+  FROM v LEFT JOIN p
+    ON v.v_user = p.p_user
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 10 MINUTE
+) j
+WHERE j.purchase_id IS NOT NULL
+   OR (SELECT w FROM wm) > j.view_ts + INTERVAL 10 MINUTE
+"""
+
+
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream interval join (views with
+    their purchase within 10 min, NULL-padded once the watermark proves
+    no match can arrive) — see the block comment above for the exact
+    emission contract and the r12 registration plan."""
+    from clinical_bi_spark.streaming.windows import (
+        stream_stream_left_outer_join,
+    )
+
+    return stream_stream_left_outer_join(tune(spark), sf_dir)

@@ -263,6 +263,75 @@ def stream_stream_interval_join(
     return _run_to_completion(joined, "append", progress_sink)
 
 
+def stream_stream_left_outer_join(
+    spark: SparkSession,
+    sf_dir: str,
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the
+    unattributed-view report (views with their purchase within
+    ``within``, or NULL-padded when none arrives). The missing §2.8
+    semantics next to the inner join: outer rows can only be emitted
+    once the watermark PROVES no future match exists, so the result is
+    the batch LEFT JOIN restricted by the final watermark.
+
+    Determinism contract (calibrated empirically, r11, and pinned in
+    tests/test_streaming.py):
+    * the global watermark is min(max view_ts, max purchase_ts) -
+      ``watermark`` — a function of the DATA, not of batch slicing
+      (verified identical for 1-batch, 4-file, and per-file replays);
+    * a MATCHED row is always emitted (inner semantics);
+    * an UNMATCHED view is emitted iff final_watermark >
+      view_ts + ``within`` STRICTLY (a view exactly AT the boundary is
+      withheld — pinned by a synthetic fixture with an unmatched view at
+      watermark - within exactly);
+    * views inside the tail band (view_ts + within >= watermark) whose
+      match never arrived are NOT emitted — on an unbounded stream they
+      are still awaiting matches; availableNow's no-data final batches
+      flush everything below the watermark and nothing above it.
+    The DuckDB oracle encodes exactly this cutoff, making the operator
+    exactly adjudicable — stronger than the usual outer-join hand-wave
+    that the tail is undefined."""
+    views = (
+        _events_stream(spark, sf_dir, max_files_per_trigger)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir, max_files_per_trigger)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + interval {within}"
+        ),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )
+    return _run_to_completion(joined, "append", progress_sink)
+
+
 def _documents_stream(
     spark: SparkSession,
     sf_dir: str,

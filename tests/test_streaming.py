@@ -896,3 +896,126 @@ def test_eviction_timeout_never_regresses():
     clamped = _mk_event_time_state(GroupState.NO_TIMESTAMP, wm)
     _arm_timeout(clamped, wm - 10 * EVICTION_TTL_MS)
     assert clamped._timeout_timestamp == wm + 1
+
+
+def test_left_outer_join_matches_oracle_and_slicing_invariant(spark):
+    """The r12 candidate's full contract at sf0.01: the emitted set
+    equals the DuckDB twin (batch LEFT JOIN + the watermark tail cutoff)
+    and is identical whether the source replays as one batch or one file
+    per micro-batch."""
+    import duckdb
+
+    from clinical_bi_spark.queries.streamingops import (
+        _STREAM_LEFT_OUTER_ORACLE,
+        stream_left_outer_join,
+    )
+    from clinical_bi_spark.streaming.windows import (
+        stream_stream_left_outer_join,
+    )
+
+    got = frozenset(
+        (r.view_id, r.purchase_id)
+        for r in stream_left_outer_join(spark, SF_ORACLE).collect()
+    )
+    per_file = frozenset(
+        (r.view_id, r.purchase_id)
+        for r in stream_stream_left_outer_join(
+            spark, SF_ORACLE, max_files_per_trigger=1
+        ).collect()
+    )
+    assert got == per_file, "batch slicing changed the emitted set"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/events.parquet')"
+    )
+    want = frozenset(
+        (r[0], r[1]) for r in con.execute(_STREAM_LEFT_OUTER_ORACLE).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert any(p is None for (_v, p) in got), "no outer rows exercised"
+
+
+def test_left_outer_join_strict_watermark_boundary(spark, tmp_path):
+    """Pin the STRICT emission boundary the oracle encodes: an unmatched
+    view whose match window ends exactly AT the final watermark is
+    WITHHELD (emitted only when watermark > view_ts + within). Fixture:
+    views every 2 min to minute 78, purchases covering only the first
+    ~40 min, one late purchase at minute 90 from another user — so the
+    final watermark is min(78, 90) - 30 = 48 and the unmatched view at
+    minute 38 sits exactly on the boundary."""
+    import datetime as dt
+
+    from clinical_bi_spark.streaming.windows import (
+        stream_stream_left_outer_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append(
+            (1000 + i, t0 + dt.timedelta(minutes=2 * i), 1, "view", 1.0, "{}")
+        )
+    for i in range(3):
+        rows.append(
+            (2000 + i, t0 + dt.timedelta(minutes=5 + 12 * i), 1, "purchase",
+             1.0, "{}")
+        )
+    rows.append((3000, t0 + dt.timedelta(minutes=90), 2, "purchase", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.view_id: r.purchase_id
+        for r in stream_stream_left_outer_join(spark, str(tmp_path)).collect()
+    }
+    # watermark = 48 min; view 1019 is at minute 38: 38 + 10 == 48 exactly
+    # -> unmatched AND on the boundary -> withheld
+    assert 1019 not in got
+    # one step earlier (minute 36): 36 + 10 < 48 -> emitted, null-padded
+    assert 1018 in got and got[1018] is None
+    # tail views (minute 40+) unmatched and above the boundary -> withheld
+    assert all(v not in got for v in range(1020, 1040))
+    # matched early views are always emitted
+    assert got[1000] == 2000
+
+
+def test_left_outer_join_empty_purchase_side_withholds_everything(spark, tmp_path):
+    """Degenerate contract at birth: with NO purchases the watermark
+    never advances (Spark) / is NULL (oracle), so no outer row is ever
+    provably unmatched — the result is empty on both engines, not a
+    flood of null-padded views."""
+    import datetime as dt
+
+    import duckdb
+
+    from clinical_bi_spark.queries.streamingops import (
+        _STREAM_LEFT_OUTER_ORACLE,
+    )
+    from clinical_bi_spark.streaming.windows import (
+        stream_stream_left_outer_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1000 + i, t0 + dt.timedelta(minutes=2 * i), 1, "view", 1.0, "{}")
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    assert stream_stream_left_outer_join(spark, str(tmp_path)).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    assert con.execute(_STREAM_LEFT_OUTER_ORACLE).fetchall() == []
+    con.close()

@@ -114,6 +114,16 @@ _R11_SET = _R10_SET | frozenset(
     }
 )
 
+# The bench set as of round 12 (r11 set + the two batch queries whose
+# parked r11 registrations landed this round with floors at birth:
+# Mann-Whitney U and PSI drift; stream_left_outer_join also registered
+# this round but streaming queries are not benched).
+_R12_SET = _R11_SET | frozenset(
+    {
+        "agg_mannwhitney_u", "data_psi_drift",
+    }
+)
+
 
 def main() -> None:
     registry = load_all()
@@ -182,6 +192,8 @@ def main() -> None:
     assert not missing_r10, f"r10-set queries missing from bench: {missing_r10}"
     missing_r11 = _R11_SET - set(timings)
     assert not missing_r11, f"r11-set queries missing from bench: {missing_r11}"
+    missing_r12 = _R12_SET - set(timings)
+    assert not missing_r12, f"r12-set queries missing from bench: {missing_r12}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -219,6 +231,9 @@ def main() -> None:
         "subtotal_r11_set": round(
             sum(t for n, t in timings.items() if n in _R11_SET), 3
         ),
+        "subtotal_r12_set": round(
+            sum(t for n, t in timings.items() if n in _R12_SET), 3
+        ),
         # Global-rank dual path (operators/ranking.py): benched timings
         # measure the sharded prefix-sum production form (the default);
         # the single-partition window parity form
@@ -234,13 +249,11 @@ def main() -> None:
         "jaccard_tokens": os.environ.get(
             "CLINICAL_BI_JACCARD_TOKENS", "u64"
         ),
-        # Self-describing variant flag: sim_ann_* timings measure the bare
-        # pruned operator (recall-annotation twin disabled below); the
-        # adjudicated variant runs with the exact-recall twin ON, so its
-        # output differs from what these timings measure.
-        # sim_ann_lsh timing measures the numpy production path; the
-        # adjudicated variant (exact sequential arithmetic, 2.2x slower,
-        # differential-pinned equal) runs with this flag on.
+        # Self-describing variant flag: with CLINICAL_BI_EXACT_ARITH=0
+        # (the bench default set above) the sim_ann_* timings measure the
+        # numpy batch production path; the adjudicated variants run the
+        # exact sequential-arithmetic forms, which are differential-pinned
+        # equal in tests but slower (lsh ~2.2x).
         "ann_exact_arithmetic": os.environ["CLINICAL_BI_EXACT_ARITH"] != "0",
         # Stateful-streaming dual path (streaming/stateful.py): default is
         # the exact NoTimeout adjudication path; the evicting production

@@ -72,7 +72,39 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: two rounds later — registry growth must stay small (<=2-3 new queries
 #: per round) now that the surface is complete.
 #:
-#: ROUND-11 WINDOW (new code landed before this commit: data_dsir_select
+#: ROUND-12 WINDOW (new code landed before this commit: the three r11
+#: parked candidates — agg_mannwhitney_u, data_psi_drift,
+#: stream_left_outer_join — registered exactly as the r11 parking
+#: comments planned, with _R12_SET bench floors for the two batch ones).
+#: The arithmetic is the one the ROUND-11 comment pre-computed: 36
+#: r8-green entries hit the staleness-4 ceiling at r12 (FORCED), + 2
+#: headliners + the scheduled text_language_id = 39, leaving 11 free
+#: slots. Those 11 go, exactly as the r11 (c) schedule and the r11
+#: verdict's Next #1/#2/#6 direct:
+#:   (a) the 3 never-adjudicated registrations LEAD (streaming one at
+#:       the TAIL per standing policy);
+#:   (b) the changed-r10 dedup/rank block pulled a round EARLY rather
+#:       than riding the r13 ceiling (dedup_jaccard_prefix,
+#:       dedup_containment_prefix, dedup_containment_superset,
+#:       evt_rfm_segmentation, m13_auc_rank, agg_equidepth_histogram —
+#:       all r9-green);
+#:   (c) the last 2 slots to the oldest r9 rotation debt:
+#:       m8_vocab_embedding_trained (rows-only rotation, r9) and
+#:       stream_stateful_user_stats (r9 streaming refresh, TAIL).
+#: The forced block includes sim_ann_pq — its FIRST driver row through
+#: the fully exact oracle graduated late in r11 (AS MATERIALIZED CTE
+#: chain; ~15 s driver-shape PASS recorded in PERF.md) — plus the
+#: rows-only rotations agg_percentiles_approx / m3_feature_importance
+#: and changed-r9 vec_pca_power_top1. Streaming members sit at the
+#: window TAIL per standing policy: stream_left_outer_join (new, a
+#: calibrated strict-watermark oracle's first adjudication) then
+#: stream_stateful_user_stats. r13 arithmetic check at this commit:
+#: 48 r9-green entries exist; 8 get r12 rows here (the 6 dedup/rank +
+#: the 2 slot-(c) pulls), leaving 40 forced at r13 + 2 headliners = 42
+#: of 50 — the invariant holds with 8 slots to spare.
+#:
+#: ROUND-11 WINDOW (history; new code landed before this commit:
+#: data_dsir_select
 #: and dedup_semantic_cluster registered exactly as the r10 parking
 #: comments planned; the stream-curation regression fix also precedes
 #: this commit so its changed queries are known at window time).
@@ -331,68 +363,75 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (1) the 2 NEW r11 registrations LEAD (never adjudicated; parked
-    #        as planned-in-code since r10) --
-    "data_dsir_select",
-    "dedup_semantic_cluster",
-    # -- (2) changed-code slots, oldest verdict first: the quality family
-    #        (r8-green, changed in cd86f16 AND again by this round's
-    #        let-binding rewrite) and the batch curation funnel whose
-    #        gate expressions this round's headline fix rewrote --
-    "text_quality_score",
-    "data_quality_select",
-    "text_stats",
-    "pipeline_corpus_curation",
-    # -- (3) the 41 r7-green staleness-ceiling entries (40 batch;
-    #        includes the two r7 rows-only rotations m9/a3_approx and
-    #        text_gopher_filters, which also changed this round) --
-    "a3_approx_count_distinct",
-    "agg_bitwise_battery",
-    "agg_chi_square",
-    "agg_cube",
-    "agg_pivot",
-    "data_temperature_mixture",
-    "entity_resolution_parts",
-    "etl_calculated_values_rebuild",
-    "etl_cohort_literal_joins",
-    "etl_incremental_agg_maintenance",
-    "etl_interventions_conditions",
-    "etl_name_keyed_rollup",
-    "evt_anomaly_mad",
-    "evt_attribution_last_touch",
-    "evt_json_typed_parse",
-    "f_regex_battery",
-    "f_string_battery",
-    "graph_bfs_distance",
-    "graph_label_propagation",
-    "graph_triangles",
-    "j_fuzzy_editdist_pairs",
-    "j_point_in_time_scd2",
-    "m14_kfold_assign",
-    "m16_feature_hashing",
-    "m17_target_encode_loo",
-    "m9_mlp_train_eval",
-    "multimodal_resize_jpeg",
-    "multimodal_video_mjpeg_frames",
-    "set_ops_all",
-    "sim_ann_ivf",
-    "sim_ann_ivf_exact",
-    "sim_ann_lsh",
-    "sketch_kmv_distinct",
-    "sketch_kmv_jaccard",
-    "sketch_kmv_merge",
-    "text_boilerplate_strip",
-    "text_chunk_overlap_split",
-    "text_gopher_filters",
-    "unpivot_long",
-    "w3_lag_lead_first",
-    # -- (4) headliners, every round --
+    # -- (1) the 2 batch r12 registrations LEAD (never adjudicated;
+    #        parked as planned-in-code since r11; the third, streaming,
+    #        registration sits at the TAIL per policy) --
+    "agg_mannwhitney_u",
+    "data_psi_drift",
+    # -- (2) the one explicitly scheduled changed-r11 entry: the
+    #        language_guess let-binding rewrote its expressions
+    #        (value-identical; session oracle + unicode sweep re-passed)
+    #        but it carried no r11 slot --
+    "text_language_id",
+    # -- (3) the 36 r8-green staleness-ceiling entries (FORCED; includes
+    #        the r8 rows-only rotations agg_percentiles_approx /
+    #        m3_feature_importance, the changed-r9 vec_pca_power_top1,
+    #        and sim_ann_pq's FIRST row through the exact oracle that
+    #        graduated late in r11) --
+    "a3_multi_count_distinct",
+    "agg_benford_firstdigit",
+    "agg_bootstrap_ci_mean",
+    "agg_percentiles_approx",
+    "agg_pricing_summary",
+    "agg_ttest_welch",
+    "agg_winsorized_mean",
+    "asof_join_events",
+    "data_snapshot_diff",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_best",
+    "evt_cep_pattern",
+    "evt_cep_pattern_quantified",
+    "evt_dedup_window",
+    "evt_forward_fill",
+    "evt_funnel_conversion",
+    "evt_funnel_time_bounded",
+    "evt_group_zscore",
+    "evt_group_zscore_window",
+    "evt_json_extract",
+    "evt_retention_cohorts",
+    "evt_sessionization",
+    "evt_sliding_window",
+    "evt_tumbling_window",
+    "f_scalar_battery",
+    "j2_selfjoin_fanout",
+    "m19_temporal_split",
+    "m3_feature_importance",
+    "m8_vocab_embedding",
+    "multimodal_features",
+    "multimodal_resize_bmp",
+    "p_filter_conjunction",
+    "sim_ann_pq",
+    "vec_pca_power_top1",
+    "w2_running_total",
+    # -- (4) the changed-r10 dedup/rank block, pulled a round early
+    #        (r9-green, ceiling r13; r11 verdict Next #6) --
+    "agg_equidepth_histogram",
+    "dedup_containment_prefix",
+    "dedup_containment_superset",
+    "dedup_jaccard_prefix",
+    "evt_rfm_segmentation",
+    "m13_auc_rank",
+    # -- (5) oldest r9 rotation debt takes the last 2 discretionary
+    #        slots (the streaming one goes to the TAIL below) --
+    "m8_vocab_embedding_trained",
+    # -- (6) headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- streaming members sit LAST: the r7-block member and the
-    #    changed-this-round stream funnel --
-    "stream_sliding_window",
-    "stream_corpus_curation",
+    # -- streaming members sit LAST: the never-adjudicated LEFT OUTER
+    #    stream join leads the tail, then the r9 stateful refresh --
+    "stream_left_outer_join",
+    "stream_stateful_user_stats",
 )
 #: New queries that landed AFTER the current round's window was committed:
 #: they sit out this round (documented, not silently unadjudicated) and
@@ -400,16 +439,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #: fails if a never-adjudicated registry query is neither in the window
 #: nor listed here.
 _DEFERRED_NEW: tuple[str, ...] = ()
-# r11: EMPTY — the round's new code (data_dsir_select,
-# dedup_semantic_cluster) registered BEFORE the window commit and leads
-# the window. Due FIRST in r12 (oldest-first): the 36 remaining r8-green
-# entries (staleness 4 at the r12 window commit) — including the r8
-# rows-only rotation agg_percentiles_approx / m3_feature_importance and
-# the changed-r9 remainder vec_pca_power_top1 / sim_ann_pq — plus
-# text_language_id and the changed-r10 dedup/rank block named in the
-# ROUND-11 WINDOW comment above.
-# (r10 history: empty for the same reason — gini/KS landed pre-window,
-# sketch_bottomk_quantiles rotated in at the top.)
+# r12: EMPTY — the round's new registrations (agg_mannwhitney_u,
+# data_psi_drift, stream_left_outer_join) landed BEFORE the window
+# commit and lead it (streaming one at the tail). Due FIRST in r13
+# (oldest-first): the 40 remaining r9-green entries (staleness 4 at the
+# r13 window commit) — 48 r9-green minus the 6 dedup/rank block + 2
+# slot-(c) pulls adjudicated here; that block + 2 headliners fills 42
+# of 50 slots, so r13 has ~8 free.
+# (r11/r10 history: empty for the same reason — each round's new code
+# registered pre-window and led it.)
 
 
 def load_all() -> dict[str, QuerySpec]:

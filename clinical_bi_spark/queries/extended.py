@@ -1643,15 +1643,13 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Mann-Whitney U (Wilcoxon rank-sum) two-sample test — r12 REGISTRATION
-# CANDIDATE, deliberately undecorated: the r11 window was committed with
-# this round's 2-query budget spent (DSIR / SemDeDup), so per standing
-# policy this leads the r12 window instead of sitting unadjudicated. TO
-# REGISTER IN r12 (before that round's window commit): add
-#   @query("agg_mannwhitney_u", oracle=_MWU_ORACLE, bench=True)
-# and record its bench floor + scale row at birth. Oracle parity,
-# scipy-free numpy twin, and degenerate contracts are ALREADY pinned in
-# tests/test_analytics.py.
+# Mann-Whitney U (Wilcoxon rank-sum) two-sample test — parked through
+# r11 (the r11 window was committed with that round's 2-query budget
+# spent on DSIR / SemDeDup), REGISTERED r12 exactly as the parking plan
+# specified: decorator + bench floor (_R12_SET) added before the r12
+# window commit; it leads the window as never-adjudicated. Oracle
+# parity, scipy-free numpy twin, and degenerate contracts were pinned
+# in tests/test_analytics.py at parking time.
 #
 # Completes the two-sample family (Welch t = means, KS = distributions,
 # MWU = stochastic dominance) on the same value-level machinery: with
@@ -1715,6 +1713,7 @@ FROM s
 """
 
 
+@query("agg_mannwhitney_u", oracle=_MWU_ORACLE, bench=True)
 def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Mann-Whitney U with midrank ties and tie-corrected z (see
     the block comment above for the value-level identity and the r12

@@ -806,14 +806,13 @@ def data_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PSI — Population Stability Index between two corpus snapshots (r12
-# REGISTRATION CANDIDATE, deliberately undecorated: the r11 window was
-# committed with the round's 2-query budget spent on DSIR / SemDeDup, so
-# per standing policy this leads the r12 window instead of sitting
-# unadjudicated). TO REGISTER IN r12 (before that round's window commit):
-# add `@query("data_psi_drift", oracle=_PSI_ORACLE, bench=True)` and
-# record a bench floor + scale row at birth. Oracle parity, numpy twin,
-# and degenerate contracts are ALREADY pinned in tests/test_analytics.py.
+# PSI — Population Stability Index between two corpus snapshots. Parked
+# through r11 (the r11 window was committed with that round's 2-query
+# budget spent on DSIR / SemDeDup), REGISTERED r12 exactly as the
+# parking plan specified: decorator + bench floor (_R12_SET) added
+# before the r12 window commit; it leads the window as
+# never-adjudicated. Oracle parity, numpy twin, and degenerate
+# contracts were pinned in tests/test_analytics.py at parking time.
 #
 # The standard production data-drift gate: bucket a numeric feature,
 # compare the reference-era vs current-era bucket frequencies,
@@ -874,9 +873,11 @@ FROM t
 """
 
 
+@query("data_psi_drift", oracle=_PSI_ORACLE, bench=True)
 def data_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the o_totalprice distribution,
-    reference era (< 1995-01-01) vs current era — see the block comment
+    reference era (o_orderdate < ``_PSI_SPLIT``, 1998-01-01) vs current
+    era — see the block comment
     above for the conventions, the nano-nat exactness design, and the
     r12 registration plan.
 
@@ -886,7 +887,6 @@ def data_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket relation. Nothing else touches the fact table; the bucket
     relation is monitoring-dashboard sized at any corpus scale."""
     t = load_tables(tune(spark), sf_dir)
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     b = persist_tracked(
         t.orders.groupBy(
             F.expr(

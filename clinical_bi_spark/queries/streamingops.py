@@ -415,13 +415,12 @@ def stream_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Watermarked LEFT OUTER stream-stream join — r12 REGISTRATION CANDIDATE,
-# deliberately undecorated: the r11 window was committed with the round's
-# 2-query budget spent (DSIR / SemDeDup) and two candidates already parked
-# (agg_mannwhitney_u, data_psi_drift); per standing policy this leads the
-# r12 window (streaming members at the TAIL) instead of sitting
-# unadjudicated. TO REGISTER IN r12 (before that round's window commit):
-# add `@query("stream_left_outer_join", oracle=_STREAM_LEFT_OUTER_ORACLE)`.
+# Watermarked LEFT OUTER stream-stream join. Parked through r11 (the
+# r11 window was committed with that round's 2-query budget spent on
+# DSIR / SemDeDup), REGISTERED r12 exactly as the parking plan
+# specified: decorator added before the r12 window commit; it enters
+# the window as never-adjudicated but sits at the TAIL per the standing
+# streaming policy (a wedged stream must only cost streaming rows).
 # Determinism calibration, the slicing-invariance probe, and the STRICT
 # boundary pin live in tests/test_streaming.py.
 #
@@ -462,6 +461,7 @@ WHERE j.purchase_id IS NOT NULL
 """
 
 
+@query("stream_left_outer_join", oracle=_STREAM_LEFT_OUTER_ORACLE)
 def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked LEFT OUTER stream-stream interval join (views with
     their purchase within 10 min, NULL-padded once the watermark proves

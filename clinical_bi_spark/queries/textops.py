@@ -825,12 +825,13 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qmicro").cast("bigint").alias("__qsum"),
     )
     # true bigint DIV, not _t_exact_div: that helper's (a - a%b)/b
-    # double-division trick is only exact below 2^53, a bound the
-    # per-document callers respect but an AGGREGATE numerator does not —
-    # 2*SUM(qmicro)+n grows ~2e6 per doc, so a source group beyond
-    # ~4.5e9 docs would silently lose exactness on the Spark side while
-    # the DuckDB twin (HUGEINT // ) stayed exact (r10 ADVICE). SQL `div`
-    # is exact over the full int64 range.
+    # double-division trick is only GUARANTEED exact below 2^53, a bound
+    # the per-document callers respect but an AGGREGATE numerator does
+    # not — 2*SUM(qmicro)+n grows ~2e6 per doc, so a source group beyond
+    # ~4.5e9 docs leaves the guarantee, and past-2^53 cases provably
+    # diverge (tests/test_textops.py pins one: quotient off the double
+    # grid comes back +1) while the DuckDB twin (HUGEINT //) stays exact
+    # (r10 ADVICE). SQL `div` is exact over the full int64 range.
     avg_micro = F.expr(
         "(2 * `__qsum` + cast(n_docs as bigint)) div "
         "(2 * cast(n_docs as bigint))"

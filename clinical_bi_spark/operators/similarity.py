@@ -376,6 +376,91 @@ def det_kmeans_rows(
     return [(cid, cent[cid]) for cid in range(k)]
 
 
+def np_kmeans_rows(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 1024,
+    n_train: int = 4096,
+    iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Vectorized numpy twin of :func:`det_kmeans_rows` for the LARGE-K
+    scale path. Same structure — bounded lowest-id training sample,
+    argmax-cosine assignment with first-max (lowest cell_id) tie-break,
+    unnormalized member sums, empty cells keep their previous centroid,
+    cell count capped at the sample size — but batch numpy arithmetic,
+    so it is NOT bit-identical to the sequential fold. The adjudicated
+    K=16 SemDeDup query therefore keeps :func:`det_kmeans_rows`; this
+    fit exists because the pure-Python replay is O(iters*n_train*K*dim)
+    scalar ops (~4e8 at K=1024 / n_train=4096 — minutes), while the
+    matmul form is milliseconds. Web-scale K is a production-approximate
+    regime by construction (the SemDeDup paper's own fit is MiniBatch
+    k-means); determinism (fixed sample, fixed op order within numpy)
+    is retained so reruns reproduce."""
+    rows = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_train)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).cast("array<double>").alias("emb"),
+        )
+        .collect()
+    )
+    train = np.array(
+        [list(r.emb) for r in sorted(rows, key=lambda r: r.vec_id)],
+        dtype=np.float64,
+    )
+    cent = train[: min(n_cells, len(train))].copy()
+    tnorm = np.linalg.norm(train, axis=1)
+    tnorm[tnorm == 0.0] = 1.0
+    tn = train / tnorm[:, None]
+    for _ in range(iters):
+        cnorm = np.linalg.norm(cent, axis=1)
+        cnorm[cnorm == 0.0] = 1.0
+        best = np.argmax(tn @ (cent / cnorm[:, None]).T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, best, train)
+        hit = np.zeros(len(cent), dtype=bool)
+        hit[np.unique(best)] = True
+        cent = np.where(hit[:, None], sums, cent)
+    return [(cid, [float(v) for v in cent[cid]]) for cid in range(len(cent))]
+
+
+def coarse_shards(
+    cent_embs: list[list[float]], n_coarse: int, iters: int = 3
+) -> tuple[list[tuple[int, list[float]]], list[int]]:
+    """Two-level IVF: cluster the K fine centroids themselves into
+    ``n_coarse`` coarse cells (numpy Lloyd over a K x dim matrix —
+    driver-trivial at any realistic K). Returns the coarse codebook rows
+    and ``shard_of`` (fine cell_id -> coarse shard id). A vector then
+    probes the ``nprobe`` nearest coarse cells and argmaxes only over
+    those shards' fine centroids: assignment cost drops from O(N*K) to
+    O(N*(n_coarse + nprobe*K/n_coarse)) — the escape hatch PERF.md's
+    r11 K-sweep named when the broadcast argmax overtook at K=256."""
+    cent = np.asarray(cent_embs, dtype=np.float64)
+    k = len(cent)
+    coarse = cent[: min(n_coarse, k)].copy()
+    norms = np.linalg.norm(cent, axis=1)
+    norms[norms == 0.0] = 1.0
+    cn = cent / norms[:, None]
+    for _ in range(iters):
+        gnorm = np.linalg.norm(coarse, axis=1)
+        gnorm[gnorm == 0.0] = 1.0
+        best = np.argmax(cn @ (coarse / gnorm[:, None]).T, axis=1)
+        sums = np.zeros_like(coarse)
+        np.add.at(sums, best, cent)
+        hit = np.zeros(len(coarse), dtype=bool)
+        hit[np.unique(best)] = True
+        coarse = np.where(hit[:, None], sums, coarse)
+    gnorm = np.linalg.norm(coarse, axis=1)
+    gnorm[gnorm == 0.0] = 1.0
+    shard_of = np.argmax(cn @ (coarse / gnorm[:, None]).T, axis=1)
+    rows = [
+        (sid, [float(v) for v in coarse[sid]]) for sid in range(len(coarse))
+    ]
+    return rows, [int(s) for s in shard_of]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

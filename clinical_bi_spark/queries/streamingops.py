@@ -472,3 +472,108 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_stream_left_outer_join(tune(spark), sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static broadcast dimension join — r13 REGISTRATION CANDIDATE,
+# deliberately undecorated: the r12 window was committed with the round's
+# registration budget spent on the three r11 parked candidates (MWU, PSI,
+# stream LEFT OUTER join), so per standing policy this is parked with its
+# oracle, multi-batch equality test, and stateless-plan pin already in
+# place, and leads the r13 window (streaming => TAIL). TO REGISTER IN r13
+# (before that round's window commit): add
+#   @query("stream_static_enrich_join", oracle=_STREAM_STATIC_ENRICH_ORACLE)
+#
+# Why this is the right next streaming surface (r11 verdict Next #8
+# named the stream-side broadcast-dim join explicitly): enrichment of a
+# fact stream against slowly-changing reference data is the most common
+# production streaming topology after windowed aggregation, and its
+# exactness story is the strongest of any stream op — the operator is
+# STATELESS (no watermark, no state store, no emission-timing
+# calibration), so the emitted set equals the batch LEFT JOIN at any
+# micro-batch slicing; the multi-batch test pins stateOperators == []
+# alongside set equality.
+# ---------------------------------------------------------------------------
+
+_STREAM_STATIC_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type, e.ts, e.value,
+       d.c_name, d.c_mktsegment, d.n_name
+FROM events e
+LEFT JOIN (
+  SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) d ON e.user_id = d.c_custkey
+"""
+
+
+def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream LEFT-joined to the static broadcast customer x
+    nation dimension — see the block comment above for the exactness
+    contract and the r13 registration plan, and
+    streaming/windows.stream_static_enrich_join for the execution
+    notes (broadcast hash join, zero shuffle on the stream side, no
+    state store)."""
+    from clinical_bi_spark.streaming.windows import (
+        stream_static_enrich_join as _impl,
+    )
+
+    return _impl(tune(spark), sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful sessionization — r13 REGISTRATION CANDIDATE, parked
+# (same budget note as stream_static_enrich_join above). TO REGISTER IN
+# r13 (before that round's window commit, streaming => window TAIL): add
+#   @query("stream_session_stateful", oracle=_STREAM_SESSION_STATEFUL_ORACLE)
+#
+# The flatMapGroupsWithState-shaped session rewrite the r11 verdict's
+# Next #8 named: the built-in session_window aggregation can only apply
+# SQL aggregates to the merged window, while this operator
+# (streaming/stateful.stateful_sessions) carries arbitrary per-session
+# state through the fold — the emitted max_gap_us (largest INTRA-session
+# inter-event gap) needs the previous event's timestamp at every step,
+# which no session_window agg can see. Boundary semantics match
+# session_window exactly (>= gap splits; session_end = last + gap), so
+# the gaps-and-islands oracle extends with one windowed term — exact
+# integer microseconds via date_diff, no float epoch arithmetic.
+# Multi-batch equality, the lossless-eviction contract, and the
+# session_window cross-check live in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+_STREAM_SESSION_STATEFUL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR date_diff('microsecond', prev_ts, ts) >= 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(COALESCE(value, 0)), 4) AS total_value,
+       CAST(COALESCE(MAX(CASE WHEN is_new = 0
+                              THEN date_diff('microsecond', prev_ts, ts)
+                          END), 0) AS BIGINT) AS max_gap_us
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState) with the
+    max intra-session gap aggregate session_window cannot express — see
+    the block comment above for the r13 registration plan and
+    streaming/stateful.stateful_sessions for the emission protocol and
+    the lossless-eviction contract."""
+    from clinical_bi_spark.streaming.stateful import stateful_sessions
+
+    return stateful_sessions(tune(spark), sf_dir)

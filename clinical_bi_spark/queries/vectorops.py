@@ -1014,14 +1014,41 @@ def _semdedup_pipeline(
     embeddings: DataFrame,
     n_cells: int = 16,
     eps: float = _SEMDEDUP_EPS,
+    assign_shards: int | None = None,
+    nprobe: int = 4,
+    n_train: int = 512,
 ) -> DataFrame:
     """The SemDeDup pipeline over an explicit embedding relation with a
     parameterized K — the registered query pins K=16 (what the oracle
     unrolls); scripts/scaleup_r11cand.py sweeps K upward on a replicated
     corpus to measure the paper's own scaling lever (K grows with the
     corpus, so sum(|cell|^2) — the pair-join cost — falls as ~1/K for a
-    fixed corpus)."""
-    from clinical_bi_spark.operators.similarity import det_kmeans_rows
+    fixed corpus).
+
+    ``assign_shards`` selects the LARGE-K production assignment (r11
+    verdict Next #7): the broadcast argmax is O(N*K) and overtook the
+    pair-join saving at K=256 in the r11 sweep, so web-scale K needs
+    IVF-sharded assignment — the fine codebook (numpy scale-path fit,
+    :func:`~clinical_bi_spark.operators.similarity.np_kmeans_rows`) is
+    itself clustered into ``assign_shards`` coarse cells
+    (:func:`~clinical_bi_spark.operators.similarity.coarse_shards`); a
+    vector probes its ``nprobe`` nearest coarse cells and argmaxes only
+    over those shards' fine centroids, O(N*(C + nprobe*K/C)). With
+    ``nprobe >= assign_shards`` every shard is probed and the assignment
+    equals the broadcast argmax exactly (pinned in
+    tests/test_similarity.py); below that it is the standard IVF recall
+    trade, which moves only cross-cell eps pairs, never planted exact
+    copies (copies share every cosine, hence every probe list). The
+    adjudicated K=16 query never takes this branch.
+    ``assign_shards=0`` is the A/B baseline arm: the numpy fit with the
+    ORIGINAL flat broadcast argmax — same codebook as the sharded form,
+    so scripts/scaleup_semdedup_sharded.py isolates the assignment
+    structure's cost."""
+    from clinical_bi_spark.operators.similarity import (
+        coarse_shards,
+        det_kmeans_rows,
+        np_kmeans_rows,
+    )
 
     # Driver-side bit-exact Lloyd fit (det_kmeans_rows): the lazy
     # Spark-plan fit is ~6 tiny shuffle stages of orchestration for
@@ -1030,25 +1057,78 @@ def _semdedup_pipeline(
     # bit-identical (differential test in tests/test_similarity.py) and
     # removes the fixed term (measured 4.3 -> ~2.9 s at sf0.1). The
     # n_cells-row codebook lands as a literal table, per the bounded
-    # .collect() census policy (<=512-row model fits).
-    cent = spark.createDataFrame(
-        det_kmeans_rows(
+    # .collect() census policy (<=512-row model fits; the large-K scale
+    # path raises n_train with K — same census, bigger bounded sample).
+    if assign_shards is None:
+        cent_rows = det_kmeans_rows(
             embeddings, id_col="vec_id", emb_col="embedding", n_cells=n_cells
-        ),
-        schema="cell_id int, cell_emb array<double>",
-    )
+        )
+    else:
+        cent_rows = np_kmeans_rows(
+            embeddings,
+            id_col="vec_id",
+            emb_col="embedding",
+            n_cells=n_cells,
+            n_train=max(n_train, 4 * n_cells),
+        )
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cc = cosine_similarity(F.col("emb"), F.col("cell_emb"))
     w = Window.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cell_id"))
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "emb", "cell_id", cc.alias("cc"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "emb", "cell_id", F.round("cc", 6).alias("cent_cos"))
-    )
+    if not assign_shards:
+        cent = spark.createDataFrame(
+            cent_rows, schema="cell_id int, cell_emb array<double>"
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "emb", "cell_id", cc.alias("cc"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select(
+                "vec_id", "emb", "cell_id", F.round("cc", 6).alias("cent_cos")
+            )
+        )
+    else:
+        coarse_rows, shard_of = coarse_shards(
+            [emb for _cid, emb in cent_rows], n_coarse=assign_shards
+        )
+        cent = spark.createDataFrame(
+            [
+                (cid, emb, shard_of[cid])
+                for cid, emb in cent_rows
+            ],
+            schema="cell_id int, cell_emb array<double>, shard int",
+        )
+        crs = spark.createDataFrame(
+            coarse_rows, schema="shard int, shard_emb array<double>"
+        )
+        scos = cosine_similarity(F.col("emb"), F.col("shard_emb"))
+        w1 = Window.partitionBy("vec_id").orderBy(
+            F.col("scos").desc(), F.col("shard")
+        )
+        # stage 1: top-nprobe coarse cells per vector (N x C rows, one
+        # vec_id-keyed window); stage 2 expands each vector to only the
+        # probed shards' fine centroids via a broadcast hash join —
+        # N x ~nprobe*K/C rows into the same argmax window shape. Both
+        # windows hash-partition on vec_id, so the second reuses the
+        # first's partitioning (one Exchange between them, none after).
+        probed = (
+            e.crossJoin(F.broadcast(crs))
+            .select("vec_id", "emb", "shard", scos.alias("scos"))
+            .withColumn("prnk", F.row_number().over(w1))
+            .filter(F.col("prnk") <= nprobe)
+            .select("vec_id", "emb", "shard")
+        )
+        assigned = (
+            probed.join(F.broadcast(cent), "shard")
+            .select("vec_id", "emb", "cell_id", cc.alias("cc"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select(
+                "vec_id", "emb", "cell_id", F.round("cc", 6).alias("cent_cos")
+            )
+        )
     # assigned is consumed THREE times (both pair-join sides + the final
     # verdict join) and its lineage embeds the full 3-iteration Lloyd's
     # fit; without a persist each consumer re-executes the fit and the

@@ -573,3 +573,185 @@ def stream_forward_fill_rows(
         F.round("value_obs", 4).alias("value_obs"),
         F.round("value_ff", 4).alias("value_ff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful sessionization (the flatMapGroupsWithState shape, via
+# applyInPandasWithState) — r13 registration candidate, parked in
+# queries/streamingops.py. The built-in session_window aggregation
+# (streaming/windows.session_windows) can only apply SQL aggregates to
+# the merged window; this operator carries arbitrary per-session state
+# through the fold and emits a per-session aggregate session_window
+# cannot express — the maximum INTRA-session inter-event gap
+# (max_gap_us), which needs the previous event's timestamp at every
+# step. Boundary semantics match session_window exactly (an event at
+# last_ts + gap STARTS a new session, i.e. >= gap splits; session_end =
+# last_ts + gap), so the batch gaps-and-islands SQL extends to an exact
+# oracle with one more windowed term.
+#
+# Emission protocol (the CEP device): a session that CLOSES (a new event
+# arrives >= gap after the last, or the key's event-time timeout fires
+# on the eviction path) is emitted FINAL in that batch; the OPEN session
+# additionally emits a provisional snapshot each batch it grows, and the
+# consumer keeps the latest version per (user_id, session_start) —
+# n_events is strictly increasing within a session, so "latest" is the
+# max-n_events row and the final table is micro-batch-slicing-invariant
+# (multi-batch equality pinned in tests/test_streaming.py).
+#
+# Eviction is LOSSLESS here, unlike the running-counter operators: a
+# session idle past the TTL (>= the 30-min gap) can never extend — any
+# later event would start a NEW session anyway — so the hasTimedOut
+# branch emits the open session as final and drops the state row with
+# NO semantic trade (no restart-from-zero caveat; under in-order replay
+# the evicting path's output is IDENTICAL to the NoTimeout path's).
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, matching the batch twin
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_gap_us", LongType()),
+    ]
+)
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_gap_us", LongType()),
+    ]
+)
+
+
+def _make_session_update(evict: bool):
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if evict and state.hasTimedOut:
+            # idle past the TTL >= gap: the open session can never
+            # extend — emit it FINAL and drop the state row (lossless,
+            # see the block comment)
+            start_us, last_us, n, total, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "start_us": [start_us],
+                    "end_us": [last_us + SESSION_GAP_US],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_gap_us": [mx],
+                }
+            )
+            return
+        if state.exists:
+            start_us, last_us, n, total, mx = state.get
+        else:
+            start_us = None
+            last_us = n = mx = 0
+            total = 0.0
+        closed: list[tuple] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("ts")
+            for t, v in zip(
+                (pdf["ts"].astype("int64") // 1000).tolist(),
+                pdf["value"].fillna(0.0).tolist(),
+            ):
+                if start_us is None:
+                    start_us, last_us, n, total, mx = t, t, 1, float(v), 0
+                elif t - last_us >= SESSION_GAP_US:
+                    closed.append((start_us, last_us, n, total, mx))
+                    start_us, last_us, n, total, mx = t, t, 1, float(v), 0
+                else:
+                    mx = max(mx, t - last_us)
+                    last_us = t
+                    n += 1
+                    total += float(v)
+        if start_us is None:
+            # defensive: a key invoked with only empty batches has no
+            # session to carry or emit
+            return
+        state.update((start_us, last_us, n, total, mx))
+        if evict:
+            _arm_timeout(state, last_us // 1000)
+        # closed sessions are final; the open one is a provisional
+        # snapshot the consumer's keep-latest dedup resolves
+        rows = closed + [(start_us, last_us, n, total, mx)]
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(rows),
+                "start_us": [r[0] for r in rows],
+                "end_us": [r[1] + SESSION_GAP_US for r in rows],
+                "n_events": [r[2] for r in rows],
+                "total_value": [r[3] for r in rows],
+                "max_gap_us": [r[4] for r in rows],
+            }
+        )
+
+    return update
+
+
+def stateful_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
+    evict: bool | None = None,
+) -> DataFrame:
+    """Run the custom sessionization over the bounded events stream and
+    return the final per-session table (keep-latest dedup by
+    (user_id, session_start) applied; timestamps and the display
+    rounding materialized Spark-side so both engines round the same
+    exact inputs)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from clinical_bi_spark.streaming.windows import (
+        _events_stream,
+        _run_to_completion,
+    )
+
+    evicting = _eviction_enabled(evict)
+    events = _events_stream(spark, sf_dir, max_files_per_trigger).select(
+        "user_id", "ts", "value"
+    )
+    if evicting:
+        events = events.withWatermark("ts", EVICTION_WATERMARK)
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        _make_session_update(evicting),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evicting
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    raw = _run_to_completion(sessions, "update", progress_sink)
+    w = Window.partitionBy("user_id", "start_us").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("start_us")).alias("session_start"),
+            F.timestamp_micros(F.col("end_us")).alias("session_end"),
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+            "max_gap_us",
+        )
+    )

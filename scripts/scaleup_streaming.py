@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from clinical_bi_spark.session import get_spark, tune, warm
 from clinical_bi_spark.sources import load_tables
 from clinical_bi_spark.streaming.stateful import (
+    stateful_sessions,
     stream_cep_matches as _cep,
     user_running_stats,
 )
@@ -45,6 +46,7 @@ from clinical_bi_spark.streaming.windows import (
     dedup_with_watermark,
     session_windows,
     sliding_counts,
+    stream_static_enrich_join,
     stream_stream_interval_join,
     stream_upsert_current_state,
     tumbling_counts,
@@ -108,6 +110,26 @@ QUERIES = {
     ),
     "stream_upsert": lambda sp, d, ps: stream_upsert_current_state(
         sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
+    ),
+    # r12: the parked r13 candidates. Custom stateful sessionization —
+    # state is ONE open session per active user; the evicting form's
+    # removals are LOSSLESS for sessions (TTL >= gap means an idle
+    # session can never extend), so state_rows_final < peak with output
+    # identical to the NoTimeout twin.
+    "stream_session_stateful": lambda sp, d, ps: stateful_sessions(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
+    ),
+    "stream_session_stateful_evict": lambda sp, d, ps: stateful_sessions(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,
+        evict=True,
+    ),
+    # r12: the parked r13 candidate — stream-static broadcast enrich.
+    # STATELESS by design (state_rows must read 0 at every mult); wall
+    # should track input linearly, the dim broadcast is a constant.
+    # The dim tables live in SF_DIR (replication only multiplies events).
+    "stream_static_enrich": lambda sp, d, ps: stream_static_enrich_join(
+        sp, d, dim_dir=SF_DIR,
+        max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,
     ),
 }
 

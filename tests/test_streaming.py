@@ -1019,3 +1019,223 @@ def test_left_outer_join_empty_purchase_side_withholds_everything(spark, tmp_pat
     )
     assert con.execute(_STREAM_LEFT_OUTER_ORACLE).fetchall() == []
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# stream_static_enrich_join — r13 registration candidate (parked in
+# queries/streamingops.py): stream-side broadcast-dim join. Pins landed
+# WITH the operator, one round before registration, per standing policy.
+# ---------------------------------------------------------------------------
+
+
+def test_stream_static_enrich_matches_oracle(spark, oracle_con):
+    from clinical_bi_spark.queries.streamingops import (
+        _STREAM_STATIC_ENRICH_ORACLE,
+        stream_static_enrich_join,
+    )
+    from tests.conftest import SF_ORACLE, assert_matches_oracle
+
+    df = stream_static_enrich_join(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, oracle_con, _STREAM_STATIC_ENRICH_ORACLE,
+        name="stream_static_enrich_join",
+    )
+
+
+def test_multibatch_static_enrich_equals_batch_and_is_stateless(
+    spark, split_sf
+):
+    """The operator's whole exactness claim: stateless per-row
+    enrichment cannot depend on micro-batch slicing. 3 chronological
+    micro-batches must emit the identical row SET as the single-batch
+    run, and every progress event must report ZERO state operators (a
+    stream-static broadcast join holds no state store)."""
+    import json as _json
+
+    from clinical_bi_spark.streaming.windows import (
+        stream_static_enrich_join as impl,
+    )
+    from tests.conftest import SF_ORACLE
+
+    prog: list = []
+    out = impl(
+        spark, split_sf, dim_dir=SF_ORACLE,
+        max_files_per_trigger=1, progress_sink=prog,
+    )
+    assert _n_batches(prog) >= 3
+    for p in prog:
+        p = _json.loads(p) if isinstance(p, str) else p
+        assert p.get("stateOperators") in ([], None), (
+            "stream-static join must not register a state operator"
+        )
+    single = impl(spark, SF_ORACLE)
+    s = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in single.collect()}
+    assert s == b
+
+
+# ---------------------------------------------------------------------------
+# stream_session_stateful — second r13 registration candidate (parked in
+# queries/streamingops.py): custom applyInPandasWithState sessionization
+# with the max intra-session gap aggregate session_window can't express.
+# ---------------------------------------------------------------------------
+
+
+def test_stream_session_stateful_matches_oracle(spark, oracle_con):
+    from clinical_bi_spark.queries.streamingops import (
+        _STREAM_SESSION_STATEFUL_ORACLE,
+        stream_session_stateful,
+    )
+    from tests.conftest import SF_ORACLE, assert_matches_oracle
+
+    df = stream_session_stateful(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, oracle_con, _STREAM_SESSION_STATEFUL_ORACLE,
+        name="stream_session_stateful",
+    )
+
+
+def test_stream_session_stateful_agrees_with_builtin_session_window(spark):
+    """On the shared fields the custom operator must reproduce the
+    built-in session_window aggregation exactly (same >= gap boundary,
+    same last+gap end) — the max_gap_us column is the only thing the
+    built-in cannot produce."""
+    from clinical_bi_spark.streaming.stateful import stateful_sessions
+    from tests.conftest import SF_ORACLE
+
+    custom = stateful_sessions(spark, SF_ORACLE)
+    builtin = session_windows(spark, SF_ORACLE)
+    c = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.total_value, 4))
+        for r in custom.collect()
+    }
+    b = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.total_value, 4))
+        for r in builtin.collect()
+    }
+    assert c == b
+
+
+def test_multibatch_session_stateful_equals_batch(spark, split_sf):
+    from clinical_bi_spark.streaming.stateful import stateful_sessions
+    from tests.conftest import SF_ORACLE
+
+    prog: list = []
+    out = stateful_sessions(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog
+    )
+    assert _n_batches(prog) >= 3
+    single = stateful_sessions(spark, SF_ORACLE)
+    s = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in single.collect()}
+    assert s == b
+
+
+def test_session_stateful_eviction_is_lossless(spark, split_sf, monkeypatch):
+    """The operator's distinguishing state contract: a session idle past
+    the TTL (>= gap) can never extend, so the evicting production path
+    must emit the IDENTICAL session table as the NoTimeout adjudication
+    path under in-order replay — no restart-from-zero caveat, unlike the
+    running-counter operators. State rows must also actually be removed
+    (the eviction engaged, it didn't just no-op)."""
+    from clinical_bi_spark.streaming.stateful import stateful_sessions
+
+    prog: list = []
+    evicted = stateful_sessions(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog,
+        evict=True,
+    )
+    e = {tuple(r) for r in evicted.collect()}
+    base = stateful_sessions(spark, split_sf, max_files_per_trigger=1)
+    b = {tuple(r) for r in base.collect()}
+    assert e == b
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in prog
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0, "eviction path never removed a state row"
+
+
+def test_static_enrich_left_semantics_unmatched_event_passes_through(
+    spark, tmp_path
+):
+    """The sf fixtures' user_ids all hit the customer dimension, so the
+    oracle alone cannot tell LEFT from INNER — pin the LEFT contract
+    with a synthetic event whose user has no dimension row: it must pass
+    through NULL-padded, never be dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinical_bi_spark.streaming.windows import (
+        stream_static_enrich_join as impl,
+    )
+    from tests.conftest import SF_ORACLE
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [1_500_000_000_000_000_000, 1_500_000_060_000_000_000],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([0, 99_999_999], pa.int64()),
+            "event_type": pa.array(["view", "view"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = impl(spark, str(tmp_path), dim_dir=SF_ORACLE).collect()
+    assert len(out) == 2
+    by_id = {r.event_id: r for r in out}
+    assert by_id[1].c_name is not None and by_id[1].n_name is not None
+    orphan = by_id[2]
+    assert orphan.c_name is None
+    assert orphan.c_mktsegment is None
+    assert orphan.n_name is None
+    assert orphan.value == 2.0
+
+
+def test_session_stateful_boundary_event_at_gap_starts_new_session(
+    spark, tmp_path
+):
+    """session_window semantics: an event at EXACTLY last_ts + gap
+    starts a NEW session (>= splits). Pin with a synthetic fixture the
+    sf data can't guarantee: events at t0, t0+gap (new session), and
+    t0+gap+gap-1us (same session, max_gap = gap-1us)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinical_bi_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        stateful_sessions,
+    )
+
+    t0 = 1_500_000_000_000_000_000  # ns
+    gap_ns = SESSION_GAP_US * 1000
+    ts = [t0, t0 + gap_ns, t0 + 2 * gap_ns - 1000]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "event_type": pa.array(["view"] * 3),
+            "value": pa.array([1.0, 2.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    rows = sorted(
+        stateful_sessions(spark, str(tmp_path)).collect(),
+        key=lambda r: r.session_start,
+    )
+    assert len(rows) == 2, "boundary event must split"
+    first, second = rows
+    assert first.n_events == 1 and first.max_gap_us == 0
+    assert first.total_value == 1.0
+    assert second.n_events == 2
+    assert second.max_gap_us == SESSION_GAP_US - 1
+    assert second.total_value == 6.0

@@ -660,3 +660,31 @@ def test_semdedup_pair_join_is_equijoin(spark):
     for l in plan.splitlines():
         if "BroadcastNestedLoopJoin" in l and not l.strip().startswith("("):
             assert "BuildRight" in l or "BuildLeft" in l, l
+
+
+def test_stream_static_enrich_batch_twin_is_broadcast_join(spark):
+    """The parked r13 candidate's scale claim, pinned on the batch twin
+    of its join (the streaming plan re-plans the same static side per
+    micro-batch): events LEFT-joined to the broadcast(customer x nation)
+    dimension must compile to BroadcastHashJoin — the stream side never
+    shuffles — with no SortMergeJoin or CartesianProduct anywhere."""
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.session import tune
+    from clinical_bi_spark.sources import load_tables
+
+    t = load_tables(tune(spark), SF_ORACLE)
+    dim = (
+        t.customer.join(
+            t.nation, t.customer.c_nationkey == t.nation.n_nationkey
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "n_name")
+    )
+    ev = t.events
+    joined = ev.join(
+        F.broadcast(dim), ev.user_id == dim.c_custkey, "left"
+    ).select("event_id", "user_id", "c_name", "n_name")
+    plan = _explain_df(joined)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -102,6 +102,22 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: 48 r9-green entries exist; 8 get r12 rows here (the 6 dedup/rank +
 #: the 2 slot-(c) pulls), leaving 40 forced at r13 + 2 headliners = 42
 #: of 50 — the invariant holds with 8 slots to spare.
+#: Post-commit note (same round, after the window commit): later r12
+#: work landed TWO UNREGISTERED r13 candidates (stream_static_enrich_join
+#: — stream-side broadcast-dim LEFT join, stateless — and
+#: stream_session_stateful — applyInPandasWithState sessionization with
+#: the max-intra-session-gap aggregate and LOSSLESS eviction; both in
+#: queries/streamingops.py with exact oracles, multi-batch equality,
+#: degenerate/boundary pins, and x1/x10/x50 scale rows). No @query, so
+#: no window claim; they lead the r13 window AT THE TAIL (both are
+#: streaming, per standing policy). r12 also changed _semdedup_pipeline
+#: (large-K sharded-assignment branch) — the registered
+#: dedup_semantic_cluster's K=16 path is structurally untouched and the
+#: query holds an r11-green verdict on identical plan output
+#: (full-probe-equals-flat pinned; driver-shape re-PASS this round). Per
+#: the changed-without-a-slot convention (r11: text_language_id) it is
+#: EXPLICITLY SCHEDULED for r13, not silently dropped — an r11-green
+#: verdict plus session oracle re-passes cover the interim.
 #:
 #: ROUND-11 WINDOW (history; new code landed before this commit:
 #: data_dsir_select

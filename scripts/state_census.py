@@ -77,6 +77,7 @@ def _metrics(prog: list) -> dict:
 
 def main() -> None:
     from clinical_bi_spark.streaming.stateful import (
+        stateful_sessions,
         stream_cep_matches,
         stream_forward_fill_rows,
         user_running_stats,
@@ -113,6 +114,16 @@ def main() -> None:
         "stream_dedup_watermark": lambda s, d, p: dedup_with_watermark(
             s, d, keys=("user_id", "event_type"),
             max_files_per_trigger=1, progress_sink=p,
+        ),
+        # r12: the parked session candidate — ONE open session per
+        # active user; its eviction is LOSSLESS (TTL >= gap), so the
+        # +evict row must show rows_removed > 0 with IDENTICAL
+        # output_rows to the NoTimeout row
+        "stream_session_stateful": lambda s, d, p: stateful_sessions(
+            s, d, max_files_per_trigger=1, progress_sink=p
+        ),
+        "stream_session_stateful+evict": lambda s, d, p: stateful_sessions(
+            s, d, max_files_per_trigger=1, progress_sink=p, evict=True
         ),
     }
 

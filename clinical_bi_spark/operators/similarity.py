@@ -406,6 +406,10 @@ def np_kmeans_rows(
         )
         .collect()
     )
+    if not rows:
+        # empty corpus: no codebook (a 1-D empty ndarray would crash the
+        # axis=1 norms below — the degenerate-probe crash class)
+        return []
     train = np.array(
         [list(r.emb) for r in sorted(rows, key=lambda r: r.vec_id)],
         dtype=np.float64,
@@ -437,6 +441,8 @@ def coarse_shards(
     those shards' fine centroids: assignment cost drops from O(N*K) to
     O(N*(n_coarse + nprobe*K/n_coarse)) — the escape hatch PERF.md's
     r11 K-sweep named when the broadcast argmax overtook at K=256."""
+    if not len(cent_embs):
+        return [], []
     cent = np.asarray(cent_embs, dtype=np.float64)
     k = len(cent)
     coarse = cent[: min(n_coarse, k)].copy()

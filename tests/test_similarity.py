@@ -631,3 +631,20 @@ def test_semdedup_sharded_planted_copies_still_drop(spark, embeddings):
     dropped = {r.vec_id for r in rows if r.dropped}
     # every planted copy (the higher id of each identical pair) drops
     assert sum(1 for v in dropped if v >= n) == n
+
+
+def test_semdedup_sharded_empty_corpus_yields_empty(spark):
+    """Degenerate-probe crash class, closed at birth for the sharded
+    branch: an EMPTY embedding corpus must flow through the numpy fit
+    (no codebook), the coarse sharding (no shards), and both assignment
+    windows to an empty result — never an axis-1 numpy error on a 0-row
+    array."""
+    from clinical_bi_spark.queries.vectorops import _semdedup_pipeline
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    out = _semdedup_pipeline(
+        spark, empty, n_cells=32, assign_shards=8, nprobe=2
+    )
+    assert out.count() == 0

@@ -1,0 +1,433 @@
+"""ISO-BMFF (MP4) sample-table codec: writer + parser + keyframe extractor.
+
+Narrows the one declared video stub (operators/multimodal.py: general
+mp4/h264 *pixel* decode needs ffmpeg) to its true minimum: everything a
+training-data video pipeline needs from an mp4 container SHORT of
+entropy-decoding the codec bitstream is implemented here for real —
+
+* a writer that lays down ``ftyp`` + ``mdat`` + a full ``moov`` tree
+  (mvhd / trak / tkhd / mdia / mdhd / hdlr / minf / vmhd / dinf / stbl)
+  with a complete sample table: ``stsd`` (visual sample entry), ``stts``
+  (run-length decoding times), ``stss`` (sync samples — omitted when all
+  samples are sync, per spec), ``stsz`` (sizes), ``stsc`` (run-length
+  chunk map), ``stco`` (absolute chunk offsets);
+* a parser that walks the box tree back and RECONSTRUCTS the per-sample
+  index — DTS (cumulative stts), duration, size, sync flag (absent stss
+  ⇒ all sync), and the absolute byte offset via stsc→stco expansion plus
+  intra-chunk size sums — i.e. the inverse computation, not a replay of
+  the writer's arithmetic;
+* an Arrow-batched ``mapInPandas`` extractor that samples every n-th
+  SYNC sample (keyframe) per asset and emits its payload bytes — the
+  generator shape that feeds a downstream (external) frame decoder.
+
+Box layout follows the public ISO/IEC 14496-12 spec. The reference
+(nastacio/clinical-bi) has no video surface; this is extension work per
+SURVEY.md §2 (multimodal columns). Pure Python + struct, no external
+libraries.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "encode_mp4",
+    "parse_mp4_track",
+    "extract_mp4_sync_samples",
+]
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + body)
+
+
+#: ftyp is a fixed 28-byte prefix, so the mdat payload always starts at
+#: byte 36 (28 + the 8-byte mdat header) — the writer's stco offsets and
+#: any engine-side expected-offset arithmetic both hang off this.
+FTYP = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+MDAT_PAYLOAD_OFFSET = len(FTYP) + 8
+
+
+def _runlength(values: list[int]) -> list[tuple[int, int]]:
+    """[v, v, w, ...] → [(count, v), (count, w), ...] preserving order."""
+    runs: list[tuple[int, int]] = []
+    for v in values:
+        if runs and runs[-1][1] == v:
+            runs[-1] = (runs[-1][0] + 1, v)
+        else:
+            runs.append((1, v))
+    return runs
+
+
+def encode_mp4(
+    samples: list[bytes],
+    durations: list[int],
+    sync_flags: list[bool],
+    *,
+    timescale: int = 30000,
+    width: int = 64,
+    height: int = 48,
+    samples_per_chunk: int = 3,
+) -> bytes:
+    """Sample payloads + per-sample metadata → a structurally valid
+    single-video-track mp4 (``ftyp`` + ``mdat`` + ``moov``).
+
+    ``mdat`` precedes ``moov`` so the 32-bit ``stco`` chunk offsets are
+    independent of the moov size. Samples are grouped into chunks of
+    ``samples_per_chunk`` (last chunk may be short — exercising a real
+    two-entry ``stsc`` run map). When every sample is sync the ``stss``
+    box is omitted, which per spec means "all samples are sync" — the
+    parser honors that reading.
+    """
+    n = len(samples)
+    if not (n and n == len(durations) == len(sync_flags)):
+        raise ValueError("samples/durations/sync_flags must align, non-empty")
+    if not sync_flags[0]:
+        raise ValueError("sample 1 must be a sync sample")
+    if samples_per_chunk < 1:
+        raise ValueError("samples_per_chunk must be >= 1")
+
+    mdat = _box(b"mdat", b"".join(samples))
+    sizes = [len(s) for s in samples]
+
+    # chunk layout: counts per chunk, then absolute first-sample offsets
+    chunk_counts = [
+        min(samples_per_chunk, n - i) for i in range(0, n, samples_per_chunk)
+    ]
+    offsets: list[int] = []
+    pos = MDAT_PAYLOAD_OFFSET
+    consumed = 0
+    for count in chunk_counts:
+        offsets.append(pos)
+        pos += sum(sizes[consumed : consumed + count])
+        consumed += count
+
+    total_dur = sum(durations)
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, total_dur)
+        + struct.pack(">IH", 0x00010000, 0x0100)   # rate, volume
+        + b"\x00" * 10                             # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24                             # pre_defined
+        + struct.pack(">I", 2),                    # next_track_id
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,                             # enabled|in_movie|in_preview
+        struct.pack(">IIIII", 0, 0, 1, 0, total_dur)
+        + b"\x00" * 8                              # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)         # layer, alt, volume, rsvd
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, total_dur)
+        + struct.pack(">HH", 0x55C4, 0),           # language 'und'
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+
+    sample_entry = _box(
+        b"mp4v",
+        b"\x00" * 6 + struct.pack(">H", 1)         # reserved, data_ref_index
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12  # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">IIIH", 0x480000, 0x480000, 0, 1)
+        + b"\x00" * 32                             # compressorname
+        + struct.pack(">Hh", 24, -1),              # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+
+    stts_runs = _runlength(durations)
+    stts = _full(
+        b"stts", 0, 0,
+        struct.pack(">I", len(stts_runs))
+        + b"".join(struct.pack(">II", c, d) for c, d in stts_runs),
+    )
+    sync_numbers = [i + 1 for i, s in enumerate(sync_flags) if s]
+    stss = b""
+    if len(sync_numbers) < n:                      # all-sync ⇒ omit (spec)
+        stss = _full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(sync_numbers))
+            + b"".join(struct.pack(">I", k) for k in sync_numbers),
+        )
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    # stsc run map: (first_chunk, samples_per_chunk, sample_desc_index)
+    stsc_entries: list[tuple[int, int, int]] = []
+    for idx, count in enumerate(chunk_counts, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != count:
+            stsc_entries.append((idx, count, 1))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stco = _full(
+        b"stco", 0, 0,
+        struct.pack(">I", len(offsets))
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+
+    stbl = _box(b"stbl", stsd + stts + stss + stsz + stsc + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return FTYP + mdat + moov
+
+
+def _iter_boxes(data: bytes, pos: int, end: int):
+    """Yield (tag, body_start, body_end) walking one box level; handles
+    64-bit largesize (size==1) and size==0 (extends to enclosing end)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            return
+        yield tag, body, pos + size
+        pos += size
+
+
+def _find(data: bytes, pos: int, end: int, tag: bytes):
+    for t, b, e in _iter_boxes(data, pos, end):
+        if t == tag:
+            return b, e
+    return None
+
+
+def parse_mp4_track(data: bytes) -> dict | None:
+    """Full box-tree walk → the first VIDEO track's sample index.
+
+    Returns ``{"width", "height", "timescale", "duration", "samples"}``
+    where each sample dict carries ``number`` (1-based), ``dts``,
+    ``duration``, ``size``, ``offset`` (absolute file offset,
+    reconstructed from stsc→stco expansion + intra-chunk size sums) and
+    ``sync`` (absent stss ⇒ every sample sync). ``None`` when the bytes
+    are not ISO-BMFF or hold no parseable video track.
+    """
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    moov = _find(data, 0, len(data), b"moov")
+    if not moov:
+        return None
+    for tag, tb, te in _iter_boxes(data, *moov):
+        if tag != b"trak":
+            continue
+        track = _parse_trak(data, tb, te)
+        if track is not None:
+            return track
+    return None
+
+
+def _parse_trak(data: bytes, tb: int, te: int) -> dict | None:
+    width = height = None
+    tkhd = _find(data, tb, te, b"tkhd")
+    if tkhd:
+        version = data[tkhd[0]]
+        off = tkhd[0] + (88 if version == 1 else 76)
+        if off + 8 <= tkhd[1]:
+            w, h = struct.unpack(">II", data[off : off + 8])
+            width, height = w >> 16, h >> 16
+    mdia = _find(data, tb, te, b"mdia")
+    if not mdia:
+        return None
+    hdlr = _find(data, *mdia, b"hdlr")
+    if not hdlr or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+        return None
+    mdhd = _find(data, *mdia, b"mdhd")
+    if not mdhd:
+        return None
+    version = data[mdhd[0]]
+    if version == 1:
+        timescale, duration = struct.unpack(
+            ">IQ", data[mdhd[0] + 20 : mdhd[0] + 32]
+        )
+    else:
+        timescale, duration = struct.unpack(
+            ">II", data[mdhd[0] + 12 : mdhd[0] + 20]
+        )
+    minf = _find(data, *mdia, b"minf")
+    if not minf:
+        return None
+    stbl = _find(data, *minf, b"stbl")
+    if not stbl:
+        return None
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    for tag, b, e in _iter_boxes(data, *stbl):
+        tables[tag] = (b, e)
+    for required in (b"stts", b"stsz", b"stsc", b"stco"):
+        if required not in tables:
+            return None
+
+    def u32s(body: int, count: int, stride: int = 4) -> list[int]:
+        return [
+            struct.unpack(">I", data[body + i * stride : body + i * stride + 4])[0]
+            for i in range(count)
+        ]
+
+    # stts → per-sample durations (run-length expand)
+    b, _ = tables[b"stts"]
+    (n_runs,) = struct.unpack(">I", data[b + 4 : b + 8])
+    durations: list[int] = []
+    for i in range(n_runs):
+        count, delta = struct.unpack(
+            ">II", data[b + 8 + i * 8 : b + 16 + i * 8]
+        )
+        durations.extend([delta] * count)
+
+    # stsz → sizes
+    b, _ = tables[b"stsz"]
+    fixed, n_samples = struct.unpack(">II", data[b + 4 : b + 12])
+    sizes = [fixed] * n_samples if fixed else u32s(b + 12, n_samples)
+    if len(durations) != n_samples:
+        return None
+
+    # stss → sync set (absent ⇒ all sync, per spec)
+    if b"stss" in tables:
+        b, _ = tables[b"stss"]
+        (n_sync,) = struct.unpack(">I", data[b + 4 : b + 8])
+        sync = set(u32s(b + 8, n_sync))
+    else:
+        sync = set(range(1, n_samples + 1))
+
+    # stsc runs + stco → per-sample absolute offsets
+    b, _ = tables[b"stco"]
+    (n_chunks,) = struct.unpack(">I", data[b + 4 : b + 8])
+    chunk_offsets = u32s(b + 8, n_chunks)
+    b, _ = tables[b"stsc"]
+    (n_entries,) = struct.unpack(">I", data[b + 4 : b + 8])
+    runs = [
+        struct.unpack(">III", data[b + 8 + i * 12 : b + 20 + i * 12])
+        for i in range(n_entries)
+    ]
+    per_chunk: list[int] = []
+    for i, (first, spc, _sdi) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+        per_chunk.extend([spc] * (last - first + 1))
+    offsets: list[int] = []
+    sample_idx = 0
+    for chunk, spc in enumerate(per_chunk):
+        at = chunk_offsets[chunk]
+        for _ in range(spc):
+            if sample_idx >= n_samples:
+                break
+            offsets.append(at)
+            at += sizes[sample_idx]
+            sample_idx += 1
+    if len(offsets) != n_samples:
+        return None
+
+    dts = 0
+    samples = []
+    for i in range(n_samples):
+        samples.append(
+            {
+                "number": i + 1,
+                "dts": dts,
+                "duration": durations[i],
+                "size": sizes[i],
+                "offset": offsets[i],
+                "sync": (i + 1) in sync,
+            }
+        )
+        dts += durations[i]
+    return {
+        "width": width,
+        "height": height,
+        "timescale": timescale,
+        "duration": duration,
+        "samples": samples,
+    }
+
+
+def extract_mp4_sync_samples(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    media_col: str = "media",
+    every_n: int = 1,
+) -> DataFrame:
+    """Keyframe sampling over mp4 assets: one output row per kept SYNC
+    sample (every ``every_n``-th, 1st always kept), payload bytes sliced
+    straight out of ``mdat`` by the reconstructed (offset, size) range.
+    Assets that don't sniff/parse as mp4 emit nothing (a mixed-corpus
+    scan degrades to a filter, not a failure). Arrow-batched
+    ``mapInPandas``; per-asset work is independent, so the operator
+    scales with the partition count — at 100 TB the payload column should
+    be fingerprinted or written out immediately rather than carried
+    through further wide stages (same contract as the AVI/MJPEG path).
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, sample_number int, dts_ticks long, "
+        "duration_ticks int, size_bytes int, byte_offset long, "
+        "track_samples int, payload binary"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "id", "num", "dts", "dur", "size", "off", "total", "payload"
+            )}
+            for asset_id, media in zip(pdf[id_col], pdf[media_col]):
+                if media is None:
+                    continue
+                data = bytes(media)
+                track = parse_mp4_track(data)
+                if track is None:
+                    continue
+                total = len(track["samples"])
+                kept = [s for s in track["samples"] if s["sync"]][::every_n]
+                for s in kept:
+                    rows["id"].append(asset_id)
+                    rows["num"].append(s["number"])
+                    rows["dts"].append(s["dts"])
+                    rows["dur"].append(s["duration"])
+                    rows["size"].append(s["size"])
+                    rows["off"].append(s["offset"])
+                    rows["total"].append(total)
+                    rows["payload"].append(
+                        data[s["offset"] : s["offset"] + s["size"]]
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows["id"], dtype="int64"),
+                    "sample_number": pd.Series(rows["num"], dtype="int32"),
+                    "dts_ticks": pd.Series(rows["dts"], dtype="int64"),
+                    "duration_ticks": pd.Series(rows["dur"], dtype="int32"),
+                    "size_bytes": pd.Series(rows["size"], dtype="int32"),
+                    "byte_offset": pd.Series(rows["off"], dtype="int64"),
+                    "track_samples": pd.Series(rows["total"], dtype="int32"),
+                    "payload": rows["payload"],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

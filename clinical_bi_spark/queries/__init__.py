@@ -103,14 +103,22 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: the 2 slot-(c) pulls), leaving 40 forced at r13 + 2 headliners = 42
 #: of 50 — the invariant holds with 8 slots to spare.
 #: Post-commit note (same round, after the window commit): later r12
-#: work landed TWO UNREGISTERED r13 candidates (stream_static_enrich_join
+#: work landed THREE UNREGISTERED r13 candidates (stream_static_enrich_join
 #: — stream-side broadcast-dim LEFT join, stateless — and
 #: stream_session_stateful — applyInPandasWithState sessionization with
 #: the max-intra-session-gap aggregate and LOSSLESS eviction; both in
 #: queries/streamingops.py with exact oracles, multi-batch equality,
-#: degenerate/boundary pins, and x1/x10/x50 scale rows). No @query, so
-#: no window claim; they lead the r13 window AT THE TAIL (both are
-#: streaming, per standing policy). r12 also changed _semdedup_pipeline
+#: degenerate/boundary pins, and x1/x10/x50 scale rows — plus
+#: multimodal_video_mp4_samples in queries/multimodalops.py: the real
+#: ISO-BMFF sample-table writer/parser (operators/mp4.py) that narrows
+#: the declared h264 stub to entropy-decode-only, closed-form exact
+#: oracle, hypothesis roundtrip property, x1/x4/x16 scale rows flat).
+#: No @query, so no window claim; the two streaming ones lead the r13
+#: window AT THE TAIL (streaming, per standing policy), the mp4 one
+#: with the never-adjudicated block at the head. r13 registration
+#: budget is exactly these three — the arithmetic note in the mp4
+#: parking comment shows 3 new + the scheduled semdedup re-adjudication
+#: + 40 forced r9-green + 2 headliners fit within 50. r12 also changed _semdedup_pipeline
 #: (large-K sharded-assignment branch) — the registered
 #: dedup_semantic_cluster's K=16 path is structurally untouched and the
 #: query holds an r11-green verdict on identical plan output

@@ -1,0 +1,166 @@
+"""ISO-BMFF sample-table codec tests (operators/mp4.py) and the parked
+r13 query `multimodal_video_mp4_samples` — writer↔parser roundtrip
+(property-based), spec edge cases (absent stss ⇒ all sync, 64-bit
+largesize, short last chunk through the stsc run map), mixed-corpus
+skip behavior, and the query-vs-oracle equality the driver will
+adjudicate at registration."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clinical_bi_spark.operators.mp4 import (
+    FTYP,
+    MDAT_PAYLOAD_OFFSET,
+    encode_mp4,
+    extract_mp4_sync_samples,
+    parse_mp4_track,
+)
+
+SAMPLE = st.binary(min_size=1, max_size=80)
+DUR = st.integers(min_value=1, max_value=5000)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(st.tuples(SAMPLE, DUR, st.booleans()), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=5),
+)
+def test_mp4_roundtrip_property(spec, spc):
+    """encode → parse reconstructs every per-sample fact exactly: number,
+    dts (cumulative stts), duration, size, sync, and the absolute byte
+    offset via the stsc→stco path — and the offset/size range slices the
+    original payload back byte-for-byte."""
+    samples = [s for s, _, _ in spec]
+    durs = [d for _, d, _ in spec]
+    syncs = [True] + [f for _, _, f in spec[1:]]  # sample 1 must be sync
+    data = encode_mp4(samples, durs, syncs, samples_per_chunk=spc)
+    track = parse_mp4_track(data)
+    assert track is not None
+    assert track["timescale"] == 30000
+    assert track["duration"] == sum(durs)
+    assert (track["width"], track["height"]) == (64, 48)
+    assert len(track["samples"]) == len(samples)
+    dts = 0
+    offset = MDAT_PAYLOAD_OFFSET
+    for i, s in enumerate(track["samples"]):
+        assert s["number"] == i + 1
+        assert s["dts"] == dts
+        assert s["duration"] == durs[i]
+        assert s["size"] == len(samples[i])
+        assert s["offset"] == offset
+        assert s["sync"] == syncs[i]
+        assert data[s["offset"] : s["offset"] + s["size"]] == samples[i]
+        dts += durs[i]
+        offset += len(samples[i])
+
+
+def test_mp4_all_sync_omits_stss_and_parser_honors_absence():
+    data = encode_mp4([b"aa", b"bbb", b"cccc"], [10, 20, 30], [True] * 3)
+    assert b"stss" not in data  # spec: absent stss ⇒ all samples sync
+    track = parse_mp4_track(data)
+    assert [s["sync"] for s in track["samples"]] == [True, True, True]
+
+
+def test_mp4_short_last_chunk_gets_two_stsc_runs():
+    """7 samples at 3/chunk → chunks of 3,3,1: the stsc run map must hold
+    two entries and the parser must still land every offset."""
+    samples = [bytes([65 + i]) * (i + 2) for i in range(7)]
+    data = encode_mp4(
+        samples, [100] * 7, [True] + [False] * 6, samples_per_chunk=3
+    )
+    # count stsc entries straight off the wire
+    at = data.index(b"stsc") + 8
+    (n_entries,) = struct.unpack(">I", data[at : at + 4])
+    assert n_entries == 2
+    track = parse_mp4_track(data)
+    offset = MDAT_PAYLOAD_OFFSET
+    for i, s in enumerate(track["samples"]):
+        assert s["offset"] == offset
+        assert data[s["offset"] : s["offset"] + s["size"]] == samples[i]
+        offset += len(samples[i])
+
+
+def test_mp4_parser_handles_64bit_largesize_moov():
+    """A moov rewritten with size==1 + 64-bit largesize must parse
+    identically (streaming muxers emit these on >4 GiB files)."""
+    data = encode_mp4([b"xy", b"zw"], [5, 6], [True, False])
+    at = data.index(b"moov") - 4
+    (size,) = struct.unpack(">I", data[at : at + 4])
+    rewritten = (
+        data[:at]
+        + struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", size + 8)
+        + data[at + 8 :]
+    )
+    t0 = parse_mp4_track(data)
+    t1 = parse_mp4_track(rewritten)
+    assert t1 is not None and t1["samples"] == t0["samples"]
+
+
+def test_mp4_rejects_malformed():
+    assert parse_mp4_track(b"") is None
+    assert parse_mp4_track(b"RIFF\x00\x00\x00\x00AVI ") is None
+    # valid ftyp but no moov
+    assert parse_mp4_track(FTYP + b"\x00" * 16) is None
+    # every possible truncation must return None or a track, never raise
+    data = encode_mp4([b"abc"], [10], [True])
+    assert parse_mp4_track(data[: len(data) - 30]) is None
+    for i in range(len(data)):
+        parse_mp4_track(data[:i])
+
+
+def test_mp4_first_sample_must_be_sync_and_inputs_align():
+    with pytest.raises(ValueError):
+        encode_mp4([b"a"], [1], [False])
+    with pytest.raises(ValueError):
+        encode_mp4([b"a", b"b"], [1], [True, True])
+    with pytest.raises(ValueError):
+        encode_mp4([], [], [])
+
+
+def test_extract_skips_non_mp4_assets(spark):
+    """Mixed corpus: non-mp4 and NULL media rows emit nothing (filter,
+    not failure); mp4 rows emit their every_n-th sync samples."""
+    mp4 = encode_mp4(
+        [b"k1", b"d2", b"k3", b"d4", b"k5"],
+        [10, 10, 10, 10, 10],
+        [True, False, True, False, True],
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(b"GIF89a123456")), (3, None)],
+        "asset_id long, media binary",
+    )
+    out = extract_mp4_sync_samples(df, every_n=2).collect()
+    assert sorted(r.sample_number for r in out) == [1, 5]
+    assert all(r.asset_id == 1 for r in out)
+    by_num = {r.sample_number: r for r in out}
+    assert bytes(by_num[1].payload) == b"k1"
+    assert bytes(by_num[5].payload) == b"k5"
+    assert by_num[5].byte_offset == MDAT_PAYLOAD_OFFSET + 8
+    assert by_num[5].dts_ticks == 40
+    assert all(r.track_samples == 5 for r in out)
+
+
+def test_mp4_samples_query_matches_oracle(spark, oracle_con):
+    """The parked r13 candidate, adjudicated exactly as the driver will:
+    row count + dtype categories + order-insensitive typed values."""
+    from clinical_bi_spark.queries.multimodalops import (
+        _MP4_SAMPLES_ORACLE,
+        multimodal_video_mp4_samples,
+    )
+    from tests.conftest import SF_ORACLE, assert_matches_oracle
+
+    df = multimodal_video_mp4_samples(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, oracle_con, _MP4_SAMPLES_ORACLE, name="multimodal_video_mp4_samples"
+    )

@@ -1174,3 +1174,118 @@ def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bucket gapfill + exact linear interpolation — r14 REGISTRATION
+# CANDIDATE, deliberately undecorated: the r13 registration budget is
+# already spent (stream_static_enrich_join, stream_session_stateful,
+# multimodal_video_mp4_samples — see the parking comments in
+# queries/streamingops.py and queries/multimodalops.py), so per standing
+# policy this parks with its oracle, tests, and scale rows staged, and
+# leads the r14 window as never-adjudicated. TO REGISTER IN r14 (before
+# that round's window commit): add
+#   @query("evt_gapfill_interpolate", oracle=_GAPFILL_ORACLE)
+#
+# The one hypertable-family semantic the events surface still lacked:
+# TimescaleDB's time_bucket_gapfill(interpolate(...)) DENSIFIES the time
+# axis — it emits rows for buckets with no input rows, which no plain
+# groupBy/window can produce. Per (user, day): daily cents-sum + count
+# (ONE fact-scale groupBy, map-side combined), LEAD over the per-user
+# observed-bucket relation (second shuffle is on the ALREADY-AGGREGATED
+# relation — users x active days, never raw events), then
+# explode(sequence(d+1, nd-1)) generates exactly the missing buckets
+# between consecutive observations (gap-local: no global calendar spine,
+# no driver work, output-bound). Exactness playbook: values are exact
+# integer MICRO-units end to end — observed avg = (10^4·s) div c,
+# interpolated value at t in (d, nd) = the exact rational
+#   (10^4·(s·nc·(nd-t) + ns·c·(t-d))) div (c·nc·(nd-d))
+# (cross-multiplied so there is ONE integer division; all terms
+# non-negative, so Spark `div` == DuckDB `//`). Overflow bound, stated
+# as the product it really is: each summand is at most 10^4·S·C·Δ for
+# S = max per-bucket cent-sum, C = max per-bucket count, Δ = gap days,
+# so exactness needs 10^4·S·C·Δ < 2^62 (one headroom bit for the sum),
+# i.e. S·C·Δ < ~4.6e14. The sf0.1 fixture sits at ~2e11 (S≈1.7e5, C≈4,
+# Δ≤30), 3+ decades of margin; a NEAR-bound synthetic pin (S=2^31−1,
+# C=128, Δ=1025 → largest intermediate ≈2.8e18, checked against Python
+# big-int floor division) lives in tests/test_analytics.py. Day
+# arithmetic is integer days since
+# 1970-01-01 on both engines (date_add(DATE '1970-01-01', d) — tz-free),
+# so the date column is portable by construction.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH obs AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
+         COUNT(*) AS c
+  FROM events
+  GROUP BY 1, 2
+), seq AS (
+  SELECT *,
+         LEAD(d) OVER w AS nd, LEAD(s) OVER w AS ns, LEAD(c) OVER w AS nc
+  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY d)
+)
+SELECT user_id,
+       DATE '1970-01-01' + CAST(d AS INT) AS bucket_date,
+       CAST((10000 * s) // c AS BIGINT) AS value_micro,
+       'observed' AS src
+FROM seq
+UNION ALL
+SELECT user_id,
+       DATE '1970-01-01' + CAST(t AS INT) AS bucket_date,
+       CAST((10000 * (s * nc * (nd - t) + ns * c * (t - d)))
+            // (c * nc * (nd - d)) AS BIGINT) AS value_micro,
+       'interpolated' AS src
+FROM seq, UNNEST(range(d + 1, COALESCE(nd, d + 1))) AS u(t)
+WHERE nd IS NOT NULL AND nd - d > 1
+"""
+
+
+def evt_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user gapfill with exact linear interpolation — see the
+    block comment above for the densification semantics, the integer
+    micro-unit exactness design, the stated overflow bound, and the r14
+    registration plan."""
+    t = load_tables(tune(spark), sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    obs = t.events.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), epoch).cast("bigint").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = obs.select(
+        "*",
+        F.lead("d").over(w).alias("nd"),
+        F.lead("s").over(w).alias("ns"),
+        F.lead("c").over(w).alias("nc"),
+    )
+    observed = seq.select(
+        "user_id",
+        F.date_add(epoch, F.col("d").cast("int")).alias("bucket_date"),
+        F.expr("(10000 * s) div c").alias("value_micro"),
+        F.lit("observed").alias("src"),
+    )
+    interp = (
+        seq.filter(F.col("nd").isNotNull() & (F.col("nd") - F.col("d") > 1))
+        .select(
+            "user_id", "s", "c", "ns", "nc", "d", "nd",
+            F.explode(
+                F.sequence(F.col("d") + 1, F.col("nd") - 1)
+            ).alias("t"),
+        )
+        .select(
+            "user_id",
+            F.date_add(epoch, F.col("t").cast("int")).alias("bucket_date"),
+            F.expr(
+                "(10000 * (s * nc * (nd - t) + ns * c * (t - d)))"
+                " div (c * nc * (nd - d))"
+            ).alias("value_micro"),
+            F.lit("interpolated").alias("src"),
+        )
+    )
+    return observed.unionAll(interp)

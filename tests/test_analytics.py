@@ -1076,3 +1076,101 @@ def test_degenerate_psi(spark, tmp_path):
     ).write.parquet(str(tmp_path / "orders.parquet"))
     r = data_psi_drift(spark, str(tmp_path)).first()
     assert r.n_ref == 0 and r.n_cur == 5 and r.psi is None
+
+
+# ---------------------------------------------------------------------------
+# evt_gapfill_interpolate — parked r14 candidate (time-bucket gapfill +
+# exact linear interpolation; see the parking comment in queries/events.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_matches_oracle(spark, oracle_con):
+    """Driver-shape adjudication of the parked candidate, plus proof the
+    densification actually engaged (rows exist for buckets with no input)."""
+    from clinical_bi_spark.queries.events import (
+        _GAPFILL_ORACLE,
+        evt_gapfill_interpolate,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    df = evt_gapfill_interpolate(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, oracle_con, _GAPFILL_ORACLE, name="evt_gapfill_interpolate"
+    )
+    assert df.filter("src = 'interpolated'").count() > 0
+
+
+def test_gapfill_interpolation_arithmetic(spark, tmp_path):
+    """Hand-checkable synthetic: a 4-day gap between avg 1.00 and avg 5.00
+    interpolates to exactly 2/3/4 in micro-units; a single-bucket user
+    emits only its observed row; adjacent days synthesize nothing."""
+    import datetime
+
+    from clinical_bi_spark.queries.events import evt_gapfill_interpolate
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 5), 1, "view", 1.00, "{}"),
+        (2, datetime.datetime(2024, 1, 5, 7), 1, "view", 4.00, "{}"),
+        (3, datetime.datetime(2024, 1, 5, 9), 1, "view", 6.00, "{}"),
+        (4, datetime.datetime(2024, 1, 1, 1), 2, "view", 9.99, "{}"),
+        (5, datetime.datetime(2024, 1, 1, 1), 3, "view", 1.00, "{}"),
+        (6, datetime.datetime(2024, 1, 2, 1), 3, "view", 2.00, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = evt_gapfill_interpolate(spark, str(tmp_path)).collect()
+
+    interp = {
+        (r.user_id, str(r.bucket_date), r.value_micro)
+        for r in out
+        if r.src == "interpolated"
+    }
+    assert interp == {
+        (1, "2024-01-02", 2_000_000),
+        (1, "2024-01-03", 3_000_000),
+        (1, "2024-01-04", 4_000_000),
+    }
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].src == "observed"
+    assert u2[0].value_micro == 9_990_000
+    u3 = sorted((r for r in out if r.user_id == 3), key=lambda r: r.bucket_date)
+    assert [r.src for r in u3] == ["observed", "observed"]
+
+
+def test_gapfill_near_bound_exactness(spark, tmp_path):
+    """The stated 10^4·S·C·Δ < 2^62 bound, exercised NEAR the edge:
+    S = 2^31−1 cents in one bucket, C = 128 in the other, Δ = 1025 days
+    (largest intermediate ≈ 2.8e18 < 2^63) — every interpolated value
+    must equal Python big-int floor division exactly."""
+    import datetime
+
+    from clinical_bi_spark.queries.events import evt_gapfill_interpolate
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = [(0, base, 9, "view", 21474836.47, "{}")]  # s = 2^31 − 1, c = 1
+    far = base + datetime.timedelta(days=1025)
+    rows += [
+        (i + 1, far, 9, "view", 1000.00, "{}") for i in range(128)
+    ]  # ns = 128·100000, nc = 128
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        str(r.bucket_date): r.value_micro
+        for r in evt_gapfill_interpolate(spark, str(tmp_path)).collect()
+        if r.src == "interpolated"
+    }
+    assert len(out) == 1024
+    s, c, ns, nc, gap = 2147483647, 1, 128 * 100000, 128, 1025
+    d0 = (base.date() - datetime.date(1970, 1, 1)).days
+    for t_off in (1, 2, 512, 1023, 1024):
+        day = str(base.date() + datetime.timedelta(days=t_off))
+        expected = (
+            10000 * (s * nc * (gap - t_off) + ns * c * t_off)
+        ) // (c * nc * gap)
+        assert out[day] == expected, (day, out[day], expected)

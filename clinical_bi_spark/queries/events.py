@@ -1193,10 +1193,13 @@ def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # groupBy/window can produce. Per (user, day): daily cents-sum + count
 # (ONE fact-scale groupBy, map-side combined), LEAD over the per-user
 # observed-bucket relation (second shuffle is on the ALREADY-AGGREGATED
-# relation — users x active days, never raw events), then
-# explode(sequence(d+1, nd-1)) generates exactly the missing buckets
-# between consecutive observations (gap-local: no global calendar spine,
-# no driver work, output-bound). Exactness playbook: values are exact
+# relation — users x active days, never raw events), then SINGLE-PASS
+# emission: each observed bucket explodes into its own row CONCAT the
+# transform(sequence(d+1, nd-1), ...) gap rows, one Generate — the
+# union-of-branches form planned two complete fact scans (branches'
+# pruned subplans differ, nothing reused; 2x the x1 wall, PERF.md) and
+# is pinned away in tests/test_plans.py. Gap-local: no global calendar
+# spine, no driver work, output-bound. Exactness playbook: values are exact
 # integer MICRO-units end to end — observed avg = (10^4·s) div c,
 # interpolated value at t in (d, nd) = the exact rational
 #   (10^4·(s·nc·(nd-t) + ns·c·(t-d))) div (c·nc·(nd-d))
@@ -1264,28 +1267,27 @@ def evt_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("s").over(w).alias("ns"),
         F.lead("c").over(w).alias("nc"),
     )
-    observed = seq.select(
+    # Single-pass emission: each observed bucket explodes into its own
+    # row CONCAT the gap rows up to the next observation. A UNION of an
+    # observed branch and an interpolated branch would plan TWO complete
+    # fact scans + aggregations (the branches' pruned subplans differ, so
+    # nothing is reused) — one Generate over a struct array keeps the
+    # plan at one scan, one aggregate exchange, one window exchange.
+    row = (
+        "explode(concat("
+        "  array(named_struct("
+        "    'bd', d, 'vm', (10000 * s) div c, 'src', 'observed')),"
+        "  CASE WHEN nd IS NOT NULL AND nd - d > 1 THEN"
+        "    transform(sequence(d + 1, nd - 1), t -> named_struct("
+        "      'bd', t,"
+        "      'vm', (10000 * (s * nc * (nd - t) + ns * c * (t - d)))"
+        "            div (c * nc * (nd - d)),"
+        "      'src', 'interpolated'))"
+        "  ELSE array() END))"
+    )
+    return seq.select("user_id", F.expr(row).alias("r")).select(
         "user_id",
-        F.date_add(epoch, F.col("d").cast("int")).alias("bucket_date"),
-        F.expr("(10000 * s) div c").alias("value_micro"),
-        F.lit("observed").alias("src"),
+        F.date_add(epoch, F.col("r.bd").cast("int")).alias("bucket_date"),
+        F.col("r.vm").alias("value_micro"),
+        F.col("r.src").alias("src"),
     )
-    interp = (
-        seq.filter(F.col("nd").isNotNull() & (F.col("nd") - F.col("d") > 1))
-        .select(
-            "user_id", "s", "c", "ns", "nc", "d", "nd",
-            F.explode(
-                F.sequence(F.col("d") + 1, F.col("nd") - 1)
-            ).alias("t"),
-        )
-        .select(
-            "user_id",
-            F.date_add(epoch, F.col("t").cast("int")).alias("bucket_date"),
-            F.expr(
-                "(10000 * (s * nc * (nd - t) + ns * c * (t - d)))"
-                " div (c * nc * (nd - d))"
-            ).alias("value_micro"),
-            F.lit("interpolated").alias("src"),
-        )
-    )
-    return observed.unionAll(interp)

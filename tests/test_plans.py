@@ -688,3 +688,41 @@ def test_stream_static_enrich_batch_twin_is_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def _explain_fn(spark, fn) -> str:
+    """explain() for parked (unregistered) candidates — same formatted
+    plan text the registry helper produces."""
+    df = fn(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_gapfill_single_pass_plan(spark):
+    """Parked r14 candidate: the densification must be single-pass — one
+    fact scan, one aggregate exchange, one window exchange, one Generate.
+    The union-of-branches form planned TWO complete scans+aggregations
+    (measured 2x the wall at x1; PERF.md) — pin the restructure."""
+    from clinical_bi_spark.queries.events import evt_gapfill_interpolate
+
+    plan = _explain_fn(spark, evt_gapfill_interpolate)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert _n_exchanges(plan) == 2
+    assert plan.count(") Window") == 1 and plan.count(") Generate") == 1
+    assert "CartesianProduct" not in plan and "Union" not in plan
+
+
+def test_mp4_samples_plan_is_two_arrow_stages(spark):
+    """Parked r13 candidate: synth + extract are two chained Arrow
+    mapInPandas stages behind ONE explicit round-robin exchange — no
+    join, no window, no shuffle of media bytes after synthesis."""
+    from clinical_bi_spark.queries.multimodalops import (
+        multimodal_video_mp4_samples,
+    )
+
+    plan = _explain_fn(spark, multimodal_video_mp4_samples)
+    assert _n_exchanges(plan) == 1
+    assert plan.count(") MapInPandas") == 2
+    assert ") Window" not in plan and "Join" not in plan

@@ -118,11 +118,13 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: with the never-adjudicated block at the head. r13 registration
 #: budget is exactly these three — the arithmetic note in the mp4
 #: parking comment shows 3 new + the scheduled semdedup re-adjudication
-#: + 40 forced r9-green + 2 headliners fit within 50. A FOURTH
-#: candidate (evt_gapfill_interpolate, queries/events.py — hypertable
-#: gapfill + exact linear interpolation) is parked one round further,
-#: for r14, since it would blow the r13 budget; its oracle, near-bound
-#: exactness pin, and x1/x10/x50 scale rows are already staged. r12 also changed _semdedup_pipeline
+#: + 40 forced r9-green + 2 headliners fit within 50. TWO more
+#: candidates (evt_gapfill_interpolate — hypertable gapfill + exact
+#: linear interpolation — and evt_time_weighted_avg — the LOCF-integral
+#: time-weighted mean; both queries/events.py) are parked one round
+#: further, for r14, since they would blow the r13 budget; oracles,
+#: near-bound exactness pins, plan pins, and x1/x10/x50 scale rows are
+#: already staged, and they are r14's whole registration budget. r12 also changed _semdedup_pipeline
 #: (large-K sharded-assignment branch) — the registered
 #: dedup_semantic_cluster's K=16 path is structurally untouched and the
 #: query holds an r11-green verdict on identical plan output

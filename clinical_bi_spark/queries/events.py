@@ -1291,3 +1291,97 @@ def evt_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.vm").alias("value_micro"),
         F.col("r.src").alias("src"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (LOCF integral) — r14 REGISTRATION CANDIDATE,
+# deliberately undecorated (same budget note as evt_gapfill_interpolate
+# above; the r14 window takes both — 2 new registrations is inside the
+# <=2-3 growth policy). TO REGISTER IN r14 (before that round's window
+# commit): add
+#   @query("evt_time_weighted_avg", oracle=_TWA_ORACLE)
+#
+# The canonical irregular-sampling aggregate (TimescaleDB
+# time_weight('LOCF', ts, value)): a plain AVG over-weights bursts —
+# the time-weighted mean integrates the last-observation-carried-forward
+# step function and divides by the elapsed span, i.e.
+#   TWA = Σ value_i · (t_{i+1} − t_i) / (t_N − t_1)
+# (the last observation bounds the integral and contributes no segment;
+# users with one event or a zero span have no elapsed time and emit
+# NULL — the degenerate contract). Exactness playbook: timestamps as
+# exact integer MICROSECONDS (Spark unix_micros == DuckDB epoch_us —
+# both truncate the fixture's nanos identically), values as cents, ties
+# broken by event_id on both engines (a zero-width segment contributes
+# 0 either way, but the order is still pinned). The output micro-unit
+# division splits at the remainder so no intermediate needs 128 bits:
+#   (10^4·num) div span == 10^4·(num div span) + (10^4·(num mod span)) div span
+# — exact for non-negative integers, and the pieces are bounded by
+# 10^4·max_cents (≈5.6e8) and 10^4·span (≈2.6e16 for a 30-day span);
+# num itself is Σ cents·Δus ≤ max_cents·span ≈ 1.5e17 < 2^63. Scale
+# shape: ONE shuffle — the per-user window and the per-user groupBy
+# share hash(user_id) partitioning, so Catalyst plans the aggregate
+# exchange-free on top of the window sort (plan-pinned).
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), seg AS (
+  SELECT user_id, cents, us,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nus
+  FROM e
+), a AS (
+  SELECT user_id,
+         SUM(CASE WHEN nus IS NULL THEN 0 ELSE cents * (nus - us) END) AS num,
+         MAX(us) - MIN(us) AS span,
+         COUNT(*) AS n_events
+  FROM seg GROUP BY 1
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN span > 0 THEN
+         CAST(10000 * (num // span) + (10000 * (num % span)) // span
+              AS BIGINT)
+       END AS twa_micro
+FROM a
+"""
+
+
+def evt_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value (LOCF integral
+    over the observation span, exact integer micro-units) — see the
+    block comment above for the semantics, the remainder-split division,
+    and the r14 registration plan."""
+    t = load_tables(tune(spark), sf_dir)
+    ev = t.events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = ev.select(
+        "user_id", "cents", "us", F.lead("us").over(w).alias("nus")
+    )
+    a = seg.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("nus").isNotNull(),
+                F.col("cents") * (F.col("nus") - F.col("us")),
+            ).otherwise(F.lit(0))
+        ).alias("num"),
+        (F.max("us") - F.min("us")).alias("span"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return a.select(
+        "user_id",
+        "n_events",
+        F.when(
+            F.col("span") > 0,
+            F.expr(
+                "10000 * (num div span) + (10000 * (num % span)) div span"
+            ),
+        ).alias("twa_micro"),
+    )

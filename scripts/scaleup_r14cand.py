@@ -59,26 +59,23 @@ def main() -> None:
         orig = events.load_tables
         events.load_tables = lambda _spark, _sf, _t=tables: _t
         try:
-            best = float("inf")
-            for _ in range(2):
-                start = time.perf_counter()
-                events.evt_gapfill_interpolate(spark, SF_DIR).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-                best = min(best, time.perf_counter() - start)
+            row = {"events": n_base * mult}
+            for fn in (
+                events.evt_gapfill_interpolate,
+                events.evt_time_weighted_avg,
+            ):
+                best = float("inf")
+                for _ in range(2):
+                    start = time.perf_counter()
+                    fn(spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - start)
+                row[fn.__name__] = round(best, 2)
             out = events.evt_gapfill_interpolate(spark, SF_DIR)
-            n_out = out.count()
-            n_interp = out.filter("src = 'interpolated'").count()
-            print(
-                f"x{mult}",
-                {
-                    "events": n_base * mult,
-                    "out_rows": n_out,
-                    "interpolated": n_interp,
-                    "evt_gapfill_interpolate": round(best, 2),
-                },
-                flush=True,
-            )
+            row["gapfill_out_rows"] = out.count()
+            row["interpolated"] = out.filter("src = 'interpolated'").count()
+            print(f"x{mult}", row, flush=True)
         finally:
             events.load_tables = orig
             ev.unpersist()

@@ -1174,3 +1174,83 @@ def test_gapfill_near_bound_exactness(spark, tmp_path):
             10000 * (s * nc * (gap - t_off) + ns * c * t_off)
         ) // (c * nc * gap)
         assert out[day] == expected, (day, out[day], expected)
+
+
+# ---------------------------------------------------------------------------
+# evt_time_weighted_avg — parked r14 candidate (LOCF-integral time-weighted
+# mean; see the parking comment in queries/events.py)
+# ---------------------------------------------------------------------------
+
+
+def test_twa_matches_oracle(spark, oracle_con):
+    from clinical_bi_spark.queries.events import (
+        _TWA_ORACLE,
+        evt_time_weighted_avg,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    df = evt_time_weighted_avg(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, oracle_con, _TWA_ORACLE, name="evt_time_weighted_avg"
+    )
+
+
+def test_twa_locf_integral_arithmetic(spark, tmp_path):
+    """Hand-checkable: value 1.00 held 10 s then 3.00 held 30 s →
+    TWA = (1·10 + 3·30)/40 = 2.5 exactly — while the plain average of the
+    three observations is 2.333…, the burst-insensitivity the operator
+    exists for. A single-event user emits NULL (no elapsed span)."""
+    import datetime
+
+    from clinical_bi_spark.queries.events import evt_time_weighted_avg
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.00, "{}"),
+        (2, t0 + datetime.timedelta(seconds=10), 1, "view", 3.00, "{}"),
+        (3, t0 + datetime.timedelta(seconds=40), 1, "view", 9.00, "{}"),
+        (4, t0, 2, "view", 7.77, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: r for r in evt_time_weighted_avg(spark, str(tmp_path)).collect()
+    }
+    assert out[1].twa_micro == 2_500_000 and out[1].n_events == 3
+    assert out[2].twa_micro is None and out[2].n_events == 1
+
+
+def test_twa_remainder_split_exactness(spark, tmp_path):
+    """The remainder-split identity near the stated bounds: a 30-day span
+    in microseconds (~2.6e12) with max-scale cents — the split pieces stay
+    under 2^63 while the naive 10^4·num would not; every value must equal
+    Python big-int floor division of the UNSPLIT expression."""
+    import datetime
+
+    from clinical_bi_spark.queries.events import evt_time_weighted_avg
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # irregular spacing with a prime-ish microsecond tail so num % span != 0
+    offsets_us = [0, 7_000_003, 86_400_000_001, 2_592_000_000_017]
+    values = [21474836.47, 999999.99, 0.01, 5.00]
+    rows = [
+        (i, t0 + datetime.timedelta(microseconds=o), 3, "view", v, "{}")
+        for i, (o, v) in enumerate(zip(offsets_us, values))
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = evt_time_weighted_avg(spark, str(tmp_path)).first()
+    cents = [round(v * 100) for v in values]
+    num = sum(
+        c * (offsets_us[i + 1] - offsets_us[i])
+        for i, c in enumerate(cents[:-1])
+    )
+    span = offsets_us[-1] - offsets_us[0]
+    assert num % span != 0  # the identity is actually exercised
+    assert r.twa_micro == (10000 * num) // span

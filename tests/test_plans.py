@@ -726,3 +726,16 @@ def test_mp4_samples_plan_is_two_arrow_stages(spark):
     assert _n_exchanges(plan) == 1
     assert plan.count(") MapInPandas") == 2
     assert ") Window" not in plan and "Join" not in plan
+
+
+def test_twa_single_shuffle_window_and_agg_colocated(spark):
+    """Parked r14 candidate: the per-user LEAD window and the per-user
+    aggregate must share hash(user_id) partitioning — ONE exchange total,
+    the aggregate rides the window's shuffle."""
+    from clinical_bi_spark.queries.events import evt_time_weighted_avg
+
+    plan = _explain_fn(spark, evt_time_weighted_avg)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert _n_exchanges(plan) == 1
+    assert plan.count(") Window") == 1
+    assert "CartesianProduct" not in plan

@@ -145,10 +145,39 @@ def build_megadoc_corpus(spark, out_dir: str) -> None:
             )
 
 
+def _parked_candidates() -> dict:
+    """Parked (not-yet-registered) r13/r14 candidates get the same probe
+    BEFORE their registration round — a crash found here is a crash the
+    driver never sees. Keep in sync with the parking comments in
+    queries/__init__.py. Streaming candidates are excluded: the probe's
+    count() contract doesn't drive a streaming sink (their degenerate
+    pins live in tests/test_streaming.py)."""
+    from clinical_bi_spark.queries.events import (
+        evt_gapfill_interpolate,
+        evt_time_weighted_avg,
+    )
+    from clinical_bi_spark.queries.multimodalops import (
+        multimodal_video_mp4_samples,
+    )
+
+    return {
+        "PARKED:multimodal_video_mp4_samples": multimodal_video_mp4_samples,
+        "PARKED:evt_gapfill_interpolate": evt_gapfill_interpolate,
+        "PARKED:evt_time_weighted_avg": evt_time_weighted_avg,
+    }
+
+
 def main() -> None:
     spark = get_spark("degenerate-probe")
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
+    parked = _parked_candidates()
+
+    class _Spec:  # minimal shim: the loop only touches .fn
+        def __init__(self, fn):
+            self.fn = fn
+
+    reg = dict(reg) | {k: _Spec(fn) for k, fn in parked.items()}
     only = os.environ.get("CBS_PROBE_ONLY")
     names = only.split(",") if only else list(reg)
     base = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(

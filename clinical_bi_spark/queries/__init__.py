@@ -124,7 +124,10 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: time-weighted mean; both queries/events.py) are parked one round
 #: further, for r14, since they would blow the r13 budget; oracles,
 #: near-bound exactness pins, plan pins, and x1/x10/x50 scale rows are
-#: already staged, and they are r14's whole registration budget. r12 also changed _semdedup_pipeline
+#: already staged, and they are r14's whole registration budget. A
+#: FIFTH (text_bpe_train_encode, queries/textops.py — corpus-trained
+#: BPE with an unrolled-MATERIALIZED-CTE training oracle and a
+#: canonical-reference differential) parks for r15 on the same terms. r12 also changed _semdedup_pipeline
 #: (large-K sharded-assignment branch) — the registered
 #: dedup_semantic_cluster's K=16 path is structurally untouched and the
 #: query holds an r11-green verdict on identical plan output

@@ -2748,3 +2748,183 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained BPE tokenizer — r15 REGISTRATION CANDIDATE, deliberately
+# undecorated: the r13 budget holds the three r12-parked candidates and
+# the r14 budget holds gapfill + time-weighted avg (see the parking
+# comments in queries/streamingops.py, multimodalops.py, events.py), so
+# per standing policy this parks with its oracle, tests, and scale rows
+# staged, and leads the r15 window. TO REGISTER IN r15 (before that
+# round's window commit): add
+#   @query("text_bpe_train_encode", oracle=_BPE_ORACLE)
+#
+# THE canonical training-data prep step the text family still lacked:
+# byte-pair encoding TRAINED ON THE CORPUS (Sennrich et al. 2016), not a
+# BPE-ish regex. Training is the real iterative algorithm — K rounds of
+# "count adjacent symbol pairs weighted by word frequency, merge the
+# most frequent" — and it is exactly adjudicable because every step is
+# engine-portable:
+#   * the symbol sequence is a SELF-CONTAINED wrapper string
+#     ('|l||o||w||_|'): pair patterns '|x||y|' share no characters with
+#     adjacent matches, so the engines' left-to-right non-overlapping
+#     replace() IS canonical greedy-leftmost BPE merge application —
+#     pinned against a reference Python implementation on the shared-
+#     delimiter cases ('a a a a') where the naive space-framed form
+#     provably diverges, and '|' can never false-match inside a
+#     multi-char symbol;
+#   * the argmax merge is deterministic (count DESC, pair ASC) and a
+#     pair-exhausted round degenerates to a no-op on both engines (the
+#     '|~|' sentinel never matches);
+#   * the oracle unrolls the K training rounds as chained CTEs (the
+#     IVF/PCA training-oracle playbook) — pair counts via
+#     list_zip(syms, syms[2:]), the same rewrite via replace().
+# Scale shape: the ONLY fact-scale work is the word-count groupBy (one
+# map-side-combined shuffle); all K training rounds iterate on the
+# DISTINCT-WORD relation (vocabulary-sized — invariant to corpus growth
+# once the vocabulary saturates), each round collecting exactly ONE
+# argmax row (bounded driver pattern, cf. det_kmeans/PCA); encoding is
+# a broadcast join of the exploded corpus against the vocabulary. The
+# adjudicated output (per-doc subword token counts) binds every merge:
+# one changed merge shifts counts corpus-wide. Contract: words are the
+# maximal [a-z]+ runs of lower(text), length <= 20 (both engines' lower()
+# agree on the basic-plane mappings that can land in [a-z]; anything
+# else never enters the alphabet), '_' is the end-of-word symbol.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 12
+
+
+def _bpe_oracle(k: int) -> str:
+    head = """
+WITH dw AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents) t
+  WHERE word <> '' AND length(word) <= 20
+), w0 AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq,
+         '|' || regexp_replace(word, '(.)', '\\1||', 'g') || '_|' AS repr
+  FROM dw GROUP BY word
+)"""
+    blocks = []
+    for r in range(k):
+        blocks.append(f""", p{r} AS MATERIALIZED (
+  SELECT pr[1] AS px, pr[2] AS py, SUM(freq) AS cnt
+  FROM (SELECT freq, unnest(list_zip(syms, syms[2:])) AS pr
+        FROM (SELECT freq, string_split(trim(repr, '|'), '||') AS syms
+              FROM w{r}) s) z
+  WHERE pr[2] IS NOT NULL
+  GROUP BY 1, 2
+), b{r} AS MATERIALIZED (
+  SELECT px, py FROM p{r} ORDER BY cnt DESC, px, py LIMIT 1
+), w{r + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(repr,
+                 COALESCE('|' || (SELECT px FROM b{r}) || '||'
+                          || (SELECT py FROM b{r}) || '|', '|~|'),
+                 COALESCE('|' || (SELECT px FROM b{r})
+                          || (SELECT py FROM b{r}) || '|', '|~|')) AS repr
+  FROM w{r}
+)""")
+    tail = f"""
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM((length(e.repr) - length(replace(e.repr, '|', ''))) // 2)
+            AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN w{k} e USING (word)
+GROUP BY dw.doc_id"""
+    return head + "".join(blocks) + tail
+
+
+_BPE_ORACLE = _bpe_oracle(_BPE_MERGES)
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word) for every maximal [a-z]+ run of lower(text),
+    length <= 20 — the BPE corpus contract shared with the oracle."""
+    t = load_tables(tune(spark), sf_dir)
+    return (
+        t.documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "word"
+            ),
+        )
+        .filter((F.col("word") != "") & (F.length("word") <= 20))
+    )
+
+
+def bpe_train(vocab: DataFrame, n_merges: int) -> tuple[DataFrame, list]:
+    """Run ``n_merges`` BPE rounds over a (word, freq, repr) vocabulary
+    relation; returns (encoded vocabulary, learned merge list). Each
+    round shuffles only the vocabulary-sized pair relation and collects
+    exactly one argmax row (the bounded driver pattern)."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        syms = F.split(F.expr("trim(BOTH '|' FROM repr)"), r"\|\|")
+        n = F.size(syms)
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(syms, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("px"), b.alias("py")),
+                )
+            ).alias("pr"),
+        )
+        top = (
+            pairs.select(F.col("pr.px"), F.col("pr.py"), "freq")
+            .groupBy("px", "py")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "px", "py")
+            .limit(1)
+            .collect()
+        )
+        if not top:  # pair space exhausted: remaining rounds are no-ops
+            break
+        px, py = top[0].px, top[0].py
+        merges.append((px, py))
+        vocab = vocab.withColumn(
+            "repr",
+            F.expr(f"replace(repr, '|{px}||{py}|', '|{px}{py}|')"),
+        )
+    return vocab, merges
+
+
+def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train ``_BPE_MERGES`` byte-pair merges on the corpus and encode it:
+    per-doc word and subword-token counts under the learned vocabulary —
+    see the block comment above for the wrapper-string merge semantics,
+    the unrolled-CTE oracle design, and the r15 registration plan."""
+    words = _bpe_words(spark, sf_dir)
+    vocab = persist_tracked(
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "repr",
+            F.concat(
+                F.lit("|"),
+                F.regexp_replace("word", "(.)", "$1||"),
+                F.lit("_|"),
+            ),
+        )
+    )
+    encoded, _merges = bpe_train(vocab, _BPE_MERGES)
+    enc = encoded.select(
+        "word",
+        F.expr(
+            "(length(repr) - length(replace(repr, '|', ''))) div 2"
+        ).alias("n_sub"),
+    )
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+    )

@@ -739,3 +739,15 @@ def test_twa_single_shuffle_window_and_agg_colocated(spark):
     assert _n_exchanges(plan) == 1
     assert plan.count(") Window") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_is_broadcast_join(spark):
+    """Parked r15 candidate: the final encode must broadcast the
+    vocabulary-sized relation against the exploded corpus — no
+    SortMergeJoin, no cartesian; the corpus side never shuffles for the
+    join."""
+    from clinical_bi_spark.queries.textops import text_bpe_train_encode
+
+    plan = _explain_fn(spark, text_bpe_train_encode)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -94,3 +94,137 @@ def test_curation_avg_div_exact_past_2_53(spark):
         "double-trick divergence shape changed; re-derive the pin "
         f"(got {old}, expected off-grid rounding to 2^53+2)"
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train_encode — parked r15 candidate (corpus-trained BPE; see the
+# parking comment in queries/textops.py). The reference implementation here
+# is canonical Sennrich-style BPE: count adjacent symbol pairs weighted by
+# word frequency, merge the (count DESC, pair ASC) argmax greedily leftmost.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+def _ref_bpe_counts(texts, n_merges):
+    """Pure-Python canonical BPE train+encode → {doc_id: (n_words, n_bpe)}."""
+    docs = {
+        i: [w for w in _re.split(r"[^a-z]+", t.lower()) if w and len(w) <= 20]
+        for i, t in enumerate(texts)
+    }
+    freq: dict = {}
+    for ws in docs.values():
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+    reprs = {w: tuple(w) + ("_",) for w in freq}
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, syms in reprs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq[w]
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        px, py = best
+        out = {}
+        for w, syms in reprs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == px and syms[i + 1] == py:
+                    merged.append(px + py)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            out[w] = tuple(merged)
+        reprs = out
+    return {
+        i: (len(ws), sum(len(reprs[w]) for w in ws))
+        for i, ws in docs.items()
+        if ws
+    }
+
+
+def _run_bpe(spark, tmp_path, texts):
+    from clinical_bi_spark.queries.textops import text_bpe_train_encode
+
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in text_bpe_train_encode(spark, str(tmp_path)).collect()
+    }
+
+
+def test_bpe_matches_oracle(spark, oracle_con):
+    from clinical_bi_spark.queries.textops import (
+        _BPE_ORACLE,
+        text_bpe_train_encode,
+    )
+    from tests.conftest import SF_ORACLE, assert_matches_oracle
+
+    df = text_bpe_train_encode(spark, SF_ORACLE)
+    assert_matches_oracle(df, oracle_con, _BPE_ORACLE, name="text_bpe_train_encode")
+    # training must actually compress: the corpus encodes to fewer
+    # subwords than its unmerged symbol count (chars + end markers)
+    rows = df.collect()
+    unmerged = {
+        d: s
+        for d, s in oracle_con.execute(
+            """SELECT doc_id, SUM(length(word) + 1) FROM (
+                 SELECT doc_id, unnest(string_split_regex(lower(text),
+                        '[^a-z]+')) AS word FROM documents) t
+               WHERE word <> '' AND length(word) <= 20 GROUP BY 1"""
+        ).fetchall()
+    }
+    assert sum(r.n_bpe_tokens for r in rows) < sum(unmerged.values())
+    assert all(r.n_bpe_tokens < unmerged[r.doc_id] for r in rows if r.n_words > 3)
+
+
+def test_bpe_matches_reference_implementation(spark, tmp_path):
+    """Engine output == canonical Python BPE on a corpus built to hit the
+    sharp edges: the shared-delimiter run ('aaaa', where a naive
+    space-framed replace provably diverges from greedy-leftmost), a
+    multi-char-symbol false-match bait, tie-broken pairs, punctuation
+    splits, and an over-length word that must be excluded."""
+    from clinical_bi_spark.queries.textops import _BPE_MERGES
+
+    texts = [
+        "aaaa aaaa aa baab",            # overlapping runs + 'ba a b' shapes
+        "low lower lowest low low",     # classic BPE fixture
+        "the the the of of to x",       # high-freq short words, tie bait
+        "Zebra-Quokka!! mixed CASE??",  # punctuation + case folding
+        "supercalifragilisticexpialidocious tiny",  # >20 chars: excluded
+        "q",                            # single-char word
+    ]
+    got = _run_bpe(spark, tmp_path, texts)
+    ref = _ref_bpe_counts(texts, _BPE_MERGES)
+    assert got == ref
+
+
+def test_bpe_pair_exhaustion_is_noop(spark, tmp_path):
+    """A corpus whose pair space exhausts before the merge budget: both
+    the Spark early-break and the oracle's '|~|' sentinel rounds must
+    degenerate to no-ops and still agree with the reference."""
+    import duckdb
+
+    from clinical_bi_spark.queries.textops import _BPE_MERGES, _BPE_ORACLE
+
+    texts = ["a a a", "a"]
+    got = _run_bpe(spark, tmp_path, texts)
+    ref = _ref_bpe_counts(texts, _BPE_MERGES)
+    assert got == ref
+    # "a_" fully merges to ONE symbol after 1 round; rounds 2..K no-op
+    assert got[0] == (3, 3) and got[1] == (1, 1)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    duck = {
+        d: (w, n) for d, w, n in con.execute(_BPE_ORACLE).fetchall()
+    }
+    assert duck == ref
+    con.close()

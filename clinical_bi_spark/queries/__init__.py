@@ -125,9 +125,12 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: further, for r14, since they would blow the r13 budget; oracles,
 #: near-bound exactness pins, plan pins, and x1/x10/x50 scale rows are
 #: already staged, and they are r14's whole registration budget. A
-#: FIFTH (text_bpe_train_encode, queries/textops.py — corpus-trained
-#: BPE with an unrolled-MATERIALIZED-CTE training oracle and a
-#: canonical-reference differential) parks for r15 on the same terms. r12 also changed _semdedup_pipeline
+#: FIFTH and SIXTH (text_bpe_train_encode, queries/textops.py —
+#: corpus-trained BPE with an unrolled-MATERIALIZED-CTE training oracle
+#: and a canonical-reference differential — and data_zorder_layout,
+#: queries/pipelineops.py — Morton-curve layout map with a row-level-
+#: NTILE oracle and the pruning claim adjudicated 11/64-vs-64/64) park
+#: for r15 on the same terms and are its whole registration budget. r12 also changed _semdedup_pipeline
 #: (large-K sharded-assignment branch) — the registered
 #: dedup_semantic_cluster's K=16 path is structurally untouched and the
 #: query holds an r11-green verdict on identical plan output

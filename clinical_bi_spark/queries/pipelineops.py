@@ -942,3 +942,136 @@ def data_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton curve) layout map — r15 REGISTRATION CANDIDATE,
+# deliberately undecorated (r13/r14 budgets are full; parks on the same
+# terms as text_bpe_train_encode and leads the r15 window with it — the
+# two are r15's whole registration budget). TO REGISTER IN r15 (before
+# that round's window commit): add
+#   @query("data_zorder_layout", oracle=_ZORDER_ORACLE)
+#
+# The canonical 100 TB data-LAYOUT technique the engine had not yet made
+# adjudicable: multi-dimensional clustering. A linear sort on (x, y)
+# gives file-level min/max pruning on x only — every file spans all of
+# y, so a y-selective predicate scans the whole table. Interleaving the
+# coordinates' bits (Morton/Z-order: z = Σ bit_i(x)·4^i·1 +
+# bit_i(y)·4^i·2) and range-bucketing on z bounds EVERY bucket in BOTH
+# dimensions, so a 2D box predicate prunes on either axis — this is what
+# Delta/Iceberg OPTIMIZE ZORDER does, expressed here as a first-class,
+# exactly-oracled operator. The query emits the layout's pruning map:
+# 64 equi-depth z-range buckets with per-bucket row counts and min/max
+# extents in z, x, and y — the exact statistics a file-skipping scan
+# consults. The pruning CLAIM is adjudicated in
+# tests/test_pipelineops_dsir.py: on a y-selective box the z-layout's
+# touched-bucket count must be a fraction of the linear layout's (which
+# touches ~every bucket).
+#
+# Exactness playbook: coordinates are exact integers (custkey mod 256;
+# order-date day number mod 256), the interleave is pure bit arithmetic
+# (identical shiftleft/&-folds on both engines), and bucketing is exact
+# SQL NTILE(64) over the (z, o_orderkey) total order via the house
+# value-level machinery (groupBy z → global_prefix_sums →
+# ntile_from_rank spans — the agg_equidepth_histogram template). Every
+# per-bucket output is TIE-BREAK INDEPENDENT: n_rows comes from the
+# NTILE closed form, and x/y are functions of z (the 8+8-bit interleave
+# is a bijection), so bucket extents depend only on which z-values land
+# in the bucket. Scale shape: the only fact-scale op is the z-value
+# groupBy (map-side combined, shuffle bounded by the 65536-value z
+# DOMAIN, not the row count); prefix sums and spans run on the domain
+# relation.
+# ---------------------------------------------------------------------------
+
+_ZORDER_K = 64
+
+#: The oracle is the ROW-level NTILE form — a genuinely different
+#: computation path than the engine's value-level span arithmetic (the
+#: same independent-adjudication relationship agg_equidepth_histogram
+#: has with its oracle), so a green row proves the domain-collapsed
+#: rewrite equals the textbook definition.
+_ZORDER_ORACLE = f"""
+WITH pts AS (
+  SELECT o_orderkey,
+         o_custkey % 256 AS x,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256
+           AS y
+  FROM orders
+), z AS (
+  SELECT o_orderkey, x, y,
+         CAST(list_sum(list_transform(range(0, 8), i ->
+              ((x >> CAST(i AS INT)) & 1) * (1 << CAST(2 * i AS INT))
+            + ((y >> CAST(i AS INT)) & 1) * (1 << CAST(2 * i + 1 AS INT))))
+           AS BIGINT) AS z
+  FROM pts
+), b AS (
+  SELECT x, y, z, NTILE({_ZORDER_K}) OVER (ORDER BY z, o_orderkey) AS bucket
+  FROM z
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(z) AS z_lo, MAX(z) AS z_hi,
+       MIN(x) AS x_lo, MAX(x) AS x_hi,
+       MIN(y) AS y_lo, MAX(y) AS y_hi
+FROM b
+GROUP BY bucket
+"""
+
+
+def data_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-interleave orders on (custkey mod 256, order-day mod 256),
+    equi-depth-bucket the z order into 64 ranges, and emit each bucket's
+    row count and z/x/y extents — the pruning map a file-skipping scan
+    consults. See the block comment above for the layout rationale, the
+    tie-break-independence argument, and the r15 registration plan."""
+    from clinical_bi_spark.operators.ranking import (
+        global_prefix_sums,
+        ntile_from_rank,
+    )
+
+    t = load_tables(tune(spark), sf_dir)
+    pts = t.orders.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            ).cast("bigint")
+            % 256
+        ).alias("y"),
+    )
+    z = F.expr(
+        "CAST(aggregate(sequence(0, 7), 0L, (acc, i) -> acc"
+        " + shiftleft(shiftright(x, i) & 1, 2 * i)"
+        " + shiftleft(shiftright(y, i) & 1, 2 * i + 1)) AS BIGINT)"
+    )
+    zc = persist_tracked(
+        pts.select("x", "y", z.alias("z"))
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = global_prefix_sums(zc, [F.col("z")], ["c"], ["k"])
+    n = zc.agg(F.sum("c").cast("bigint").alias("__n"))
+    e = cum.crossJoin(F.broadcast(n))
+    b1 = ntile_from_rank(F.col("k") - F.col("c") + 1, F.col("__n"), _ZORDER_K)
+    b2 = ntile_from_rank(F.col("k"), F.col("__n"), _ZORDER_K)
+    spans = e.select(
+        "x", "y", "z", "__n", F.explode(F.sequence(b1, b2)).alias("bucket")
+    )
+    n_b = (
+        F.floor(F.col("__n") / _ZORDER_K)
+        + F.when(F.col("bucket") <= F.col("__n") % _ZORDER_K, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        spans.withColumn("__nb", n_b)
+        .groupBy("bucket")
+        .agg(
+            F.max("__nb").alias("n_rows"),
+            F.min("z").alias("z_lo"),
+            F.max("z").alias("z_hi"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+    )

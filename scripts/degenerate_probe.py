@@ -159,6 +159,7 @@ def _parked_candidates() -> dict:
     from clinical_bi_spark.queries.multimodalops import (
         multimodal_video_mp4_samples,
     )
+    from clinical_bi_spark.queries.pipelineops import data_zorder_layout
     from clinical_bi_spark.queries.textops import text_bpe_train_encode
 
     return {
@@ -166,6 +167,7 @@ def _parked_candidates() -> dict:
         "PARKED:evt_gapfill_interpolate": evt_gapfill_interpolate,
         "PARKED:evt_time_weighted_avg": evt_time_weighted_avg,
         "PARKED:text_bpe_train_encode": text_bpe_train_encode,
+        "PARKED:data_zorder_layout": data_zorder_layout,
     }
 
 

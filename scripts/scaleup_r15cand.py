@@ -1,5 +1,6 @@
-"""Scale-up measurement for the parked r15 candidate
-(text_bpe_train_encode) — documents-replication methodology (see
+"""Scale-up measurement for the parked r15 candidates
+(text_bpe_train_encode over replicated documents, data_zorder_layout
+over replicated orders) — replication methodology (see
 scaleup_multimodal.py: shifted doc_id copies, warmed session, cached
 input, min-of-2). The scale claim under test: the ONLY fact-scale work
 is the word-count groupBy and the final broadcast-join encode; all
@@ -73,6 +74,44 @@ def main() -> None:
         finally:
             textops.load_tables = orig
             docs.unpersist()
+
+    from clinical_bi_spark.queries import pipelineops
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_ord = orders.count()
+    for mult in (1, 10, 50):
+        o = orders
+        if mult > 1:
+            o = orders.select(
+                F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("k"),
+                "*",
+            ).select(
+                (F.col("o_orderkey") + F.col("k") * (n_ord + 1)).alias(
+                    "o_orderkey"
+                ),
+                *[c for c in orders.columns if c != "o_orderkey"],
+            )
+        o = o.repartition(spark.sparkContext.defaultParallelism).persist()
+        o.count()
+        tables = SimpleNamespace(orders=o)
+        orig = pipelineops.load_tables
+        pipelineops.load_tables = lambda _spark, _sf, _t=tables: _t
+        try:
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                pipelineops.data_zorder_layout(spark, SF_DIR).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            print(
+                f"x{mult}",
+                {"orders": n_ord * mult, "data_zorder_layout": round(best, 2)},
+                flush=True,
+            )
+        finally:
+            pipelineops.load_tables = orig
+            o.unpersist()
 
 
 if __name__ == "__main__":

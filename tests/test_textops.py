@@ -228,3 +228,44 @@ def test_bpe_pair_exhaustion_is_noop(spark, tmp_path):
     }
     assert duck == ref
     con.close()
+
+
+def test_bpe_unicode_corpus_cross_engine(spark, tmp_path):
+    """The r15 unicode-probe contract, pinned early: on a corpus drawn
+    from the unicode probe's word pool (casing traps ΣΙΓΜΑ/STRASSE,
+    combining marks, CJK, RTL, full-width forms) the [a-z]+ alphabet
+    filter must leave both engines with the SAME word multiset, so the
+    whole BPE pipeline stays hash-identical — the specific risk is
+    lower() mappings that land INSIDE [a-z] on one engine only."""
+    import duckdb
+
+    from clinical_bi_spark.queries.textops import (
+        _BPE_MERGES,
+        _BPE_ORACLE,
+        text_bpe_train_encode,
+    )
+
+    pool = [
+        "café", "naïve", "Müller", "STRASSE", "straße", "Привет", "мир",
+        "数据", "分析", "東京", "🚀", "héllo🌍", "a b", "éclair",
+        "שלום", "مرحبا", "１２３", "Ｓｐａｒｋ", "ΣΙΓΜΑ", "σίγμα",
+        "KKelvin",  # KELVIN SIGN: lower() -> 'k' on BOTH engines
+        "İstanbul",      # dotted capital I: full lowering engages
+    ]
+    texts = [
+        " ".join(pool[i % len(pool)] for i in range(j, j + 9))
+        for j in range(8)
+    ]
+    got = _run_bpe(spark, tmp_path, texts)
+    ref = _ref_bpe_counts(texts, _BPE_MERGES)
+    # the Python reference uses str.lower(); assert Spark agrees with it
+    assert got == ref
+    # and DuckDB's lower()/regex path lands on the identical output
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    duck = {d: (w, n) for d, w, n in con.execute(_BPE_ORACLE).fetchall()}
+    con.close()
+    assert duck == got

@@ -124,8 +124,13 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: time-weighted mean; both queries/events.py) are parked one round
 #: further, for r14, since they would blow the r13 budget; oracles,
 #: near-bound exactness pins, plan pins, and x1/x10/x50 scale rows are
-#: already staged, and they are r14's whole registration budget. A
-#: FIFTH and SIXTH (text_bpe_train_encode, queries/textops.py —
+#: already staged. A SEVENTH — stream_time_weighted_avg
+#: (queries/streamingops.py, the batch TWA's streaming twin: five-
+#: integer state, EXACT batch parity at any chronological slicing,
+#: eviction trade pinned) — joins them at the r14 TAIL (streaming
+#: policy), making r14's budget gapfill + TWA + its twin (3, at the
+#: cap; the pair adjudicates both sides of the shared oracle in one
+#: round). TWO more (text_bpe_train_encode, queries/textops.py —
 #: corpus-trained BPE with an unrolled-MATERIALIZED-CTE training oracle
 #: and a canonical-reference differential — and data_zorder_layout,
 #: queries/pipelineops.py — Morton-curve layout map with a row-level-

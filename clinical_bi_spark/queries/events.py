@@ -1296,8 +1296,10 @@ def evt_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Time-weighted average (LOCF integral) — r14 REGISTRATION CANDIDATE,
 # deliberately undecorated (same budget note as evt_gapfill_interpolate
-# above; the r14 window takes both — 2 new registrations is inside the
-# <=2-3 growth policy). TO REGISTER IN r14 (before that round's window
+# above; the r14 window takes this, gapfill, AND the streaming twin
+# stream_time_weighted_avg (queries/streamingops.py, window TAIL) — 3
+# new registrations, at the <=2-3 growth cap). TO REGISTER IN r14
+# (before that round's window
 # commit): add
 #   @query("evt_time_weighted_avg", oracle=_TWA_ORACLE)
 #

@@ -577,3 +577,66 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_bi_spark.streaming.stateful import stateful_sessions
 
     return stateful_sessions(tune(spark), sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming time-weighted average — r14 REGISTRATION CANDIDATE, parked
+# (streaming => window TAIL per standing policy; r14's budget becomes
+# gapfill + batch TWA + this twin — 3, at the <=2-3 growth cap, and the
+# batch/streaming pair registering the SAME round means the driver
+# adjudicates both sides of the shared oracle together). TO REGISTER IN
+# r14 (before that round's window commit): add
+#   @query("stream_time_weighted_avg", oracle=_STREAM_TWA_ORACLE)
+#
+# The streaming form of queries/events.evt_time_weighted_avg, and the
+# strongest exactness story in the stateful family: state per user is
+# FIVE INTEGERS (first/last micros, last cents, running Σ cents·Δus,
+# count), so the fold is EXACT — the final emission equals the batch
+# aggregate bit-for-bit at ANY chronological input slicing (pinned at
+# maxFilesPerTrigger None/2/1), with no float path to diverge. Cents
+# replicate Spark's HALF_UP via floor(v·100 + 0.5) (exact for the
+# non-negative value contract); the display division is the batch
+# twin's remainder-split expression, applied after the drain. Late
+# data: the LOCF integral's order premise makes the bounded
+# chronological replay the adjudication contract (as with
+# CEP/forward-fill); the eviction variant trades exactness beyond the
+# TTL horizon (span restarts on re-appearance) — the documented
+# active-key state bound, pinned in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+_STREAM_TWA_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), seg AS (
+  SELECT user_id, cents, us,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nus
+  FROM e
+), a AS (
+  SELECT user_id,
+         SUM(CASE WHEN nus IS NULL THEN 0 ELSE cents * (nus - us) END) AS num,
+         MAX(us) - MIN(us) AS span,
+         COUNT(*) AS n_events
+  FROM seg GROUP BY 1
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN span > 0 THEN
+         CAST(10000 * (num // span) + (10000 * (num % span)) // span
+              AS BIGINT)
+       END AS twa_micro
+FROM a
+"""
+
+
+def stream_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LOCF-integral time-weighted mean (integer state, exact
+    batch parity) — see the block comment above for the r14 registration
+    plan and streaming/stateful.stream_time_weighted_avg_rows for the
+    fold and the eviction trade."""
+    from clinical_bi_spark.streaming.stateful import (
+        stream_time_weighted_avg_rows,
+    )
+
+    return stream_time_weighted_avg_rows(tune(spark), sf_dir)

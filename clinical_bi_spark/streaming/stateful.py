@@ -755,3 +755,151 @@ def stateful_sessions(
             "max_gap_us",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming time-weighted average (r12): the LOCF-integral mean as a
+# custom stateful operator — the streaming twin of the parked batch
+# candidate queries/events.evt_time_weighted_avg, sharing its oracle.
+# State per user is FIVE INTEGERS (first/last event micros, last value
+# in cents, the running segment sum Σ cents·Δus, and the event count),
+# so — unlike the float-state operators — the fold is EXACT: the final
+# emission per user equals the batch aggregate bit-for-bit at any
+# chronological input slicing. Each micro-batch concat-sorts its chunks
+# (the CEP chunk-order hardening), folds the carried last point into the
+# batch's leading segment, and emits the user's running totals; the
+# drain adapter keeps each user's LAST emission (n_events is strictly
+# monotone). Cents replicate Spark's ROUND HALF_UP via floor(v·100+0.5)
+# — exact for the engine contract's non-negative values. (True late
+# data would violate the integral's order premise; the bounded
+# chronological replay is the adjudication contract, as with
+# CEP/forward-fill.)
+# ---------------------------------------------------------------------------
+
+TWA_STATE_SCHEMA = StructType(
+    [
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("last_cents", LongType()),
+        StructField("num", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+TWA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("num", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _make_twa_update(evict: bool):
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if evict and state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        # Spark ROUND is HALF_UP; floor(v*100 + 0.5) replicates it exactly
+        # for the non-negative value contract (numpy round is half-even)
+        import numpy as np
+
+        cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(
+            "int64"
+        )
+        if state.exists:
+            first_us, last_us, last_cents, num, n = state.get
+            num += int(last_cents) * (int(us[0]) - int(last_us))
+        else:
+            first_us, num, n = int(us[0]), 0, 0
+        # intra-batch segments: Σ cents[i] · (us[i+1] − us[i])
+        if len(us) > 1:
+            num += int((cents[:-1] * (us[1:] - us[:-1])).sum())
+        last_us, last_cents = int(us[-1]), int(cents[-1])
+        n += len(pdf)
+        state.update((int(first_us), last_us, last_cents, int(num), int(n)))
+        if evict:
+            _arm_timeout(state, int(pdf["ts"].astype("int64").max()) // 1_000_000)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "n_events": pd.Series([n], dtype="int64"),
+                "num": pd.Series([num], dtype="int64"),
+                "first_us": pd.Series([first_us], dtype="int64"),
+                "last_us": pd.Series([last_us], dtype="int64"),
+            }
+        )
+
+    return update
+
+
+def stream_time_weighted_avg_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
+    evict: bool | None = None,
+) -> DataFrame:
+    """Streaming LOCF-integral time-weighted mean over the bounded events
+    replay: per user, the final emission's integer state equals the batch
+    evt_time_weighted_avg aggregate exactly, at any chronological input
+    slicing; the display division (remainder-split micro-units) is
+    applied AFTER the drain with the same expression the batch query
+    uses. Eviction trade (``evict``/``CLINICAL_BI_STATE_EVICTION``): a
+    user idle past the TTL restarts their observation span on
+    re-appearance — exactness holds within the eviction horizon."""
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.streaming.windows import (
+        _events_stream,
+        _run_to_completion,
+    )
+
+    evicting = _eviction_enabled(evict)
+    events = _events_stream(spark, sf_dir, max_files_per_trigger).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    if evicting:
+        events = events.withWatermark("ts", EVICTION_WATERMARK)
+    emitted = events.groupBy("user_id").applyInPandasWithState(
+        _make_twa_update(evicting),
+        outputStructType=TWA_OUTPUT_SCHEMA,
+        stateStructType=TWA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evicting
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    raw = _run_to_completion(emitted, "update", progress_sink)
+    # keep each user's LAST emission (n_events strictly monotone), then
+    # apply the batch twin's exact display division
+    final = raw.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "num", "first_us", "last_us")).alias("m")
+    )
+    return final.select(
+        "user_id",
+        F.col("m.n_events").alias("n_events"),
+        F.when(
+            (F.col("m.last_us") - F.col("m.first_us")) > 0,
+            F.expr(
+                "10000 * (m.num div (m.last_us - m.first_us))"
+                " + (10000 * (m.num % (m.last_us - m.first_us)))"
+                "   div (m.last_us - m.first_us)"
+            ),
+        ).alias("twa_micro"),
+    )

@@ -40,6 +40,7 @@ from clinical_bi_spark.sources import load_tables
 from clinical_bi_spark.streaming.stateful import (
     stateful_sessions,
     stream_cep_matches as _cep,
+    stream_time_weighted_avg_rows,
     user_running_stats,
 )
 from clinical_bi_spark.streaming.windows import (
@@ -127,6 +128,16 @@ QUERIES = {
     # STATELESS by design (state_rows must read 0 at every mult); wall
     # should track input linearly, the dim broadcast is a constant.
     # The dim tables live in SF_DIR (replication only multiplies events).
+    # r12: the parked r14 candidate — streaming TWA. Five-INTEGER state
+    # per user (exact batch parity); state rows must equal active users
+    # and the evicting form's removals trade span restarts, never counts.
+    "stream_twa": lambda sp, d, ps: stream_time_weighted_avg_rows(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
+    ),
+    "stream_twa_evict": lambda sp, d, ps: stream_time_weighted_avg_rows(
+        sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,
+        evict=True,
+    ),
     "stream_static_enrich": lambda sp, d, ps: stream_static_enrich_join(
         sp, d, dim_dir=SF_DIR,
         max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,

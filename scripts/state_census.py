@@ -80,6 +80,7 @@ def main() -> None:
         stateful_sessions,
         stream_cep_matches,
         stream_forward_fill_rows,
+        stream_time_weighted_avg_rows,
         user_running_stats,
     )
     from clinical_bi_spark.streaming.windows import dedup_with_watermark
@@ -124,6 +125,20 @@ def main() -> None:
         ),
         "stream_session_stateful+evict": lambda s, d, p: stateful_sessions(
             s, d, max_files_per_trigger=1, progress_sink=p, evict=True
+        ),
+        # r12: the parked r14 streaming-TWA twin — FIVE INTEGERS per
+        # active user (the family's smallest exact state); the +evict
+        # row trades span restarts (counts never diverge), rows_removed
+        # matching the family's idle-key set
+        "stream_time_weighted_avg": lambda s, d, p: (
+            stream_time_weighted_avg_rows(
+                s, d, max_files_per_trigger=1, progress_sink=p
+            )
+        ),
+        "stream_time_weighted_avg+evict": lambda s, d, p: (
+            stream_time_weighted_avg_rows(
+                s, d, max_files_per_trigger=1, progress_sink=p, evict=True
+            )
         ),
     }
 

@@ -1239,3 +1239,88 @@ def test_session_stateful_boundary_event_at_gap_starts_new_session(
     assert second.n_events == 2
     assert second.max_gap_us == SESSION_GAP_US - 1
     assert second.total_value == 6.0
+
+
+# ---------------------------------------------------------------------------
+# stream_time_weighted_avg — parked r14 candidate (streaming twin of the
+# parked batch evt_time_weighted_avg; see the parking comment in
+# queries/streamingops.py). Integer state => EXACT batch parity.
+# ---------------------------------------------------------------------------
+
+
+def _twa_snapshot(df):
+    return {r.user_id: (r.n_events, r.twa_micro) for r in df.collect()}
+
+
+def test_stream_twa_exact_batch_parity_any_slicing(spark, split_sf):
+    """The candidate's whole exactness claim: integer per-user state makes
+    the streaming fold equal the batch aggregate BIT-FOR-BIT at every
+    chronological slicing — one batch, 2-file batches, 1-file batches."""
+    from clinical_bi_spark.queries.events import evt_time_weighted_avg
+    from clinical_bi_spark.streaming.stateful import (
+        stream_time_weighted_avg_rows,
+    )
+
+    batch = _twa_snapshot(evt_time_weighted_avg(spark, split_sf))
+    for mfpt in (None, 2, 1):
+        got = _twa_snapshot(
+            stream_time_weighted_avg_rows(
+                spark, split_sf, max_files_per_trigger=mfpt
+            )
+        )
+        assert got == batch, f"slicing mfpt={mfpt} diverged"
+
+
+def test_stream_twa_state_rows_bounded_by_users(spark, split_sf):
+    """State is one 5-integer row per ACTIVE user: progress metrics must
+    show exactly the distinct-user count, flat across batches."""
+    from clinical_bi_spark.streaming.stateful import (
+        stream_time_weighted_avg_rows,
+    )
+
+    prog: list = []
+    out = stream_time_weighted_avg_rows(
+        spark, split_sf, max_files_per_trigger=1, progress_sink=prog
+    )
+    n_users = out.count()
+    peaks = [
+        op["numRowsTotal"]
+        for p in prog
+        for op in p.get("stateOperators", [])
+        if op.get("numRowsTotal") is not None
+    ]
+    assert peaks and max(peaks) == n_users
+
+
+def test_stream_twa_eviction_trades_span_restart(spark, split_sf, monkeypatch):
+    """The eviction variant must actually drop idle keys
+    (numRowsRemoved > 0) and the documented trade is a spans-restart:
+    every user still emits, counts match the batch, and any twa
+    divergence is confined to users whose state was evicted."""
+    from clinical_bi_spark import streaming
+    from clinical_bi_spark.queries.events import evt_time_weighted_avg
+    from clinical_bi_spark.streaming.stateful import (
+        stream_time_weighted_avg_rows,
+    )
+
+    prog: list = []
+    got = _twa_snapshot(
+        stream_time_weighted_avg_rows(
+            spark, split_sf, max_files_per_trigger=1, progress_sink=prog,
+            evict=True,
+        )
+    )
+    batch = _twa_snapshot(evt_time_weighted_avg(spark, split_sf))
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in prog
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0
+    assert set(got) == set(batch)
+    # n_events never diverges (every event folds exactly once, evicted
+    # span or not); only the integral can differ, and some users must
+    # still match (not everything idles past the TTL)
+    assert all(got[u][0] == batch[u][0] for u in batch)
+    n_same = sum(1 for u in batch if got[u][1] == batch[u][1])
+    assert 0 < n_same

@@ -800,8 +800,11 @@ def multimodal_resize_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 # genuinely different computations. Scale shape: per-asset independent
 # mapInPandas (Arrow-batched), no shuffle before the final projection;
 # payloads leave the operator as md5 fingerprints (contract hygiene —
-# same rule as the AVI/MJPEG path). Only the h264 entropy decode itself
-# remains stubbed, which genuinely needs ffmpeg.
+# same rule as the AVI/MJPEG path). MJPEG-in-MP4 is fully real end to
+# end — tests/test_mp4.py round-trips an ISO-BMFF file of REAL baseline
+# JPEGs through the sample-table walk, byte-range extraction, and
+# decode_jpeg within the codec's error bounds — so only the h264
+# entropy decode itself remains stubbed, which genuinely needs ffmpeg.
 # ---------------------------------------------------------------------------
 
 _MP4_SAMPLES_ORACLE = """

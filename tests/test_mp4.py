@@ -164,3 +164,52 @@ def test_mp4_samples_query_matches_oracle(spark, oracle_con):
     assert_matches_oracle(
         df, oracle_con, _MP4_SAMPLES_ORACLE, name="multimodal_video_mp4_samples"
     )
+
+
+def test_mp4_mjpeg_end_to_end_real_decode(spark):
+    """Container + codec composability: an ISO-BMFF file whose samples are
+    REAL baseline JPEGs (operators/jpeg.py) round-trips END TO END — the
+    sample-table walk reconstructs keyframe byte ranges, the extractor
+    slices the payloads through the Arrow path, and decode_jpeg recovers
+    pixels within the codec's documented smooth-image error bounds. With
+    this, MJPEG-in-MP4 is fully real (writer, sample table, extraction,
+    pixel decode); only the h264 entropy decode itself stays stubbed."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from clinical_bi_spark.operators.mp4 import (
+        encode_mp4,
+        extract_mp4_sync_samples,
+    )
+
+    y, x = np.meshgrid(np.arange(24), np.arange(16), indexing="ij")
+    frames = [
+        np.stack(
+            [(y * 3 + k * 7) % 256, (x * 5 + k) % 256, ((x + y) * 2) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for k in range(5)
+    ]
+    jpegs = [encode_jpeg(f, 90) for f in frames]
+    mp4 = encode_mp4(
+        jpegs,
+        durations=[1000] * 5,
+        sync_flags=[True, False, True, False, True],
+        width=16,
+        height=24,
+        samples_per_chunk=2,
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(mp4))], "asset_id long, media binary"
+    )
+    out = {
+        r.sample_number: bytes(r.payload)
+        for r in extract_mp4_sync_samples(df, every_n=1).collect()
+    }
+    assert sorted(out) == [1, 3, 5]
+    for num, payload in out.items():
+        assert payload == jpegs[num - 1]  # byte-range slice is exact
+        back = decode_jpeg(payload)
+        err = np.abs(back.astype(int) - frames[num - 1].astype(int))
+        assert back.shape == frames[num - 1].shape
+        assert err.max() <= 4 and err.mean() <= 1.5

@@ -386,6 +386,9 @@ def extract_mp4_sync_samples(
     """
     import pandas as pd
 
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
     schema = (
         f"{id_col} long, sample_number int, dts_ticks long, "
         "duration_ticks int, size_bytes int, byte_offset long, "

@@ -604,30 +604,9 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 # active-key state bound, pinned in tests/test_streaming.py.
 # ---------------------------------------------------------------------------
 
-_STREAM_TWA_ORACLE = """
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS us,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events
-), seg AS (
-  SELECT user_id, cents, us,
-         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nus
-  FROM e
-), a AS (
-  SELECT user_id,
-         SUM(CASE WHEN nus IS NULL THEN 0 ELSE cents * (nus - us) END) AS num,
-         MAX(us) - MIN(us) AS span,
-         COUNT(*) AS n_events
-  FROM seg GROUP BY 1
-)
-SELECT user_id,
-       CAST(n_events AS BIGINT) AS n_events,
-       CASE WHEN span > 0 THEN
-         CAST(10000 * (num // span) + (10000 * (num % span)) // span
-              AS BIGINT)
-       END AS twa_micro
-FROM a
-"""
+#: shared verbatim with the batch twin — ONE source of truth so a future
+#: oracle fix can't leave the streaming side adjudicating a stale copy
+from clinical_bi_spark.queries.events import _TWA_ORACLE as _STREAM_TWA_ORACLE  # noqa: E402
 
 
 def stream_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:

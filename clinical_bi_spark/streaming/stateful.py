@@ -660,10 +660,15 @@ def _make_session_update(evict: bool):
             last_us = n = mx = 0
             total = 0.0
         closed: list[tuple] = []
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("ts")
+        # CEP chunk-order hardening (see lines ~257-263): concat ALL of
+        # the micro-batch's Arrow chunks, then ONE sort — per-chunk sorts
+        # would mis-sessionize a key whose rows span chunks delivered out
+        # of time order (last_us rewinds, gaps/boundaries diverge)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            # ts-only key: rows tied on ts land in one session with gap 0
+            # whatever their order, so every emitted fact is order-free
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
             for t, v in zip(
                 (pdf["ts"].astype("int64") // 1000).tolist(),
                 pdf["value"].fillna(0.0).tolist(),
@@ -814,12 +819,16 @@ def _make_twa_update(evict: bool):
         )
         us = (pdf["ts"].astype("int64") // 1000).to_numpy()
         # Spark ROUND is HALF_UP; floor(v*100 + 0.5) replicates it exactly
-        # for the non-negative value contract (numpy round is half-even)
+        # for the non-negative value contract (numpy round is half-even).
+        # A NULL value becomes 0 cents: the batch twin's NULL cents makes
+        # its segment term NULL, which SUM skips — the same contribution
+        # of zero — while NaN through astype(int64) would be garbage.
         import numpy as np
 
-        cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(
-            "int64"
-        )
+        raw = pdf["value"].to_numpy(dtype="float64")
+        cents = np.where(
+            np.isnan(raw), 0.0, np.floor(raw * 100.0 + 0.5)
+        ).astype("int64")
         if state.exists:
             first_us, last_us, last_cents, num, n = state.get
             num += int(last_cents) * (int(us[0]) - int(last_us))
@@ -860,7 +869,8 @@ def stream_time_weighted_avg_rows(
     applied AFTER the drain with the same expression the batch query
     uses. Eviction trade (``evict``/``CLINICAL_BI_STATE_EVICTION``): a
     user idle past the TTL restarts their observation span on
-    re-appearance — exactness holds within the eviction horizon."""
+    re-appearance (the drain's last_us ordering keeps the restarted
+    span) — exactness holds within the eviction horizon."""
     from pyspark.sql import functions as F
 
     from clinical_bi_spark.streaming.windows import (
@@ -886,10 +896,15 @@ def stream_time_weighted_avg_rows(
         ),
     )
     raw = _run_to_completion(emitted, "update", progress_sink)
-    # keep each user's LAST emission (n_events strictly monotone), then
-    # apply the batch twin's exact display division
+    # keep each user's LAST emission. The order key is last_us, not
+    # n_events: eviction RESTARTS a re-appearing user's span (n_events
+    # resets), but event time only moves forward in the chronological
+    # replay, so the restarted span's last_us always exceeds the dead
+    # span's — max(struct) then returns the live span, matching the
+    # documented span-restart trade. (n_events alone would resurrect the
+    # stale pre-eviction snapshot; pinned in tests/test_streaming.py.)
     final = raw.groupBy("user_id").agg(
-        F.max(F.struct("n_events", "num", "first_us", "last_us")).alias("m")
+        F.max(F.struct("last_us", "n_events", "num", "first_us")).alias("m")
     )
     return final.select(
         "user_id",

@@ -124,13 +124,10 @@ QUERIES = {
         sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,
         evict=True,
     ),
-    # r12: the parked r13 candidate — stream-static broadcast enrich.
-    # STATELESS by design (state_rows must read 0 at every mult); wall
-    # should track input linearly, the dim broadcast is a constant.
-    # The dim tables live in SF_DIR (replication only multiplies events).
     # r12: the parked r14 candidate — streaming TWA. Five-INTEGER state
-    # per user (exact batch parity); state rows must equal active users
-    # and the evicting form's removals trade span restarts, never counts.
+    # per user (exact batch parity); state rows must equal active users;
+    # the evicting form's removals trade span restarts (a re-appearing
+    # evicted key reports only its restarted span).
     "stream_twa": lambda sp, d, ps: stream_time_weighted_avg_rows(
         sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps
     ),
@@ -138,6 +135,10 @@ QUERIES = {
         sp, d, max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,
         evict=True,
     ),
+    # r12: the parked r13 candidate — stream-static broadcast enrich.
+    # STATELESS by design (state_rows must read 0 at every mult); wall
+    # should track input linearly, the dim broadcast is a constant.
+    # The dim tables live in SF_DIR (replication only multiplies events).
     "stream_static_enrich": lambda sp, d, ps: stream_static_enrich_join(
         sp, d, dim_dir=SF_DIR,
         max_files_per_trigger=MAX_FILES_PER_TRIGGER, progress_sink=ps,

@@ -128,8 +128,9 @@ def main() -> None:
         ),
         # r12: the parked r14 streaming-TWA twin — FIVE INTEGERS per
         # active user (the family's smallest exact state); the +evict
-        # row trades span restarts (counts never diverge), rows_removed
-        # matching the family's idle-key set
+        # row trades span restarts (an evicted-and-reappeared key
+        # reports only its restarted span), rows_removed matching the
+        # family's idle-key set
         "stream_time_weighted_avg": lambda s, d, p: (
             stream_time_weighted_avg_rows(
                 s, d, max_files_per_trigger=1, progress_sink=p

@@ -1318,9 +1318,102 @@ def test_stream_twa_eviction_trades_span_restart(spark, split_sf, monkeypatch):
     )
     assert removed > 0
     assert set(got) == set(batch)
-    # n_events never diverges (every event folds exactly once, evicted
-    # span or not); only the integral can differ, and some users must
-    # still match (not everything idles past the TTL)
+    # on THIS fixture no evicted user re-appears (idle keys stay idle to
+    # stream end), so counts match batch everywhere; the re-appearance
+    # divergence (restarted span) is pinned separately in
+    # test_stream_twa_eviction_restart_and_null_values
     assert all(got[u][0] == batch[u][0] for u in batch)
     n_same = sum(1 for u in batch if got[u][1] == batch[u][1])
     assert 0 < n_same
+
+
+def test_stream_twa_eviction_restart_and_null_values(spark, tmp_path):
+    """Two review-found hazards, pinned end to end. (1) Drain ordering:
+    after eviction a re-appearing user's span RESTARTS and n_events
+    resets, so the drain must key on last_us (event time only moves
+    forward), not n_events — an n_events key would resurrect the stale
+    pre-eviction snapshot. (2) NULL values: the streaming fold maps NaN
+    to 0 cents, which contributes exactly what the batch twin's
+    NULL-cents segment does (SUM skips it) — so non-evicting streaming
+    equals batch even with NULLs planted."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinical_bi_spark.queries.events import evt_time_weighted_avg
+    from clinical_bi_spark.streaming.stateful import (
+        stream_time_weighted_avg_rows,
+    )
+
+    t0 = datetime.datetime(2024, 6, 1)
+
+    def ev(eid, dt_hours, user, value):
+        return (
+            eid, t0 + datetime.timedelta(hours=dt_hours), user, "view",
+            value, "{}",
+        )
+
+    # f1: A active (3 events) + B; f2/f3: B only (watermark advances past
+    # A's 1-day TTL → A evicted during f3); f4: A re-appears (2 events)
+    files = [
+        [ev(1, 0, 1, 2.00), ev(2, 1, 1, 4.00), ev(3, 2, 1, 6.00),
+         ev(4, 0, 2, 1.00)],
+        [ev(5, 72, 2, None)],          # NULL value: NaN→0-cents path
+        [ev(6, 84, 2, 3.00)],
+        [ev(7, 120, 1, 10.00), ev(8, 121, 1, 20.00), ev(9, 122, 2, 5.00)],
+    ]
+    d = tmp_path / "events.parquet"
+    os.makedirs(d)
+    for i, rows in enumerate(files):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        f = str(d / f"part-{i}.parquet")
+        pq.write_table(t, f)
+        os.utime(f, (1_700_000_000 + i * 60,) * 2)
+
+    batch = {
+        r.user_id: (r.n_events, r.twa_micro)
+        for r in evt_time_weighted_avg(spark, str(tmp_path)).collect()
+    }
+    # (2) non-evicting streaming == batch, NULL value included
+    got = {
+        r.user_id: (r.n_events, r.twa_micro)
+        for r in stream_time_weighted_avg_rows(
+            spark, str(tmp_path), max_files_per_trigger=1
+        ).collect()
+    }
+    assert got == batch
+    # sanity on the NULL semantics themselves: B's NULL-value segment
+    # contributes 0 to the integral on BOTH sides
+    assert batch[2][0] == 4
+
+    # (1) evicting: A is dropped during the B-only batches, re-appears in
+    # f4 → the drain must return the RESTARTED span (2 events over 1h,
+    # LOCF value 10.00 → exactly 10_000_000 micro), not the stale n=3
+    # pre-eviction snapshot
+    prog: list = []
+    evict = {
+        r.user_id: (r.n_events, r.twa_micro)
+        for r in stream_time_weighted_avg_rows(
+            spark, str(tmp_path), max_files_per_trigger=1,
+            progress_sink=prog, evict=True,
+        ).collect()
+    }
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in prog
+        for op in p.get("stateOperators", [])
+    )
+    assert removed >= 1
+    assert evict[1] == (2, 10_000_000)
+    assert evict[2] == batch[2]  # steadily-active key: exact through TTL

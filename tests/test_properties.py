@@ -657,3 +657,122 @@ def test_bound_quality_and_gate_match_unbound_forms(spark, texts):
         else:
             assert r.qm == round(r.q6), (r.qm, r.q6)
         assert bool(r.fused) == bool(r.unfused), (r.fused, r.unfused)
+
+
+# ---------------------------------------------------------------------------
+# Parked r14 candidates: gapfill + TWA vs pure-Python big-int references
+# on hypothesis-random event sets (ties, duplicate timestamps, single-
+# event users, arbitrary gaps) — the property form of the hand fixtures.
+# ---------------------------------------------------------------------------
+
+_EVT = st.tuples(
+    st.integers(min_value=1, max_value=4),          # user_id
+    st.integers(min_value=0, max_value=40),         # day offset
+    st.integers(min_value=0, max_value=86_399_999_999),  # intra-day micros
+    st.integers(min_value=0, max_value=99_999),     # value in cents
+)
+
+
+def _write_events(spark, tmp_path, evs):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(days=d, microseconds=us),
+            u,
+            "view",
+            c / 100.0,
+            "{}",
+        )
+        for i, (u, d, us, c) in enumerate(evs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+@_slow_ok
+@given(st.lists(_EVT, min_size=1, max_size=40))
+def test_gapfill_matches_bigint_reference(spark, tmp_path_factory, evs):
+    from clinical_bi_spark.queries.events import evt_gapfill_interpolate
+
+    tmp = tmp_path_factory.mktemp("gapfill_prop")
+    _write_events(spark, tmp, evs)
+    got = {
+        (r.user_id, str(r.bucket_date)): (r.value_micro, r.src)
+        for r in evt_gapfill_interpolate(spark, str(tmp)).collect()
+    }
+
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    byday: dict = {}
+    for u, d, _us, c in evs:
+        s, n = byday.get((u, d), (0, 0))
+        byday[(u, d)] = (s + c, n + 1)
+    ref: dict = {}
+    for (u, d), (s, n) in byday.items():
+        ref[(u, str(base + datetime.timedelta(days=d)))] = (
+            (10000 * s) // n,
+            "observed",
+        )
+    for u in {u for u, *_ in evs}:
+        days = sorted(d for (uu, d) in byday if uu == u)
+        for a, b in zip(days, days[1:]):
+            if b - a > 1:
+                s1, c1 = byday[(u, a)]
+                s2, c2 = byday[(u, b)]
+                for t in range(a + 1, b):
+                    v = (
+                        10000 * (s1 * c2 * (b - t) + s2 * c1 * (t - a))
+                    ) // (c1 * c2 * (b - a))
+                    ref[(u, str(base + datetime.timedelta(days=t)))] = (
+                        v,
+                        "interpolated",
+                    )
+    assert got == ref
+
+
+@_slow_ok
+@given(st.lists(_EVT, min_size=1, max_size=40))
+def test_twa_matches_bigint_reference(spark, tmp_path_factory, evs):
+    from clinical_bi_spark.queries.events import (
+        evt_time_weighted_avg,
+        evt_time_weighted_avg_sharded,
+    )
+
+    tmp = tmp_path_factory.mktemp("twa_prop")
+    _write_events(spark, tmp, evs)
+    got = {
+        r.user_id: (r.n_events, r.twa_micro)
+        for r in evt_time_weighted_avg(spark, str(tmp)).collect()
+    }
+    sharded = {
+        r.user_id: (r.n_events, r.twa_micro)
+        for r in evt_time_weighted_avg_sharded(spark, str(tmp)).collect()
+    }
+    assert sharded == got  # the skew twin under arbitrary inputs
+
+    peru: dict = {}
+    for i, (u, d, us, c) in enumerate(evs):
+        peru.setdefault(u, []).append((d * 86_400_000_000 + us, i, c))
+    ref: dict = {}
+    for u, pts in peru.items():
+        pts.sort()  # (us, event_id) total order — the query's tie-break
+        span = pts[-1][0] - pts[0][0]
+        if span == 0:
+            ref[u] = (len(pts), None)
+            continue
+        num = sum(
+            c * (pts[i + 1][0] - pts[i][0])
+            for i, (_, _, c) in enumerate(pts[:-1])
+        )
+        ref[u] = (
+            len(pts),
+            10000 * (num // span) + (10000 * (num % span)) // span,
+        )
+    assert got == ref

@@ -776,3 +776,31 @@ def test_twa_matches_bigint_reference(spark, tmp_path_factory, evs):
             10000 * (num // span) + (10000 * (num % span)) // span,
         )
     assert got == ref
+
+
+@_slow_ok
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_matches_reference_on_random_corpora(
+    spark, tmp_path_factory, word_lists
+):
+    """The parked r15 BPE candidate vs the canonical Python reference on
+    hypothesis-random corpora over a tiny alphabet (maximizing merge
+    collisions, tie-breaks, and pair-exhaustion no-op rounds — the
+    regimes where greedy-leftmost semantics can diverge)."""
+    from clinical_bi_spark.queries.textops import _BPE_MERGES
+    from tests.test_textops import _ref_bpe_counts, _run_bpe
+
+    texts = [" ".join(ws) for ws in word_lists]
+    tmp = tmp_path_factory.mktemp("bpe_prop")
+    got = _run_bpe(spark, tmp, texts)
+    assert got == _ref_bpe_counts(texts, _BPE_MERGES)

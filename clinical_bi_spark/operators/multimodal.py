@@ -891,3 +891,79 @@ def resize_media(
             )
 
     return df.mapInPandas(batches, schema=schema)
+
+
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """(n_frames, n_channels) int16 array → RIFF/WAVE PCM16 bytes —
+    the inverse of :func:`decode_wav_pcm16` (canonical 44-byte header,
+    interleaved little-endian frames)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_channels = arr.shape[1]
+    payload = arr.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(payload))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16, 1, n_channels, sample_rate,
+            sample_rate * 2 * n_channels, 2 * n_channels, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+
+
+def resample_wav_pcm16(data: bytes, target_rate: int) -> bytes:
+    """Nearest-neighbor (zero-order-hold) sample-rate conversion for PCM16
+    WAV — the speech-pipeline "everything to 16 kHz" prep step, exact by
+    construction: output frame i takes input frame (i·src) div target
+    (pure integer arithmetic, no filter state, any rational ratio), with
+    n_out = (n_in·target) div src. Real decode → index-map → real
+    re-encode; channels pass through interleaved."""
+    import numpy as np
+
+    if target_rate < 1:
+        raise ValueError("target_rate must be >= 1")
+    samples, src_rate = decode_wav_pcm16(data)
+    n_in = samples.shape[0]
+    n_out = (n_in * target_rate) // src_rate
+    idx = (np.arange(n_out, dtype="int64") * src_rate) // target_rate
+    return encode_wav_pcm16(samples[idx], target_rate)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    id_col: str = "asset_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Arrow-batched audio resampling over a binary media column: WAV
+    assets go through the REAL codec path (decode → nearest-neighbor
+    index map → re-encode at ``target_rate``); non-WAV or malformed rows
+    yield NULL (mixed-corpus filter, not failure)."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for b in pdf[media_col]:
+                if b is None:
+                    out.append(None)
+                    continue
+                data = bytes(b)
+                if sniff_media_type(data) != "audio/wav":
+                    out.append(None)
+                    continue
+                try:
+                    out.append(resample_wav_pcm16(data, target_rate))
+                except (ValueError, struct.error):
+                    out.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col], "resampled": out})
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, resampled binary")

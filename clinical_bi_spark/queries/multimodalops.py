@@ -904,3 +904,91 @@ def multimodal_video_mp4_samples(
         "track_samples",
         F.md5(F.col("payload")).alias("payload_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio resampling — REGISTRATION CANDIDATE, earliest r16 (the r13–r15
+# window budgets are fully committed to the eight candidates listed in
+# queries/__init__.py's round-12 post-commit note; this one waits for
+# the next free budget rather than over-committing future windows). TO
+# REGISTER (before that round's window commit): add
+#   @query("multimodal_audio_resample", oracle=_AUDIO_RESAMPLE_ORACLE)
+#
+# The speech-pipeline prep step ("everything to 16 kHz") done for REAL
+# and exactly: each document synthesizes the same deterministic 48 kHz
+# mono PCM16 WAV as multimodal_audio_features, and the operator
+# (operators/multimodal.resample_wav_pcm16) decodes it, maps output
+# frame i to input frame (i·48000) div 18000 = (8i) div 3 —
+# a deliberately NON-integral ratio so the index arithmetic is
+# exercised, zero-order-hold so the result is integer-exact — and
+# re-encodes at 18000 Hz. The oracle rebuilds the ENTIRE output file
+# hex-for-hex (44-byte canonical header + each mapped sample's
+# little-endian two's-complement image), so decode → index-map →
+# re-encode is byte-exact adjudicated, the same standard as the
+# PPM/BMP resize oracles.
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_RATE = 18000
+_RESAMPLE_N = _WAV_N * _RESAMPLE_RATE // _WAV_RATE  # 180
+
+_RESAMPLED_HEADER_HEX = (
+    b"RIFF"
+    + _struct.pack("<I", 36 + _RESAMPLE_N * 2)
+    + b"WAVEfmt "
+    + _struct.pack(
+        "<IHHIIHH", 16, 1, 1, _RESAMPLE_RATE, _RESAMPLE_RATE * 2, 2, 16
+    )
+    + b"data"
+    + _struct.pack("<I", _RESAMPLE_N * 2)
+).hex()
+
+_AUDIO_RESAMPLE_ORACLE = f"""
+SELECT doc_id AS asset_id,
+       CAST({_WAV_RATE} AS INT) AS orig_rate,
+       CAST({_RESAMPLE_RATE} AS INT) AS target_rate,
+       CAST({_RESAMPLE_N} AS INT) AS n_samples_out,
+       '{_RESAMPLED_HEADER_HEX}' || array_to_string(
+         list_transform(range(0, {_RESAMPLE_N}), i ->
+           printf('%02x%02x',
+             CAST((doc_id * 31 + ((i * 8) // 3) * 7 + 32768) % 65536 % 256
+               AS INT),
+             CAST(((doc_id * 31 + ((i * 8) // 3) * 7 + 32768) % 65536) // 256
+               AS INT))), '') AS resampled_hex
+FROM documents
+"""
+
+
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48 kHz → 18 kHz zero-order-hold resampling through the REAL WAV
+    codec, output file byte-exact against the oracle's closed-form
+    reconstruction — see the block comment above for the design and the
+    registration plan."""
+    from clinical_bi_spark.operators.multimodal import resample_audio
+
+    t = load_tables(tune(spark), sf_dir)
+    i = F.sequence(F.lit(0), F.lit(_WAV_N - 1))
+    u = lambda ix: (F.col("doc_id") * 31 + ix * 7 + 32768) % 65536
+    sample_hex = F.array_join(
+        F.transform(
+            i,
+            lambda ix: F.format_string(
+                "%02x%02x",
+                (u(ix) % 256).cast("int"),
+                F.floor(u(ix) / 256).cast("int"),
+            ),
+        ),
+        "",
+    )
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(F.concat(F.lit(_WAV_HEADER_HEX), sample_hex)).alias("media"),
+    )
+    out = resample_audio(media, target_rate=_RESAMPLE_RATE)
+    return out.select(
+        "asset_id",
+        F.lit(_WAV_RATE).alias("orig_rate"),
+        F.lit(_RESAMPLE_RATE).alias("target_rate"),
+        F.lit(_RESAMPLE_N).alias("n_samples_out"),
+        F.lower(F.hex("resampled")).alias("resampled_hex"),
+    )

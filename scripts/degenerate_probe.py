@@ -157,6 +157,7 @@ def _parked_candidates() -> dict:
         evt_time_weighted_avg,
     )
     from clinical_bi_spark.queries.multimodalops import (
+        multimodal_audio_resample,
         multimodal_video_mp4_samples,
     )
     from clinical_bi_spark.queries.pipelineops import data_zorder_layout
@@ -168,6 +169,7 @@ def _parked_candidates() -> dict:
         "PARKED:evt_time_weighted_avg": evt_time_weighted_avg,
         "PARKED:text_bpe_train_encode": text_bpe_train_encode,
         "PARKED:data_zorder_layout": data_zorder_layout,
+        "PARKED:multimodal_audio_resample": multimodal_audio_resample,
     }
 
 

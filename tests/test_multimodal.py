@@ -684,3 +684,74 @@ def test_gif_gray_encoder_rejects_color_input():
     rgb[0, 0] = (10, 20, 30)  # not gray
     with pytest.raises(ValueError, match="R==G==B"):
         encode_gif_gray(rgb)
+
+
+def test_wav_resample_codec_roundtrip_and_ratios():
+    """encode → resample → decode: nearest-neighbor index mapping is exact
+    for integral and non-integral ratios, mono and stereo, up and down."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        resample_wav_pcm16,
+    )
+
+    arr = (((np.arange(480) * 7 + 31) % 65536) - 32768).astype("<i2")
+    wav = encode_wav_pcm16(arr, 48000)
+    back, rate = decode_wav_pcm16(wav)
+    assert rate == 48000 and (back[:, 0] == arr).all()
+    for target in (16000, 18000, 44100, 96000):
+        o, orate = decode_wav_pcm16(resample_wav_pcm16(wav, target))
+        n_out = (480 * target) // 48000
+        assert orate == target and o.shape == (n_out, 1)
+        idx = (np.arange(n_out, dtype="int64") * 48000) // target
+        assert (o[:, 0] == arr[idx]).all()
+    stereo = np.stack([arr, -arr - 1], axis=1).astype("<i2")
+    o2, r2 = decode_wav_pcm16(resample_wav_pcm16(encode_wav_pcm16(stereo, 44100), 22050))
+    assert r2 == 22050 and (o2 == stereo[(np.arange(240) * 44100) // 22050]).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resample_wav_pcm16(wav, 0)
+
+
+def test_resample_audio_mixed_corpus_nulls(spark):
+    """Non-WAV, NULL, and malformed-WAV rows yield NULL through the Arrow
+    path; WAV rows resample byte-exactly."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        resample_audio,
+        resample_wav_pcm16,
+    )
+
+    arr = (np.arange(96, dtype="int64") % 65536 - 32768).astype("<i2")
+    wav = encode_wav_pcm16(arr, 48000)
+    truncated = wav[:30]  # RIFF/WAVE magic intact, fmt chunk cut mid-way
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(b"GIF89a123456")),
+        (3, None),
+        (4, bytearray(truncated)),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media binary")
+    out = {r.asset_id: r.resampled for r in resample_audio(df, 16000).collect()}
+    assert bytes(out[1]) == resample_wav_pcm16(wav, 16000)
+    assert out[2] is None and out[3] is None and out[4] is None
+
+
+def test_audio_resample_query_matches_oracle(spark, oracle_con):
+    """The parked (earliest-r16) candidate, adjudicated driver-style —
+    output file hex-exact including the 44-byte header."""
+    from clinical_bi_spark.queries.multimodalops import (
+        _AUDIO_RESAMPLE_ORACLE,
+        multimodal_audio_resample,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    df = multimodal_audio_resample(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, oracle_con, _AUDIO_RESAMPLE_ORACLE, name="multimodal_audio_resample"
+    )

@@ -136,8 +136,11 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: queries/pipelineops.py — Morton-curve layout map with a row-level-
 #: NTILE oracle and the pruning claim adjudicated 11/64-vs-64/64) park
 #: for r15 on the same terms and are its whole registration budget; a
-#: NINTH (multimodal_audio_resample — real PCM16 rate conversion,
-#: hex-exact file oracle) waits for the earliest free budget (r16). r12 also changed _semdedup_pipeline
+#: NINTH and TENTH (multimodal_audio_resample — real PCM16 rate
+#: conversion, hex-exact file oracle — and multimodal_image_patches —
+#: ViT patchify through the real PPM/BMP codecs, per-patch hex-exact)
+#: wait for the earliest free budget (r16: the audio and vision prep
+#: pair). r12 also changed _semdedup_pipeline
 #: (large-K sharded-assignment branch) — the registered
 #: dedup_semantic_cluster's K=16 path is structurally untouched and the
 #: query holds an r11-green verdict on identical plan output

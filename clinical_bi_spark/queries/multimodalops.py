@@ -992,3 +992,87 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_RESAMPLE_N).alias("n_samples_out"),
         F.lower(F.hex("resampled")).alias("resampled_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style image patchify — REGISTRATION CANDIDATE, earliest r16 (pairs
+# with multimodal_audio_resample above: together they are the natural
+# r16 budget — the audio and vision PREP steps of a multimodal training
+# pipeline; same budget note). TO REGISTER (before that round's window
+# commit): add
+#   @query("multimodal_image_patches", oracle=_PATCHES_ORACLE)
+#
+# The vision-training analog of frame sampling: decode the REAL 16×16
+# PPM (the multimodal_resize synthesis — pixel (x,y,c) =
+# (doc_id·7 + y·31 + x·5 + c·11) mod 256), split into the 2×2 grid of
+# non-overlapping 8×8 patches, one row per patch with raw RGB bytes and
+# the integer pixel sum — exactly the fan-out shape ViT tokenizers
+# consume. The oracle rebuilds every patch's 192 bytes hex-for-hex and
+# its pixel sum closed-form from the same formula, so decode → slice →
+# emit is byte-exact adjudicated. Patches ship as hex of raw bytes (192
+# per patch — bounded) with the md5-fingerprint contract available the
+# moment patches grow (same rule as frames).
+# ---------------------------------------------------------------------------
+
+_PATCHES_ORACLE = """
+SELECT doc_id AS asset_id,
+       CAST(pr AS INT) AS patch_row,
+       CAST(pc AS INT) AS patch_col,
+       array_to_string(list_transform(range(0, 192), i ->
+         printf('%02x',
+           (doc_id * 7 + (pr * 8 + i // 24) * 31
+            + (pc * 8 + (i % 24) // 3) * 5 + (i % 3) * 11) % 256)), '')
+         AS patch_hex,
+       CAST(list_sum(list_transform(range(0, 192), i ->
+           (doc_id * 7 + (pr * 8 + i // 24) * 31
+            + (pc * 8 + (i % 24) // 3) * 5 + (i % 3) * 11) % 256))
+         AS BIGINT) AS pixel_sum
+FROM documents,
+     UNNEST(range(0, 2)) AS r(pr),
+     UNNEST(range(0, 2)) AS c(pc)
+"""
+
+
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 grid of 8×8 ViT patches through the REAL PPM codec, byte-exact
+    against the oracle's closed-form reconstruction — see the block
+    comment above for the design and the r16 registration plan."""
+    from clinical_bi_spark.operators.multimodal import extract_image_patches
+
+    t = load_tables(tune(spark), sf_dir)
+
+    def _idiv(a: F.Column, b: int) -> F.Column:  # non-negative floor div
+        return F.floor(a / F.lit(b)).cast("long")
+
+    ix = F.sequence(F.lit(0), F.lit(767))
+    pixel_hex = F.array_join(
+        F.transform(
+            ix,
+            lambda i: F.format_string(
+                "%02x",
+                (
+                    (
+                        F.col("doc_id") * 7
+                        + _idiv(i, 48) * 31
+                        + _idiv(i % 48, 3) * 5
+                        + (i % 3) * 11
+                    )
+                    % 256
+                ).cast("int"),
+            ),
+        ),
+        "",
+    )
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.unhex(F.concat(F.lit(_SRC_HEADER_HEX), pixel_hex)).alias("media"),
+    )
+    patches = extract_image_patches(media, patch=8)
+    return patches.select(
+        "asset_id",
+        "patch_row",
+        "patch_col",
+        F.lower(F.hex("patch")).alias("patch_hex"),
+        "pixel_sum",
+    )

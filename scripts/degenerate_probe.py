@@ -158,6 +158,7 @@ def _parked_candidates() -> dict:
     )
     from clinical_bi_spark.queries.multimodalops import (
         multimodal_audio_resample,
+        multimodal_image_patches,
         multimodal_video_mp4_samples,
     )
     from clinical_bi_spark.queries.pipelineops import data_zorder_layout
@@ -170,6 +171,7 @@ def _parked_candidates() -> dict:
         "PARKED:text_bpe_train_encode": text_bpe_train_encode,
         "PARKED:data_zorder_layout": data_zorder_layout,
         "PARKED:multimodal_audio_resample": multimodal_audio_resample,
+        "PARKED:multimodal_image_patches": multimodal_image_patches,
     }
 
 

@@ -755,3 +755,61 @@ def test_audio_resample_query_matches_oracle(spark, oracle_con):
     assert_matches_oracle(
         df, oracle_con, _AUDIO_RESAMPLE_ORACLE, name="multimodal_audio_resample"
     )
+
+
+def test_extract_image_patches_real_codec_and_filters(spark):
+    """Patchify through the real codecs: PPM and BMP decode to the same
+    pixels, so their patches agree; non-multiple dimensions, undecodable
+    formats, and NULLs emit nothing; patch=0 is rejected loudly."""
+    import numpy as np
+
+    from clinical_bi_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        extract_image_patches,
+    )
+
+    img = ((np.arange(16 * 16 * 3) * 13 + 5) % 256).astype(np.uint8).reshape(
+        16, 16, 3
+    )
+    odd = img[:15, :, :]  # 15 rows: not a multiple of 8
+    rows = [
+        (1, bytearray(encode_ppm(img))),
+        (2, bytearray(encode_bmp(img))),
+        (3, bytearray(encode_ppm(odd))),
+        (4, bytearray(b"GIF89a123456")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media binary")
+    out = extract_image_patches(df, patch=8).collect()
+    got = {
+        (r.asset_id, r.patch_row, r.patch_col): (bytes(r.patch), r.pixel_sum)
+        for r in out
+    }
+    assert {a for a, _, _ in got} == {1, 2}
+    for pr in range(2):
+        for pc in range(2):
+            tile = img[pr * 8 : pr * 8 + 8, pc * 8 : pc * 8 + 8]
+            expect = (tile.tobytes(), int(tile.astype(np.int64).sum()))
+            assert got[(1, pr, pc)] == expect
+            assert got[(2, pr, pc)] == expect  # BMP roundtrip == PPM
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        extract_image_patches(df, patch=0)
+
+
+def test_image_patches_query_matches_oracle(spark, oracle_con):
+    """The parked (earliest-r16) vision-prep candidate, adjudicated
+    driver-style — every patch byte-exact plus its integer pixel sum."""
+    from clinical_bi_spark.queries.multimodalops import (
+        _PATCHES_ORACLE,
+        multimodal_image_patches,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    df = multimodal_image_patches(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, oracle_con, _PATCHES_ORACLE, name="multimodal_image_patches"
+    )

@@ -293,37 +293,69 @@ def _parse_trak(data: bytes, tb: int, te: int) -> dict | None:
             for i in range(count)
         ]
 
-    # stts → per-sample durations (run-length expand)
-    b, _ = tables[b"stts"]
+    # Every table's declared entry count is validated against the box
+    # body it claims to occupy BEFORE any allocation or unpack loop: a
+    # corrupt-but-well-framed asset (bogus 2^32-ish count in a small box)
+    # must degrade to None — the mixed-corpus-scan-is-a-filter contract —
+    # not raise struct.error on a short slice or allocate count entries.
+
+    # stsz → sizes (parsed first so sample count bounds the stts expand)
+    b, e = tables[b"stsz"]
+    if b + 12 > e:
+        return None
+    fixed, n_samples = struct.unpack(">II", data[b + 4 : b + 12])
+    if fixed == 0 and b + 12 + 4 * n_samples > e:
+        return None
+    # a track cannot index more samples than the file has bytes; caps the
+    # fixed-size branch (whose count no box length otherwise bounds)
+    if n_samples > len(data):
+        return None
+    sizes = [fixed] * n_samples if fixed else u32s(b + 12, n_samples)
+
+    # stts → per-sample durations (run-length expand, capped at n_samples)
+    b, e = tables[b"stts"]
+    if b + 8 > e:
+        return None
     (n_runs,) = struct.unpack(">I", data[b + 4 : b + 8])
+    if b + 8 + 8 * n_runs > e:
+        return None
     durations: list[int] = []
     for i in range(n_runs):
         count, delta = struct.unpack(
             ">II", data[b + 8 + i * 8 : b + 16 + i * 8]
         )
+        if len(durations) + count > n_samples:
+            return None
         durations.extend([delta] * count)
-
-    # stsz → sizes
-    b, _ = tables[b"stsz"]
-    fixed, n_samples = struct.unpack(">II", data[b + 4 : b + 12])
-    sizes = [fixed] * n_samples if fixed else u32s(b + 12, n_samples)
     if len(durations) != n_samples:
         return None
 
     # stss → sync set (absent ⇒ all sync, per spec)
     if b"stss" in tables:
-        b, _ = tables[b"stss"]
+        b, e = tables[b"stss"]
+        if b + 8 > e:
+            return None
         (n_sync,) = struct.unpack(">I", data[b + 4 : b + 8])
+        if b + 8 + 4 * n_sync > e:
+            return None
         sync = set(u32s(b + 8, n_sync))
     else:
         sync = set(range(1, n_samples + 1))
 
     # stsc runs + stco → per-sample absolute offsets
-    b, _ = tables[b"stco"]
+    b, e = tables[b"stco"]
+    if b + 8 > e:
+        return None
     (n_chunks,) = struct.unpack(">I", data[b + 4 : b + 8])
+    if b + 8 + 4 * n_chunks > e:
+        return None
     chunk_offsets = u32s(b + 8, n_chunks)
-    b, _ = tables[b"stsc"]
+    b, e = tables[b"stsc"]
+    if b + 8 > e:
+        return None
     (n_entries,) = struct.unpack(">I", data[b + 4 : b + 8])
+    if b + 8 + 12 * n_entries > e:
+        return None
     runs = [
         struct.unpack(">III", data[b + 8 + i * 12 : b + 20 + i * 12])
         for i in range(n_entries)
@@ -343,6 +375,11 @@ def _parse_trak(data: bytes, tb: int, te: int) -> dict | None:
             at += sizes[sample_idx]
             sample_idx += 1
     if len(offsets) != n_samples:
+        return None
+    # every claimed (offset, size) range must lie inside the file: a
+    # corrupt stco/stsz pointing past EOF filters the asset rather than
+    # silently emitting a truncated payload with a full size_bytes claim
+    if any(offsets[i] + sizes[i] > len(data) for i in range(n_samples)):
         return None
 
     dts = 0
@@ -404,7 +441,14 @@ def extract_mp4_sync_samples(
                 if media is None:
                     continue
                 data = bytes(media)
-                track = parse_mp4_track(data)
+                try:
+                    track = parse_mp4_track(data)
+                except (ValueError, struct.error, IndexError):
+                    # belt over the parser's own bounds checks: any
+                    # malformation they don't anticipate still degrades
+                    # to skip-this-asset, never a task failure (same
+                    # posture as resample_audio)
+                    track = None
                 if track is None:
                     continue
                 total = len(track["samples"])

@@ -988,8 +988,12 @@ def extract_image_patches(
         raise ValueError("patch must be >= 1")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: dict = {k: [] for k in ("id", "pr", "pc", "pix", "s")}
+        # one output frame per input Arrow batch (same streaming shape as
+        # extract_mp4_sync_samples / sample_video_frames): accumulating
+        # the whole partition in one dict would hold every patch of every
+        # asset in executor memory at once
         for pdf in it:
+            rows: dict = {k: [] for k in ("id", "pr", "pc", "pix", "s")}
             for asset_id, b in zip(pdf[id_col], pdf[media_col]):
                 if b is None:
                     continue
@@ -1018,15 +1022,15 @@ def extract_image_patches(
                         rows["pc"].append(pc)
                         rows["pix"].append(tile.tobytes())
                         rows["s"].append(int(tile.astype(np.int64).sum()))
-        yield pd.DataFrame(
-            {
-                id_col: pd.Series(rows["id"], dtype="int64"),
-                "patch_row": pd.Series(rows["pr"], dtype="int32"),
-                "patch_col": pd.Series(rows["pc"], dtype="int32"),
-                "patch": rows["pix"],
-                "pixel_sum": pd.Series(rows["s"], dtype="int64"),
-            }
-        )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows["id"], dtype="int64"),
+                    "patch_row": pd.Series(rows["pr"], dtype="int32"),
+                    "patch_col": pd.Series(rows["pc"], dtype="int32"),
+                    "patch": rows["pix"],
+                    "pixel_sum": pd.Series(rows["s"], dtype="int64"),
+                }
+            )
 
     return df.mapInPandas(
         batches,

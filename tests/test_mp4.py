@@ -119,6 +119,58 @@ def test_mp4_rejects_malformed():
         parse_mp4_track(data[:i])
 
 
+def _patch_u32(data: bytes, at: int, value: int) -> bytes:
+    return data[:at] + struct.pack(">I", value) + data[at + 4 :]
+
+
+def test_mp4_bogus_table_counts_degrade_to_none_not_error():
+    """Corrupt-but-well-framed assets: every table's declared entry count
+    is clamped against its box body BEFORE allocation or unpack — a
+    2^32-ish count in a small box returns None (mixed-corpus filter
+    contract), never struct.error and never a giant allocation."""
+    data = encode_mp4(
+        [b"k1", b"d2", b"k3"], [10, 20, 30], [True, False, True]
+    )
+    # counts live 8 bytes past each table's tag (verflags(4) + count(4));
+    # stsz's layout is verflags(4) + fixed_size(4) + sample_count(4)
+    for tag in (b"stts", b"stss", b"stsc", b"stco"):
+        at = data.index(tag) + 8
+        assert parse_mp4_track(_patch_u32(data, at, 0xFFFFFFF0)) is None
+    at = data.index(b"stsz") + 12
+    assert parse_mp4_track(_patch_u32(data, at, 0xFFFFFFF0)) is None
+    # fixed-size stsz branch: no per-sample table bounds the count, so the
+    # n_samples <= len(data) clamp must catch it
+    at = data.index(b"stsz") + 8
+    corrupt = _patch_u32(_patch_u32(data, at, 2), at + 4, 0xFFFFFFF0)
+    assert parse_mp4_track(corrupt) is None
+    # one stts run whose per-run count (not n_runs) is bogus: the
+    # cumulative-durations-vs-n_samples guard fires before extending
+    at = data.index(b"stts") + 12  # first run's sample_count
+    assert parse_mp4_track(_patch_u32(data, at, 0xFFFFFFF0)) is None
+
+
+def test_mp4_offsets_past_eof_filter_the_asset():
+    """A stco pointing past EOF must reject the track rather than emit a
+    truncated payload whose size_bytes still reports the claimed size."""
+    data = encode_mp4([b"k1", b"d2"], [10, 10], [True, False])
+    at = data.index(b"stco") + 12  # first chunk offset
+    assert parse_mp4_track(_patch_u32(data, at, len(data) - 1)) is None
+
+
+def test_extract_skips_corrupt_assets_keeps_good(spark):
+    """One corrupt asset in a partition must not kill the Spark task or
+    suppress the healthy assets around it."""
+    good = encode_mp4([b"k1", b"d2", b"k3"], [10, 10, 10], [True, False, True])
+    bad_count = _patch_u32(good, good.index(b"stts") + 8, 0xFFFFFFF0)
+    bad_eof = _patch_u32(good, good.index(b"stco") + 12, len(good))
+    df = spark.createDataFrame(
+        [(1, bytearray(bad_count)), (2, bytearray(good)), (3, bytearray(bad_eof))],
+        "asset_id long, media binary",
+    )
+    out = extract_mp4_sync_samples(df, every_n=1).collect()
+    assert sorted((r.asset_id, r.sample_number) for r in out) == [(2, 1), (2, 3)]
+
+
 def test_mp4_first_sample_must_be_sync_and_inputs_align():
     with pytest.raises(ValueError):
         encode_mp4([b"a"], [1], [False])

@@ -124,6 +124,16 @@ _R12_SET = _R11_SET | frozenset(
     }
 )
 
+# The bench set as of round 13 (r12 set + the one batch query whose parked
+# r12 registration landed this round with a floor at birth: the ISO-BMFF
+# sample-table walk; stream_static_enrich_join and stream_session_stateful
+# also registered this round but streaming queries are not benched).
+_R13_SET = _R12_SET | frozenset(
+    {
+        "multimodal_video_mp4_samples",
+    }
+)
+
 
 def main() -> None:
     registry = load_all()
@@ -194,6 +204,8 @@ def main() -> None:
     assert not missing_r11, f"r11-set queries missing from bench: {missing_r11}"
     missing_r12 = _R12_SET - set(timings)
     assert not missing_r12, f"r12-set queries missing from bench: {missing_r12}"
+    missing_r13 = _R13_SET - set(timings)
+    assert not missing_r13, f"r13-set queries missing from bench: {missing_r13}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -233,6 +245,9 @@ def main() -> None:
         ),
         "subtotal_r12_set": round(
             sum(t for n, t in timings.items() if n in _R12_SET), 3
+        ),
+        "subtotal_r13_set": round(
+            sum(t for n, t in timings.items() if n in _R13_SET), 3
         ),
         # Global-rank dual path (operators/ranking.py): benched timings
         # measure the sharded prefix-sum production form (the default);

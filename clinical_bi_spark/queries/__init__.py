@@ -72,7 +72,53 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: two rounds later — registry growth must stay small (<=2-3 new queries
 #: per round) now that the surface is complete.
 #:
-#: ROUND-12 WINDOW (new code landed before this commit: the three r11
+#: ROUND-13 WINDOW (new code landed before this commit: the three r12
+#: parked candidates — multimodal_video_mp4_samples,
+#: stream_static_enrich_join, stream_session_stateful — registered
+#: exactly as the r12 parking comments planned, with a _R13_SET bench
+#: floor for the batch one; the r13 ADVICE hardening of operators/mp4.py
+#: also precedes this commit, so the mp4 query adjudicates through the
+#: hardened parser). Slot budget, in priority order (1+1+36+5+2+5 = 50):
+#:   (a) multimodal_video_mp4_samples LEADS (never adjudicated, batch;
+#:       its two streaming siblings lead the TAIL per standing policy);
+#:   (b) dedup_semantic_cluster — the one explicitly scheduled
+#:       changed-r12 entry (the large-K sharded-assignment branch landed
+#:       in _semdedup_pipeline after the r12 window commit; the
+#:       registered K=16 path is plan-identical and r11-green, but the
+#:       changed-code-gets-a-current-row policy owes it this slot);
+#:   (c) the 36 non-streaming r9-green entries at the staleness-4
+#:       ceiling (FORCED; the 3 streaming members of that block sit at
+#:       the tail); includes the m1_keyed_split/m2_encoder_chain/
+#:       f3_pattern_classifier/etl_cohort_conditional_agg block and the
+#:       whole r9 text family;
+#:   (d) the 5 oldest r10-green entries pulled a round EARLY,
+#:       alphabetical (a3_hll_merge, a3_hll_portable,
+#:       agg_gini_coefficient, agg_grouping_sets,
+#:       agg_histogram_quantiles): 46 r10-green entries exist, so an
+#:       unpulled r14 would be FORCED to 46 + 3 registrations + 2
+#:       headliners = 51 > 50 — this pull is what keeps the r14
+#:       arithmetic sound (41 forced + 3 + 2 = 46, 4 free);
+#:   (e) headliners (flagship / dashboard), every round;
+#:   (f) streaming TAIL (wedged-stream blast-radius policy): the two
+#:       never-adjudicated registrations lead the tail
+#:       (stream_static_enrich_join — stateless, so first — then
+#:       stream_session_stateful), then the 3 forced r9-green streaming
+#:       entries (stream_cep_pattern, stream_cep_pattern_quantified,
+#:       stream_forward_fill).
+#: Rows-only rotation note: the oldest rows-only verdicts
+#: (m9_mlp_train_eval, a3_approx_count_distinct — r11) have two rounds
+#: of headroom and ride r14's 4 free slots; nothing rows-only is stale
+#: this round. r14 arithmetic check at this commit: 41 r10-green
+#: remain forced at r14 (46 minus the 5 pulled here) + the 3 scheduled
+#: r14 registrations (evt_gapfill_interpolate, evt_time_weighted_avg,
+#: stream_time_weighted_avg at the tail) + 2 headliners = 46 of 50 —
+#: the invariant holds with 4 free slots for the r11 rows-only pair
+#: and early r11 pulls (48 r11-green minus dedup_semantic_cluster's
+#: row here = 47 forced at r15; 47 + 2 r15 registrations + 2
+#: headliners = 51 > 50, so r14 MUST pull at least one r11 entry —
+#: prefer the rows-only pair + two oldest alphabetical).
+#:
+#: ROUND-12 WINDOW (history; new code landed before this commit: the three r11
 #: parked candidates — agg_mannwhitney_u, data_psi_drift,
 #: stream_left_outer_join — registered exactly as the r11 parking
 #: comments planned, with _R12_SET bench floors for the two batch ones).
@@ -409,75 +455,72 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (1) the 2 batch r12 registrations LEAD (never adjudicated;
-    #        parked as planned-in-code since r11; the third, streaming,
-    #        registration sits at the TAIL per policy) --
-    "agg_mannwhitney_u",
-    "data_psi_drift",
-    # -- (2) the one explicitly scheduled changed-r11 entry: the
-    #        language_guess let-binding rewrote its expressions
-    #        (value-identical; session oracle + unicode sweep re-passed)
-    #        but it carried no r11 slot --
-    "text_language_id",
-    # -- (3) the 36 r8-green staleness-ceiling entries (FORCED; includes
-    #        the r8 rows-only rotations agg_percentiles_approx /
-    #        m3_feature_importance, the changed-r9 vec_pca_power_top1,
-    #        and sim_ann_pq's FIRST row through the exact oracle that
-    #        graduated late in r11) --
-    "a3_multi_count_distinct",
-    "agg_benford_firstdigit",
-    "agg_bootstrap_ci_mean",
-    "agg_percentiles_approx",
-    "agg_pricing_summary",
-    "agg_ttest_welch",
-    "agg_winsorized_mean",
-    "asof_join_events",
-    "data_snapshot_diff",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_keep_best",
-    "evt_cep_pattern",
-    "evt_cep_pattern_quantified",
-    "evt_dedup_window",
-    "evt_forward_fill",
-    "evt_funnel_conversion",
-    "evt_funnel_time_bounded",
-    "evt_group_zscore",
-    "evt_group_zscore_window",
-    "evt_json_extract",
-    "evt_retention_cohorts",
-    "evt_sessionization",
-    "evt_sliding_window",
-    "evt_tumbling_window",
-    "f_scalar_battery",
-    "j2_selfjoin_fanout",
-    "m19_temporal_split",
-    "m3_feature_importance",
-    "m8_vocab_embedding",
-    "multimodal_features",
-    "multimodal_resize_bmp",
-    "p_filter_conjunction",
-    "sim_ann_pq",
-    "vec_pca_power_top1",
-    "w2_running_total",
-    # -- (4) the changed-r10 dedup/rank block, pulled a round early
-    #        (r9-green, ceiling r13; r11 verdict Next #6) --
-    "agg_equidepth_histogram",
-    "dedup_containment_prefix",
-    "dedup_containment_superset",
-    "dedup_jaccard_prefix",
-    "evt_rfm_segmentation",
-    "m13_auc_rank",
-    # -- (5) oldest r9 rotation debt takes the last 2 discretionary
-    #        slots (the streaming one goes to the TAIL below) --
-    "m8_vocab_embedding_trained",
-    # -- (6) headliners, every round --
+    # -- (a) the batch r13 registration LEADS (never adjudicated; parked
+    #        as planned-in-code since r12; its two streaming siblings
+    #        lead the TAIL per policy) --
+    "multimodal_video_mp4_samples",
+    # -- (b) the one explicitly scheduled changed-r12 entry: the
+    #        sharded-assignment branch landed in _semdedup_pipeline
+    #        after the r12 window commit (registered K=16 path
+    #        plan-identical; session oracles re-passed) --
+    "dedup_semantic_cluster",
+    # -- (c) the 36 non-streaming r9-green staleness-ceiling entries
+    #        (FORCED; their 3 streaming siblings sit at the tail) --
+    "agg_rollup",
+    "agg_salted_count",
+    "agg_spearman_corr",
+    "agg_stats_battery",
+    "data_global_shuffle",
+    "data_mixture_sample",
+    "data_weighted_sample",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "etl_cohort_conditional_agg",
+    "evt_changepoint_cusum",
+    "f10_sed_cleanse",
+    "f3_pattern_classifier",
+    "f6_f7_date_functions",
+    "j7_frequency_enrichment",
+    "j_semi_anti_exists",
+    "m12_stratified_sample",
+    "m15_confusion_metrics",
+    "m1_keyed_split",
+    "m2_encoder_chain",
+    "merge_upsert_emulation",
+    "set_ops",
+    "sim_bruteforce_topk",
+    "sort_limit_topn",
+    "text_bigram_pmi_topk",
+    "text_char_entropy",
+    "text_chunk_dedup",
+    "text_corpus_rollup",
+    "text_lm_score",
+    "text_redact_pii",
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_winnow_fingerprint",
+    "vec_norm_rollup",
+    "w1_topk_per_group",
+    "w4_rank_battery",
+    # -- (d) the 5 oldest r10-green entries pulled a round early,
+    #        alphabetical — this pull keeps r14's forced block at
+    #        41 + 3 + 2 = 46 instead of an unsatisfiable 51 --
+    "a3_hll_merge",
+    "a3_hll_portable",
+    "agg_gini_coefficient",
+    "agg_grouping_sets",
+    "agg_histogram_quantiles",
+    # -- (e) headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- streaming members sit LAST: the never-adjudicated LEFT OUTER
-    #    stream join leads the tail, then the r9 stateful refresh --
-    "stream_left_outer_join",
-    "stream_stateful_user_stats",
+    # -- (f) streaming members sit LAST: the two never-adjudicated
+    #    registrations lead the tail (stateless enrich join first),
+    #    then the 3 forced r9-green streaming entries --
+    "stream_static_enrich_join",
+    "stream_session_stateful",
+    "stream_cep_pattern",
+    "stream_cep_pattern_quantified",
+    "stream_forward_fill",
 )
 #: New queries that landed AFTER the current round's window was committed:
 #: they sit out this round (documented, not silently unadjudicated) and
@@ -485,14 +528,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #: fails if a never-adjudicated registry query is neither in the window
 #: nor listed here.
 _DEFERRED_NEW: tuple[str, ...] = ()
-# r12: EMPTY — the round's new registrations (agg_mannwhitney_u,
-# data_psi_drift, stream_left_outer_join) landed BEFORE the window
-# commit and lead it (streaming one at the tail). Due FIRST in r13
-# (oldest-first): the 40 remaining r9-green entries (staleness 4 at the
-# r13 window commit) — 48 r9-green minus the 6 dedup/rank block + 2
-# slot-(c) pulls adjudicated here; that block + 2 headliners fills 42
-# of 50 slots, so r13 has ~8 free.
-# (r11/r10 history: empty for the same reason — each round's new code
+# r13: EMPTY — the round's new registrations (multimodal_video_mp4_samples,
+# stream_static_enrich_join, stream_session_stateful) landed BEFORE the
+# window commit and lead it (streaming pair at the tail). Due FIRST in
+# r14 (oldest-first): the 41 remaining r10-green entries (staleness 4 at
+# the r14 window commit) — 46 r10-green minus the 5 slot-(d) pulls
+# adjudicated here; that block + the 3 scheduled r14 registrations + 2
+# headliners fills 46 of 50 slots, leaving 4 for the r11 rows-only pair
+# (m9_mlp_train_eval, a3_approx_count_distinct) and early r11 pulls.
+# (r10-r12 history: empty for the same reason — each round's new code
 # registered pre-window and led it.)
 
 

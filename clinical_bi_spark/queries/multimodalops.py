@@ -767,15 +767,13 @@ def multimodal_resize_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MP4 sample-table walk + keyframe extraction — r13 REGISTRATION CANDIDATE,
-# deliberately undecorated: the r12 window is committed and the r13
-# registration budget already holds the two parked streaming candidates
-# (stream_static_enrich_join, stream_session_stateful); this is the third
-# and last new registration r13's arithmetic can take (3 never-adjudicated
-# lead + the scheduled dedup_semantic_cluster re-adjudication still leaves
-# the 40 forced r9-green entries + 2 headliners within 50). TO REGISTER IN
-# r13 (before that round's window commit): add
-#   @query("multimodal_video_mp4_samples", oracle=_MP4_SAMPLES_ORACLE)
+# MP4 sample-table walk + keyframe extraction — REGISTERED r13 exactly as
+# the r12 parking comment planned (the round's registration budget is the
+# three parked candidates: this plus the two streaming ones; 3
+# never-adjudicated lead the window + the scheduled dedup_semantic_cluster
+# re-adjudication still leaves the 39 forced r9-green entries + 2
+# headliners within 50 — see the ROUND-13 WINDOW comment in __init__.py).
+# Bench floor recorded at birth via _R13_SET (batch query ⇒ benched).
 #
 # Why this is the right multimodal step (r11 verdict "What's missing" #3
 # named general mp4 as the one format a video-corpus user asks for first):
@@ -845,6 +843,7 @@ WHERE (sync_rank - 1) % 2 = 0
 """
 
 
+@query("multimodal_video_mp4_samples", oracle=_MP4_SAMPLES_ORACLE, bench=True)
 def multimodal_video_mp4_samples(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -475,14 +475,10 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Stream-static broadcast dimension join — r13 REGISTRATION CANDIDATE,
-# deliberately undecorated: the r12 window was committed with the round's
-# registration budget spent on the three r11 parked candidates (MWU, PSI,
-# stream LEFT OUTER join), so per standing policy this is parked with its
-# oracle, multi-batch equality test, and stateless-plan pin already in
-# place, and leads the r13 window (streaming => TAIL). TO REGISTER IN r13
-# (before that round's window commit): add
-#   @query("stream_static_enrich_join", oracle=_STREAM_STATIC_ENRICH_ORACLE)
+# Stream-static broadcast dimension join — REGISTERED r13 exactly as the
+# r12 parking comment planned (oracle, multi-batch equality test, and
+# stateless-plan pin were already in place when parked; never-adjudicated
+# streaming entry ⇒ leads the window TAIL per standing policy).
 #
 # Why this is the right next streaming surface (r11 verdict Next #8
 # named the stream-side broadcast-dim join explicitly): enrichment of a
@@ -506,6 +502,7 @@ LEFT JOIN (
 """
 
 
+@query("stream_static_enrich_join", oracle=_STREAM_STATIC_ENRICH_ORACLE)
 def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events stream LEFT-joined to the static broadcast customer x
     nation dimension — see the block comment above for the exactness
@@ -521,10 +518,8 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Custom stateful sessionization — r13 REGISTRATION CANDIDATE, parked
-# (same budget note as stream_static_enrich_join above). TO REGISTER IN
-# r13 (before that round's window commit, streaming => window TAIL): add
-#   @query("stream_session_stateful", oracle=_STREAM_SESSION_STATEFUL_ORACLE)
+# Custom stateful sessionization — REGISTERED r13 exactly as the r12
+# parking comment planned (streaming ⇒ window TAIL per standing policy).
 #
 # The flatMapGroupsWithState-shaped session rewrite the r11 verdict's
 # Next #8 named: the built-in session_window aggregation can only apply
@@ -568,6 +563,7 @@ GROUP BY user_id, session_id
 """
 
 
+@query("stream_session_stateful", oracle=_STREAM_SESSION_STATEFUL_ORACLE)
 def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization (applyInPandasWithState) with the
     max intra-session gap aggregate session_window cannot express — see

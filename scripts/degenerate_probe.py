@@ -159,13 +159,13 @@ def _parked_candidates() -> dict:
     from clinical_bi_spark.queries.multimodalops import (
         multimodal_audio_resample,
         multimodal_image_patches,
-        multimodal_video_mp4_samples,
     )
     from clinical_bi_spark.queries.pipelineops import data_zorder_layout
     from clinical_bi_spark.queries.textops import text_bpe_train_encode
 
+    # multimodal_video_mp4_samples graduated to the registry in r13 and
+    # now rides the registered sweep
     return {
-        "PARKED:multimodal_video_mp4_samples": multimodal_video_mp4_samples,
         "PARKED:evt_gapfill_interpolate": evt_gapfill_interpolate,
         "PARKED:evt_time_weighted_avg": evt_time_weighted_avg,
         "PARKED:text_bpe_train_encode": text_bpe_train_encode,

@@ -108,7 +108,16 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: Rows-only rotation note: the oldest rows-only verdicts
 #: (m9_mlp_train_eval, a3_approx_count_distinct — r11) have two rounds
 #: of headroom and ride r14's 4 free slots; nothing rows-only is stale
-#: this round. r14 arithmetic check at this commit: 41 r10-green
+#: this round.
+#: Post-commit note (same round, after the window commit): later r13
+#: work added an ENV-GATED DORMANT verify path to dedup_jaccard_prefix
+#: (CLINICAL_BI_JACCARD_VERIFY=bitmask — vocab-gated dense-bitmask
+#: verify, ~6x verify CPU, differential-pinned identical output; see
+#: textops.py JACCARD_VERIFY_MODE_ENV). The registered default path is
+#: byte-identical this round, so no r13 slot is owed (the r12 semdedup
+#: precedent); the DEFAULT FLIP is explicitly scheduled for r14 and
+#: takes one of r14's 4 free slots (changed-code-gets-a-row), leaving 3
+#: for the rows-only pair + one r11 pull. r14 arithmetic check at this commit: 41 r10-green
 #: remain forced at r14 (46 minus the 5 pulled here) + the 3 scheduled
 #: r14 registrations (evt_gapfill_interpolate, evt_time_weighted_avg,
 #: stream_time_weighted_avg at the tail) + 2 headliners = 46 of 50 —

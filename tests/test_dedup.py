@@ -345,6 +345,104 @@ def test_jaccard_u64_mode_output_equals_string_mode(spark, monkeypatch):
     assert len(u64) > 0
 
 
+def test_jaccard_bitmask_verify_equals_array_verify(spark, monkeypatch):
+    """The r13 vocab-gated dense-bitmask verify (see
+    JACCARD_VERIFY_MODE_ENV) must reproduce the adjudicated
+    array_intersect verify's output exactly — same pairs, same
+    n_inter/n_union/jaccard — on the oracle corpus, in BOTH token
+    modes."""
+    from clinical_bi_spark.queries import load_all
+    from tests.conftest import SF_ORACLE
+
+    reg = load_all()
+
+    def rows(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_inter, r.n_union, round(r.jaccard, 9))
+            for r in df.collect()
+        )
+
+    monkeypatch.delenv("CLINICAL_BI_JACCARD_VERIFY", raising=False)
+    array_out = rows(reg["dedup_jaccard_prefix"].fn(spark, SF_ORACLE))
+    monkeypatch.setenv("CLINICAL_BI_JACCARD_VERIFY", "bitmask")
+    bitmask_out = rows(reg["dedup_jaccard_prefix"].fn(spark, SF_ORACLE))
+    assert bitmask_out == array_out
+    assert len(bitmask_out) > 0
+    monkeypatch.setenv("CLINICAL_BI_JACCARD_TOKENS", "str")
+    bitmask_str = rows(reg["dedup_jaccard_prefix"].fn(spark, SF_ORACLE))
+    assert bitmask_str == array_out
+
+
+def test_jaccard_bitmask_multiword_masks_and_vocab_gate(spark):
+    """A corpus with > 64 distinct tokens exercises the multi-long mask
+    branch (masks of ceil(V/64) longs, zip_with+bit_count intersect);
+    the vocab gate must return None (-> array fallback) when the
+    vocabulary exceeds the cap."""
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.queries.textops import (
+        _JACCARD_TAU,
+        _jaccard_prefix_candidates,
+        _jaccard_verify_bitmask,
+    )
+
+    # 40 docs over a 70-token vocabulary (> 64 -> 2-long masks), with
+    # heavy overlap so true pairs exist at tau = 0.8
+    docs = []
+    for d in range(40):
+        base = d % 4  # four near-dup families
+        words = [f"tok{(base * 17 + j) % 70}" for j in range(20)]
+        if d % 2:
+            words[-1] = f"tok{(base * 17 + 25) % 70}"  # 1-token variant
+        docs.append((d, list(dict.fromkeys(words))))
+    toks = spark.createDataFrame(docs, "doc_id long, words array<string>")
+    assert (
+        toks.select(F.explode("words")).distinct().count() > 64
+    ), "fixture must exceed one mask word"
+    cand = _jaccard_prefix_candidates(toks, _JACCARD_TAU, positional=True)
+    ver = _jaccard_verify_bitmask(spark, toks, cand, _JACCARD_TAU)
+    assert ver is not None
+
+    # reference: per-pair exact intersect over the same candidates
+    wa = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("words").alias("wsa")
+    )
+    wb = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("words").alias("wsb")
+    )
+    inter = F.size(F.array_intersect(F.col("wsa"), F.col("wsb")))
+    union = F.size("wsa") + F.size("wsb") - inter
+    ref = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_inter"),
+            union.cast("bigint").alias("n_union"),
+        )
+        .filter(
+            (inter.cast("double") / union.cast("double")) >= _JACCARD_TAU
+        )
+    )
+
+    def rows(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_inter, r.n_union) for r in df.collect()
+        )
+
+    got = rows(ver.select("doc_a", "doc_b", "n_inter", "n_union"))
+    want = rows(ref)
+    assert got == want
+    assert len(got) > 0
+
+    # gate: cap below the vocabulary -> None, caller falls back
+    assert (
+        _jaccard_verify_bitmask(spark, toks, cand, _JACCARD_TAU, vocab_cap=64)
+        is None
+    )
+
+
 def test_jaccard_token_audit_certifies_bench_corpus(spark):
     """The injectivity certificate must hold on the bench corpus (and at
     the adjudication SF): distinct tokens == distinct hashes, so the u64

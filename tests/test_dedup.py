@@ -443,6 +443,67 @@ def test_jaccard_bitmask_multiword_masks_and_vocab_gate(spark):
     )
 
 
+@pytest.mark.parametrize("vocab_size", [64, 65, 130])
+def test_jaccard_bitmask_word_boundaries(spark, vocab_size):
+    """Mask-width boundaries: V=64 is the single-long branch's edge
+    (id 63 -> shiftleft(1L, 63) sets the SIGN bit — two's-complement
+    AND/bit_count must still count it), V=65 the smallest two-long mask,
+    V=130 a three-long mask. Seeded corpora with heavy overlap; outputs
+    must equal the array_intersect reference exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from clinical_bi_spark.queries.textops import (
+        _JACCARD_TAU,
+        _jaccard_prefix_candidates,
+        _jaccard_verify_bitmask,
+    )
+
+    rng = random.Random(vocab_size)
+    vocab = [f"w{i:03d}" for i in range(vocab_size)]
+    docs = []
+    for d in range(30):
+        fam = d % 3
+        base = vocab[fam * 20 : fam * 20 + 15] + vocab[-5:]  # top ids shared
+        words = list(base)
+        for _ in range(rng.randrange(3)):
+            words[rng.randrange(len(words))] = vocab[rng.randrange(vocab_size)]
+        docs.append((d, list(dict.fromkeys(words))))
+    # a catalog doc holding EVERY vocab token guarantees the top dense id
+    # (V-1 — the sign bit when V=64) is actually set in some mask
+    docs.append((len(docs), list(vocab)))
+    toks = spark.createDataFrame(docs, "doc_id long, words array<string>")
+    assert toks.select(F.explode("words")).distinct().count() == vocab_size
+    cand = _jaccard_prefix_candidates(toks, _JACCARD_TAU, positional=True)
+    ver = _jaccard_verify_bitmask(spark, toks, cand, _JACCARD_TAU)
+    assert ver is not None
+    wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wsa"))
+    wb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wsb"))
+    inter = F.size(F.array_intersect(F.col("wsa"), F.col("wsb")))
+    union = F.size("wsa") + F.size("wsb") - inter
+    ref = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_inter"),
+            union.cast("bigint").alias("n_union"),
+        )
+        .filter((inter.cast("double") / union.cast("double")) >= _JACCARD_TAU)
+    )
+
+    def rows(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_inter, r.n_union) for r in df.collect()
+        )
+
+    got = rows(ver.select("doc_a", "doc_b", "n_inter", "n_union"))
+    assert got == rows(ref)
+    assert len(got) > 0
+
+
 def test_jaccard_token_audit_certifies_bench_corpus(spark):
     """The injectivity certificate must hold on the bench corpus (and at
     the adjudication SF): distinct tokens == distinct hashes, so the u64

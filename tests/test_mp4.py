@@ -171,6 +171,40 @@ def test_extract_skips_corrupt_assets_keeps_good(spark):
     assert sorted((r.asset_id, r.sample_number) for r in out) == [(2, 1), (2, 3)]
 
 
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # mutation offset seed
+            st.integers(min_value=0, max_value=255),  # replacement byte
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_mp4_parser_never_raises_on_mutated_bytes(mutations):
+    """Contract pin for the r13 hardening: parse_mp4_track returns a
+    track dict or None under ARBITRARY byte corruption — never an
+    exception — so a mixed corpus degrades to a filter even for
+    malformations the explicit bounds checks didn't anticipate."""
+    data = bytearray(
+        encode_mp4(
+            [b"k1", b"d2", b"k3", b"d4"],
+            [10, 20, 30, 40],
+            [True, False, True, False],
+            samples_per_chunk=3,
+        )
+    )
+    for off_seed, byte in mutations:
+        data[off_seed % len(data)] = byte
+    out = parse_mp4_track(bytes(data))
+    assert out is None or isinstance(out, dict)
+
+
 def test_mp4_first_sample_must_be_sync_and_inputs_align():
     with pytest.raises(ValueError):
         encode_mp4([b"a"], [1], [False])

@@ -249,7 +249,7 @@ def parse_mp4_track(data: bytes) -> dict | None:
 def _parse_trak(data: bytes, tb: int, te: int) -> dict | None:
     width = height = None
     tkhd = _find(data, tb, te, b"tkhd")
-    if tkhd:
+    if tkhd and tkhd[0] < tkhd[1]:
         version = data[tkhd[0]]
         off = tkhd[0] + (88 if version == 1 else 76)
         if off + 8 <= tkhd[1]:
@@ -262,9 +262,13 @@ def _parse_trak(data: bytes, tb: int, te: int) -> dict | None:
     if not hdlr or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
         return None
     mdhd = _find(data, *mdia, b"mdhd")
-    if not mdhd:
+    if not mdhd or mdhd[0] >= mdhd[1]:
         return None
     version = data[mdhd[0]]
+    # v1 bodies are 32+ bytes (64-bit times), v0 20+ — a shorter body is
+    # corruption, returned as None per the dict-or-None contract
+    if mdhd[0] + (32 if version == 1 else 20) > mdhd[1]:
+        return None
     if version == 1:
         timescale, duration = struct.unpack(
             ">IQ", data[mdhd[0] + 20 : mdhd[0] + 32]

@@ -203,6 +203,10 @@ def test_mp4_parser_never_raises_on_mutated_bytes(mutations):
         data[off_seed % len(data)] = byte
     out = parse_mp4_track(bytes(data))
     assert out is None or isinstance(out, dict)
+    # corruption + truncation composed: still dict-or-None, never raise
+    cut = len(data) - 1 - (mutations[0][0] % len(data))
+    out2 = parse_mp4_track(bytes(data[:cut]))
+    assert out2 is None or isinstance(out2, dict)
 
 
 def test_mp4_first_sample_must_be_sync_and_inputs_align():

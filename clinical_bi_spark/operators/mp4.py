@@ -364,6 +364,14 @@ def _parse_trak(data: bytes, tb: int, te: int) -> dict | None:
         struct.unpack(">III", data[b + 8 + i * 12 : b + 20 + i * 12])
         for i in range(n_entries)
     ]
+    # spec: first_chunk is 1-based and strictly increasing; a corrupt
+    # first_chunk of 0 would otherwise expand per_chunk one entry past
+    # chunk_offsets and index out of it below
+    prev_first = 0
+    for first, _spc, _sdi in runs:
+        if first <= prev_first:
+            return None
+        prev_first = first
     per_chunk: list[int] = []
     for i, (first, spc, _sdi) in enumerate(runs):
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks

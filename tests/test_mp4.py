@@ -149,6 +149,22 @@ def test_mp4_bogus_table_counts_degrade_to_none_not_error():
     assert parse_mp4_track(_patch_u32(data, at, 0xFFFFFFF0)) is None
 
 
+def test_mp4_nonmonotonic_stsc_first_chunk_degrades_to_none():
+    """stsc first_chunk is 1-based strictly increasing per spec; a
+    corrupt 0 (which would expand the chunk map one past stco and index
+    out of it) or a repeated value must return None, not raise."""
+    data = encode_mp4(
+        [bytes([65 + i]) * (i + 2) for i in range(7)],
+        [100] * 7,
+        [True] + [False] * 6,
+        samples_per_chunk=3,  # 3,3,1 chunks -> two stsc runs
+    )
+    at = data.index(b"stsc") + 12  # first run's first_chunk field
+    assert parse_mp4_track(_patch_u32(data, at, 0)) is None
+    at2 = data.index(b"stsc") + 24  # second run's first_chunk field
+    assert parse_mp4_track(_patch_u32(data, at2, 1)) is None
+
+
 def test_mp4_offsets_past_eof_filter_the_asset():
     """A stco pointing past EOF must reject the track rather than emit a
     truncated payload whose size_bytes still reports the claimed size."""

@@ -504,6 +504,23 @@ def test_jaccard_bitmask_word_boundaries(spark, vocab_size):
     assert len(got) > 0
 
 
+def test_jaccard_bitmask_empty_corpus(spark):
+    """Zero documents: the bitmask verify must return an empty frame
+    (vocab=[], one-word masks degenerate cleanly), not None and not an
+    error — the degenerate-probe contract for the r14 default flip."""
+    from clinical_bi_spark.queries.textops import (
+        _JACCARD_TAU,
+        _jaccard_prefix_candidates,
+        _jaccard_verify_bitmask,
+    )
+
+    toks = spark.createDataFrame([], "doc_id long, words array<string>")
+    cand = _jaccard_prefix_candidates(toks, _JACCARD_TAU, positional=True)
+    ver = _jaccard_verify_bitmask(spark, toks, cand, _JACCARD_TAU)
+    assert ver is not None
+    assert ver.count() == 0
+
+
 def test_jaccard_token_audit_certifies_bench_corpus(spark):
     """The injectivity certificate must hold on the bench corpus (and at
     the adjudication SF): distinct tokens == distinct hashes, so the u64

@@ -200,6 +200,21 @@ def test_pair_miners_never_nested_loop(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_jaccard_bitmask_verify_plan(spark, monkeypatch):
+    # the r13 opt-in bitmask verify (r14 default-flip candidate): the
+    # dense-id map must join as a broadcast hash equi-join, the verify
+    # must stay equi-join-shaped (no cartesian/nested-loop), and the
+    # AND + bit_count overlap must actually be in the plan (proof the
+    # fast path engaged rather than silently falling back)
+    monkeypatch.setenv("CLINICAL_BI_JACCARD_VERIFY", "bitmask")
+    plan = explain(spark, "dedup_jaccard_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "bit_count" in plan
+    assert "array_intersect" not in plan
+
+
 def test_bm25_broadcasts_query_terms_and_never_nested_loop(spark):
     # BM25 scoring joins the (doc,term) tf table against the 5-row
     # query-term table: must be a broadcast hash equi-join; the scoring

@@ -111,13 +111,17 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: this round.
 #: Post-commit note (same round, after the window commit): later r13
 #: work added an ENV-GATED DORMANT verify path to dedup_jaccard_prefix
-#: (CLINICAL_BI_JACCARD_VERIFY=bitmask — vocab-gated dense-bitmask
-#: verify, ~6x verify CPU, differential-pinned identical output; see
-#: textops.py JACCARD_VERIFY_MODE_ENV). The registered default path is
-#: byte-identical this round, so no r13 slot is owed (the r12 semdedup
-#: precedent); the DEFAULT FLIP is explicitly scheduled for r14 and
-#: takes one of r14's 4 free slots (changed-code-gets-a-row), leaving 3
-#: for the rows-only pair + one r11 pull. r14 arithmetic check at this commit: 41 r10-green
+#: AND dedup_containment_prefix (CLINICAL_BI_JACCARD_VERIFY=bitmask —
+#: vocab-gated dense-bitmask verify over the shared
+#: _bitmask_pair_overlap core, ~6x verify CPU, differential-pinned
+#: identical output per query; see textops.py JACCARD_VERIFY_MODE_ENV).
+#: Both registered default paths are byte-identical this round, so no
+#: r13 slot is owed (the r12 semdedup precedent); the DEFAULT FLIPS are
+#: explicitly scheduled ONE PER ROUND to keep the rotation arithmetic
+#: sound — jaccard r14 (takes one of r14's 4 free slots, leaving 3 for
+#: the rows-only pair + one r11 pull), containment-prefix r15 (44
+#: r11-green forced after r14's pulls + 2 registrations + 2 headliners
+#: + that flip = 49 of 50). r14 arithmetic check at this commit: 41 r10-green
 #: remain forced at r14 (46 minus the 5 pulled here) + the 3 scheduled
 #: r14 registrations (evt_gapfill_interpolate, evt_time_weighted_avg,
 #: stream_time_weighted_avg at the tail) + 2 headliners = 46 of 50 —

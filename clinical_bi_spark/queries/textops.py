@@ -1651,7 +1651,12 @@ JACCARD_TOKEN_MODE_ENV = "CLINICAL_BI_JACCARD_TOKENS"
 #: back to the adjudicated array_intersect form automatically. Default
 #: stays "array" in r13 — the r13 window was committed with this
 #: query's fresh r12 row, so per the changed-code policy the default
-#: flip is scheduled for r14 WITH a window slot.
+#: flip is scheduled for r14 WITH a window slot. The flag gates the
+#: whole prefix-join family's set-overlap verify: dedup_jaccard_prefix
+#: AND dedup_containment_prefix share _bitmask_pair_overlap (each
+#: projects its own measure over the (n_inter, ca, cb) core);
+#: containment's flip is scheduled r15 — one changed-code slot per
+#: round keeps the rotation arithmetic sound.
 JACCARD_VERIFY_MODE_ENV = "CLINICAL_BI_JACCARD_VERIFY"
 
 #: dense-bitmask vocabulary ceiling: 4096 ids keeps every bounded term
@@ -1833,29 +1838,32 @@ def _jaccard_prefix_candidates(
     )
 
 
-def _jaccard_verify_bitmask(
+def _bitmask_pair_overlap(
     spark: SparkSession,
     toks: DataFrame,
     cand: DataFrame,
-    tau: float,
     vocab_cap: int = _JACCARD_BITMASK_VOCAB_CAP,
 ) -> DataFrame | None:
-    """Dense-bitmask exact verify for the prefix-join candidates, or
-    ``None`` when the corpus vocabulary exceeds ``vocab_cap`` (caller
-    falls back to the array_intersect form). Exactness argument: any
-    injective token -> dense-id mapping preserves every set overlap, a
-    doc's id set IS its mask's set bits (ids are unique within a doc
-    because ``words`` is array_distinct), and popcount of the AND of two
-    masks is exactly |A∩B| — so n_inter/n_union/jaccard equal the
-    array_intersect form's bit for bit (differential-pinned). Bounded
-    terms, in order: one TopK(cap+1) over the token-frequency relation
-    the candidate build already aggregates (the ONLY full-corpus term,
-    and it is corpus-size-independent state); a <= cap+1-row driver
-    list (the documented bounded-collect pattern: the bound is the gate
-    itself); a broadcast id join; <= ceil(cap/64) longs per document
-    mask. The per-pair verify is pure ALU codegen — no per-row
-    allocation, no hash set — which is both the ~6x CPU cut and the end
-    of this query's JIT-warmup bench jitter (PERF.md round-13)."""
+    """Dense-bitmask EXACT overlap for prefix-join candidate pairs —
+    the shared verify core of the prefix family (Jaccard and directed
+    containment project their own measures over it). Returns
+    ``(doc_a, doc_b, n_inter, ca, cb)`` where n_inter = |A∩B| and
+    ca/cb are the set sizes, or ``None`` when the corpus vocabulary
+    exceeds ``vocab_cap`` (caller falls back to the array_intersect
+    form). Exactness argument: any injective token -> dense-id mapping
+    preserves every set overlap, a doc's id set IS its mask's set bits
+    (ids are unique within a doc because ``words`` is array_distinct),
+    and popcount of the AND of two masks is exactly |A∩B| — so every
+    derived measure equals the array_intersect form's bit for bit
+    (differential-pinned). Bounded terms, in order: one TopK(cap+1)
+    over the token-frequency relation the candidate build already
+    aggregates (the ONLY full-corpus term, and it is
+    corpus-size-independent state); a <= cap+1-row driver list (the
+    documented bounded-collect pattern: the bound is the gate itself);
+    a broadcast id join; <= ceil(cap/64) longs per document mask. The
+    per-pair verify is pure ALU codegen — no per-row allocation, no
+    hash set — which is both the ~6x CPU cut and the end of the
+    family's JIT-warmup bench jitter (PERF.md round-13)."""
     tok_type = toks.schema["words"].dataType.elementType.simpleString()
     vocab = (
         toks.select(F.explode("words").alias("w"))
@@ -1906,19 +1914,35 @@ def _jaccard_verify_bitmask(
         F.col("bm").alias("bmb"),
         F.col("sz").alias("cb"),
     )
-    union = F.col("ca") + F.col("cb") - inter
     return (
         cand.join(ba, "doc_a")
         .join(bb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.cast("bigint").alias("n_inter"),
-            union.cast("bigint").alias("n_union"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", inter.alias("n_inter"), "ca", "cb")
     )
+
+
+def _jaccard_verify_bitmask(
+    spark: SparkSession,
+    toks: DataFrame,
+    cand: DataFrame,
+    tau: float,
+    vocab_cap: int = _JACCARD_BITMASK_VOCAB_CAP,
+) -> DataFrame | None:
+    """Jaccard projection over the shared bitmask overlap core (see
+    _bitmask_pair_overlap for the exactness/bounds argument); ``None``
+    past the vocab gate."""
+    ov = _bitmask_pair_overlap(spark, toks, cand, vocab_cap)
+    if ov is None:
+        return None
+    inter = F.col("n_inter")
+    union = F.col("ca") + F.col("cb") - inter
+    return ov.select(
+        "doc_a",
+        "doc_b",
+        inter.cast("bigint").alias("n_inter"),
+        union.cast("bigint").alias("n_union"),
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= tau)
 
 
 @query("dedup_jaccard_prefix", oracle=_JACCARD_PREFIX_ORACLE, bench=True)
@@ -2669,6 +2693,23 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(10) * F.col("ub") >= F.lit(9) * F.col("sa"))
         .select("doc_a", "doc_b")
     )
+    # r13 opt-in (shared with the Jaccard join — see
+    # JACCARD_VERIFY_MODE_ENV): the directed verify projects containment
+    # over the same bitmask overlap core; falls back past the vocab cap.
+    # Flip scheduled r15 (r14's changed-code slot is Jaccard's).
+    if _jaccard_verify_bitmask_mode():
+        ov = _bitmask_pair_overlap(spark, toks, cand)
+        if ov is not None:
+            inter_bm = F.col("n_inter")
+            return ov.select(
+                "doc_a",
+                "doc_b",
+                inter_bm.cast("bigint").alias("n_inter"),
+                F.col("ca").cast("bigint").alias("sz_a"),
+                F.round(
+                    inter_bm.cast("double") / F.col("ca").cast("double"), 6
+                ).alias("containment"),
+            ).filter(F.lit(10) * F.col("n_inter") >= F.lit(9) * F.col("sz_a"))
     wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wsa"))
     wb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wsb"))
     inter = F.size(F.array_intersect(F.col("wsa"), F.col("wsb")))

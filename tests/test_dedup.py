@@ -504,6 +504,29 @@ def test_jaccard_bitmask_word_boundaries(spark, vocab_size):
     assert len(got) > 0
 
 
+def test_containment_bitmask_verify_equals_array_verify(spark, monkeypatch):
+    """The directed containment join shares _bitmask_pair_overlap: the
+    bitmask projection must reproduce the array_intersect form's output
+    exactly — same pairs, same n_inter/sz_a/containment."""
+    from clinical_bi_spark.queries import load_all
+    from tests.conftest import SF_ORACLE
+
+    reg = load_all()
+
+    def rows(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_inter, r.sz_a, round(r.containment, 9))
+            for r in df.collect()
+        )
+
+    monkeypatch.delenv("CLINICAL_BI_JACCARD_VERIFY", raising=False)
+    array_out = rows(reg["dedup_containment_prefix"].fn(spark, SF_ORACLE))
+    monkeypatch.setenv("CLINICAL_BI_JACCARD_VERIFY", "bitmask")
+    bitmask_out = rows(reg["dedup_containment_prefix"].fn(spark, SF_ORACLE))
+    assert bitmask_out == array_out
+    assert len(bitmask_out) > 0
+
+
 def test_jaccard_bitmask_empty_corpus(spark):
     """Zero documents: the bitmask verify must return an empty frame
     (vocab=[], one-word masks degenerate cleanly), not None and not an

@@ -54,6 +54,14 @@ def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
 FTYP = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
 MDAT_PAYLOAD_OFFSET = len(FTYP) + 8
 
+#: hard ceiling on a track's declared sample count (r13 ADVICE low): the
+#: parser materializes O(n_samples) sizes/durations/offsets/samples
+#: lists, so a corrupt-but-well-framed large asset must not drive
+#: multi-GB allocations before the consistency checks reject it. 2^22
+#: (~4.2M samples ≈ 9.7 h at 120 fps) is far past any real track while
+#: keeping the worst-case pre-validation allocation tens of MB.
+_MAX_SAMPLES = 1 << 22
+
 
 def _runlength(values: list[int]) -> list[tuple[int, int]]:
     """[v, v, w, ...] → [(count, v), (count, w), ...] preserving order."""
@@ -310,8 +318,17 @@ def _parse_trak(data: bytes, tb: int, te: int) -> dict | None:
     fixed, n_samples = struct.unpack(">II", data[b + 4 : b + 12])
     if fixed == 0 and b + 12 + 4 * n_samples > e:
         return None
-    # a track cannot index more samples than the file has bytes; caps the
-    # fixed-size branch (whose count no box length otherwise bounds)
+    # the fixed-size branch's count is bounded by no box length, so cap
+    # it by what the file could actually hold: each sample occupies
+    # `fixed` non-overlapping bytes of payload, so fixed·n_samples can
+    # never exceed the file size — and a hard sample ceiling bounds the
+    # O(n_samples) sizes/durations/offsets/samples allocations for large
+    # corrupt assets (r13 ADVICE: a 100 MB asset could otherwise drive
+    # ~100M-entry lists before downstream consistency checks reject it)
+    if n_samples > _MAX_SAMPLES:
+        return None
+    if fixed and fixed * n_samples > len(data):
+        return None
     if n_samples > len(data):
         return None
     sizes = [fixed] * n_samples if fixed else u32s(b + 12, n_samples)
@@ -364,12 +381,17 @@ def _parse_trak(data: bytes, tb: int, te: int) -> dict | None:
         struct.unpack(">III", data[b + 8 + i * 12 : b + 20 + i * 12])
         for i in range(n_entries)
     ]
-    # spec: first_chunk is 1-based and strictly increasing; a corrupt
-    # first_chunk of 0 would otherwise expand per_chunk one entry past
-    # chunk_offsets and index out of it below
+    # spec: first_chunk is 1-based, strictly increasing, AND within the
+    # stco chunk count. A corrupt 0 would expand per_chunk one entry past
+    # chunk_offsets; a monotonic-but-out-of-range value (e.g. 5 with 3
+    # chunks) would bound the PREVIOUS run's expansion past chunk_offsets
+    # and index out of it below — and a huge one (0xFFFFFFF0) would
+    # allocate a multi-GB per_chunk list BEFORE that raise, the
+    # executor-OOM class the extract's IndexError belt cannot catch
+    # (r13 ADVICE medium).
     prev_first = 0
     for first, _spc, _sdi in runs:
-        if first <= prev_first:
+        if first <= prev_first or first > n_chunks:
             return None
         prev_first = first
     per_chunk: list[int] = []

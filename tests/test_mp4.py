@@ -165,6 +165,42 @@ def test_mp4_nonmonotonic_stsc_first_chunk_degrades_to_none():
     assert parse_mp4_track(_patch_u32(data, at2, 1)) is None
 
 
+def test_mp4_out_of_range_stsc_first_chunk_degrades_to_none():
+    """r13 ADVICE medium: a MONOTONIC but out-of-range first_chunk bounds
+    the PREVIOUS run's expansion past chunk_offsets — first_chunk=5 with
+    n_chunks=3 grew per_chunk to 4 entries and raised IndexError; a huge
+    value (0xFFFFFFF0) allocated a multi-GB per_chunk list BEFORE the
+    raise. Both must return None under the dict-or-None contract."""
+    data = encode_mp4(
+        [bytes([65 + i]) * (i + 2) for i in range(7)],
+        [100] * 7,
+        [True] + [False] * 6,
+        samples_per_chunk=3,  # 3,3,1 chunks -> two stsc runs, n_chunks=3
+    )
+    at2 = data.index(b"stsc") + 24  # second run's first_chunk field
+    assert parse_mp4_track(_patch_u32(data, at2, 5)) is None  # n_chunks + 2
+    assert parse_mp4_track(_patch_u32(data, at2, 0xFFFFFFF0)) is None
+
+
+def test_mp4_fixed_stsz_count_capped_before_materializing():
+    """r13 ADVICE low: the fixed-size stsz branch's sample count is
+    bounded by no box length, so a corrupt count that passes the old
+    n_samples <= len(data) gate could still drive O(n_samples) list
+    allocations several times the asset size. The mdat-payload bound
+    (fixed x n_samples <= file bytes) and the hard _MAX_SAMPLES ceiling
+    must both reject before materializing."""
+    data = encode_mp4([b"k1", b"d2"], [10, 10], [True, False])
+    at = data.index(b"stsz") + 8  # fixed sample_size field (count at +12)
+    # fixed=64, count=600: 600 <= len(data) passes the old gate, but
+    # 64*600 = 38400 bytes cannot fit a ~700-byte file
+    corrupt = _patch_u32(_patch_u32(data, at, 64), at + 4, 600)
+    assert parse_mp4_track(corrupt) is None
+    # count past the hard ceiling (fixed=0 keeps the mdat bound moot but
+    # the per-entry box-body gate already rejects; pin the fixed branch)
+    corrupt2 = _patch_u32(_patch_u32(data, at, 1), at + 4, (1 << 22) + 1)
+    assert parse_mp4_track(corrupt2) is None
+
+
 def test_mp4_offsets_past_eof_filter_the_asset():
     """A stco pointing past EOF must reject the track rather than emit a
     truncated payload whose size_bytes still reports the claimed size."""
@@ -195,7 +231,13 @@ def test_extract_skips_corrupt_assets_keeps_good(spark):
 @given(
     st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=400),  # mutation offset seed
+            # offset seed range must cover the WHOLE fixture (the %-wrap
+            # handles overshoot): the r13 draw capped at 400 on a 691-byte
+            # fixture, so the stsz/stsc/stco region (~byte 631 on) was
+            # never mutated — exactly the blind spot that let the stsc
+            # out-of-range first_chunk IndexError survive this pin
+            # (r13 ADVICE low).
+            st.integers(min_value=0, max_value=2048),  # mutation offset seed
             st.integers(min_value=0, max_value=255),  # replacement byte
         ),
         min_size=1,

@@ -134,6 +134,17 @@ _R13_SET = _R12_SET | frozenset(
     }
 )
 
+# The bench set as of round 14 (r13 set + the two batch queries whose
+# parked r13 registrations landed this round with floors at birth:
+# the gapfill/interpolate densifier and the LOCF time-weighted average;
+# stream_time_weighted_avg also registered this round but streaming
+# queries are not benched).
+_R14_SET = _R13_SET | frozenset(
+    {
+        "evt_gapfill_interpolate", "evt_time_weighted_avg",
+    }
+)
+
 
 def main() -> None:
     registry = load_all()
@@ -206,6 +217,8 @@ def main() -> None:
     assert not missing_r12, f"r12-set queries missing from bench: {missing_r12}"
     missing_r13 = _R13_SET - set(timings)
     assert not missing_r13, f"r13-set queries missing from bench: {missing_r13}"
+    missing_r14 = _R14_SET - set(timings)
+    assert not missing_r14, f"r14-set queries missing from bench: {missing_r14}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -248,6 +261,9 @@ def main() -> None:
         ),
         "subtotal_r13_set": round(
             sum(t for n, t in timings.items() if n in _R13_SET), 3
+        ),
+        "subtotal_r14_set": round(
+            sum(t for n, t in timings.items() if n in _R14_SET), 3
         ),
         # Global-rank dual path (operators/ranking.py): benched timings
         # measure the sharded prefix-sum production form (the default);

@@ -72,7 +72,44 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: two rounds later — registry growth must stay small (<=2-3 new queries
 #: per round) now that the surface is complete.
 #:
-#: ROUND-13 WINDOW (new code landed before this commit: the three r12
+#: ROUND-14 WINDOW (committed with the round's new code already landed:
+#: the three r13 parked candidates — evt_gapfill_interpolate,
+#: evt_time_weighted_avg, stream_time_weighted_avg — registered exactly
+#: as the r13 parking comments planned (_R14_SET bench floors for the
+#: two batch ones; the streaming twin unbenched per policy), and the
+#: dedup_jaccard_prefix verify default FLIPPED to the proven bitmask
+#: path (one flip per round; containment stays r15). Slot budget,
+#: executed exactly as the r13 pre-plan computed (3 + 35 + 3 + 2 + 1 +
+#: 6 = 50):
+#:   (a) the two new batch registrations LEAD (never adjudicated;
+#:       gapfill first, then the batch TWA — their streaming twin leads
+#:       the TAIL per standing policy);
+#:   (b) dedup_jaccard_prefix — the scheduled changed-code slot for the
+#:       bitmask verify default flip (differential-pinned byte-identical
+#:       in-session; this row is the driver adjudicating the NEW default
+#:       path end to end);
+#:   (c) the 35 non-streaming r10-green entries at the staleness-4
+#:       ceiling (FORCED; their 6 streaming siblings sit at the tail) —
+#:       the 41 r10-green remainder the r13 slot-(d) pulls left, minus
+#:       the 6 streaming members;
+#:   (d) 3 r11-green pulls: the rows-only rotation pair
+#:       (m9_mlp_train_eval, a3_approx_count_distinct — r11 rows-only
+#:       verdicts, due per the rows-only rotation) + agg_bitwise_battery
+#:       (oldest alphabetical r11 entry after the pair) pulled a round
+#:       EARLY — 47 r11-green exist, so an unpulled r15 would be FORCED
+#:       to 47 + 2 registrations + 2 headliners + the containment flip =
+#:       52 > 50; three pulls make it 44 + 2 + 2 + 1 = 49 of 50;
+#:   (e) headliners (flagship / dashboard), every round;
+#:   (f) streaming TAIL: stream_time_weighted_avg (never adjudicated,
+#:       leads the tail), then the 6 forced r10-green streaming entries.
+#: r15 arithmetic check at this commit: 44 r11-green forced (47 minus
+#: the 3 pulls here) + 2 scheduled r15 registrations
+#: (text_bpe_train_encode, data_zorder_layout) + 2 headliners +
+#: dedup_containment_prefix's flip slot = 49 of 50 — the invariant holds
+#: with 1 free slot. Nothing rows-only is stale after the pair's rows
+#: here (next due: the r12 rows-only rotation at r16).
+#:
+#: ROUND-13 WINDOW (history; new code landed before this commit: the three r12
 #: parked candidates — multimodal_video_mp4_samples,
 #: stream_static_enrich_join, stream_session_stateful — registered
 #: exactly as the r12 parking comments planned, with a _R13_SET bench
@@ -468,72 +505,71 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (a) the batch r13 registration LEADS (never adjudicated; parked
-    #        as planned-in-code since r12; its two streaming siblings
-    #        lead the TAIL per policy) --
-    "multimodal_video_mp4_samples",
-    # -- (b) the one explicitly scheduled changed-r12 entry: the
-    #        sharded-assignment branch landed in _semdedup_pipeline
-    #        after the r12 window commit (registered K=16 path
-    #        plan-identical; session oracles re-passed) --
-    "dedup_semantic_cluster",
-    # -- (c) the 36 non-streaming r9-green staleness-ceiling entries
-    #        (FORCED; their 3 streaming siblings sit at the tail) --
-    "agg_rollup",
-    "agg_salted_count",
-    "agg_spearman_corr",
-    "agg_stats_battery",
-    "data_global_shuffle",
-    "data_mixture_sample",
-    "data_weighted_sample",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "etl_cohort_conditional_agg",
-    "evt_changepoint_cusum",
-    "f10_sed_cleanse",
-    "f3_pattern_classifier",
-    "f6_f7_date_functions",
-    "j7_frequency_enrichment",
-    "j_semi_anti_exists",
-    "m12_stratified_sample",
-    "m15_confusion_metrics",
-    "m1_keyed_split",
-    "m2_encoder_chain",
-    "merge_upsert_emulation",
-    "set_ops",
-    "sim_bruteforce_topk",
-    "sort_limit_topn",
-    "text_bigram_pmi_topk",
-    "text_char_entropy",
-    "text_chunk_dedup",
-    "text_corpus_rollup",
-    "text_lm_score",
-    "text_redact_pii",
-    "text_repetition",
-    "text_tfidf_topk",
-    "text_winnow_fingerprint",
-    "vec_norm_rollup",
-    "w1_topk_per_group",
-    "w4_rank_battery",
-    # -- (d) the 5 oldest r10-green entries pulled a round early,
-    #        alphabetical — this pull keeps r14's forced block at
-    #        41 + 3 + 2 = 46 instead of an unsatisfiable 51 --
-    "a3_hll_merge",
-    "a3_hll_portable",
-    "agg_gini_coefficient",
-    "agg_grouping_sets",
-    "agg_histogram_quantiles",
+    # -- (a) the two new batch r14 registrations LEAD (never
+    #        adjudicated; their streaming twin leads the TAIL per
+    #        standing policy) --
+    "evt_gapfill_interpolate",
+    "evt_time_weighted_avg",
+    # -- (b) the scheduled changed-code slot: the bitmask verify default
+    #        flip lands this round, so the driver adjudicates the NEW
+    #        default path end to end --
+    "dedup_jaccard_prefix",
+    # -- (c) the 35 non-streaming r10-green staleness-ceiling entries
+    #        (FORCED; their 6 streaming siblings sit at the tail) --
+    "agg_ks_two_sample",
+    "agg_percentiles",
+    "dedup_cluster_winnow",
+    "dedup_decontaminate",
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_blocked",
+    "dedup_span_ngram",
+    "dedup_winnow_pairs",
+    "dq_constraint_report",
+    "etl_scd2_history",
+    "evt_markov_transitions",
+    "evt_ohlc_downsample",
+    "f_array_battery",
+    "graph_pagerank",
+    "j_bloom_prefilter_join",
+    "j_range_interval_join",
+    "m18_linreg_exact",
+    "m1_distributed_split_sizes",
+    "m1_exact_split_sizes",
+    "m5_bucketize",
+    "m6_one_hot",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "multimodal_resize_gif",
+    "multimodal_resize_png",
+    "sketch_bottomk_quantiles",
+    "sketch_countmin_topk",
+    "text_bm25_topk",
+    "text_chunk_split",
+    "text_sequence_packing",
+    "w5_rolling_range_window",
+    # -- (d) 3 r11-green pulls: the rows-only rotation pair + the oldest
+    #        alphabetical r11 entry, pulled a round early — this is what
+    #        keeps r15 at 49 of 50 instead of an unsatisfiable 52 --
+    "m9_mlp_train_eval",
+    "a3_approx_count_distinct",
+    "agg_bitwise_battery",
     # -- (e) headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- (f) streaming members sit LAST: the two never-adjudicated
-    #    registrations lead the tail (stateless enrich join first),
-    #    then the 3 forced r9-green streaming entries --
-    "stream_static_enrich_join",
-    "stream_session_stateful",
-    "stream_cep_pattern",
-    "stream_cep_pattern_quantified",
-    "stream_forward_fill",
+    # -- (f) streaming members sit LAST: the never-adjudicated
+    #    registration leads the tail, then the 6 forced r10-green
+    #    streaming entries --
+    "stream_time_weighted_avg",
+    "stream_dedup_watermark",
+    "stream_hll_distinct",
+    "stream_session_window",
+    "stream_stream_join",
+    "stream_tumbling_window",
+    "stream_upsert_cdc",
 )
 #: New queries that landed AFTER the current round's window was committed:
 #: they sit out this round (documented, not silently unadjudicated) and
@@ -541,15 +577,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #: fails if a never-adjudicated registry query is neither in the window
 #: nor listed here.
 _DEFERRED_NEW: tuple[str, ...] = ()
-# r13: EMPTY — the round's new registrations (multimodal_video_mp4_samples,
-# stream_static_enrich_join, stream_session_stateful) landed BEFORE the
-# window commit and lead it (streaming pair at the tail). Due FIRST in
-# r14 (oldest-first): the 41 remaining r10-green entries (staleness 4 at
-# the r14 window commit) — 46 r10-green minus the 5 slot-(d) pulls
-# adjudicated here; that block + the 3 scheduled r14 registrations + 2
-# headliners fills 46 of 50 slots, leaving 4 for the r11 rows-only pair
-# (m9_mlp_train_eval, a3_approx_count_distinct) and early r11 pulls.
-# (r10-r12 history: empty for the same reason — each round's new code
+# r14: EMPTY — the round's new registrations (evt_gapfill_interpolate,
+# evt_time_weighted_avg, stream_time_weighted_avg) landed BEFORE the
+# window commit and lead it (streaming twin at the tail). Due FIRST in
+# r15 (oldest-first): the 44 remaining r11-green entries (staleness 4 at
+# the r15 window commit) — 47 r11-green minus the 3 slot-(d) pulls
+# adjudicated here; that block + the 2 scheduled r15 registrations
+# (text_bpe_train_encode, data_zorder_layout) + 2 headliners +
+# dedup_containment_prefix's bitmask-flip slot fills 49 of 50.
+# (r10-r13 history: empty for the same reason — each round's new code
 # registered pre-window and led it.)
 
 

@@ -1177,15 +1177,12 @@ def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Time-bucket gapfill + exact linear interpolation — r14 REGISTRATION
-# CANDIDATE, deliberately undecorated: the r13 registration budget is
-# already spent (stream_static_enrich_join, stream_session_stateful,
-# multimodal_video_mp4_samples — see the parking comments in
-# queries/streamingops.py and queries/multimodalops.py), so per standing
-# policy this parks with its oracle, tests, and scale rows staged, and
-# leads the r14 window as never-adjudicated. TO REGISTER IN r14 (before
-# that round's window commit): add
-#   @query("evt_gapfill_interpolate", oracle=_GAPFILL_ORACLE)
+# Time-bucket gapfill + exact linear interpolation — REGISTERED r14
+# exactly as parked (r13 parking note: the r13 registration budget was
+# spent on stream_static_enrich_join / stream_session_stateful /
+# multimodal_video_mp4_samples; this parked with its oracle, tests, and
+# scale rows staged and now leads the r14 window as never-adjudicated,
+# with a _R14_SET bench floor at birth).
 #
 # The one hypertable-family semantic the events surface still lacked:
 # TimescaleDB's time_bucket_gapfill(interpolate(...)) DENSIFIES the time
@@ -1246,6 +1243,7 @@ WHERE nd IS NOT NULL AND nd - d > 1
 """
 
 
+@query("evt_gapfill_interpolate", oracle=_GAPFILL_ORACLE, bench=True)
 def evt_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-user gapfill with exact linear interpolation — see the
     block comment above for the densification semantics, the integer
@@ -1294,14 +1292,12 @@ def evt_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Time-weighted average (LOCF integral) — r14 REGISTRATION CANDIDATE,
-# deliberately undecorated (same budget note as evt_gapfill_interpolate
-# above; the r14 window takes this, gapfill, AND the streaming twin
+# Time-weighted average (LOCF integral) — REGISTERED r14 exactly as
+# parked (same budget note as evt_gapfill_interpolate above; the r14
+# window takes this, gapfill, AND the streaming twin
 # stream_time_weighted_avg (queries/streamingops.py, window TAIL) — 3
-# new registrations, at the <=2-3 growth cap). TO REGISTER IN r14
-# (before that round's window
-# commit): add
-#   @query("evt_time_weighted_avg", oracle=_TWA_ORACLE)
+# new registrations, at the <=2-3 growth cap; _R14_SET bench floor at
+# birth).
 #
 # The canonical irregular-sampling aggregate (TimescaleDB
 # time_weight('LOCF', ts, value)): a plain AVG over-weights bursts —
@@ -1358,6 +1354,7 @@ FROM a
 """
 
 
+@query("evt_time_weighted_avg", oracle=_TWA_ORACLE, bench=True)
 def evt_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average of the event value (LOCF integral
     over the observation span, exact integer micro-units) — see the

@@ -576,13 +576,11 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Streaming time-weighted average — r14 REGISTRATION CANDIDATE, parked
-# (streaming => window TAIL per standing policy; r14's budget becomes
+# Streaming time-weighted average — REGISTERED r14 exactly as parked
+# (streaming => window TAIL per standing policy; r14's budget is
 # gapfill + batch TWA + this twin — 3, at the <=2-3 growth cap, and the
 # batch/streaming pair registering the SAME round means the driver
-# adjudicates both sides of the shared oracle together). TO REGISTER IN
-# r14 (before that round's window commit): add
-#   @query("stream_time_weighted_avg", oracle=_STREAM_TWA_ORACLE)
+# adjudicates both sides of the shared oracle together).
 #
 # The streaming form of queries/events.evt_time_weighted_avg, and the
 # strongest exactness story in the stateful family: state per user is
@@ -605,6 +603,7 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 from clinical_bi_spark.queries.events import _TWA_ORACLE as _STREAM_TWA_ORACLE  # noqa: E402
 
 
+@query("stream_time_weighted_avg", oracle=_STREAM_TWA_ORACLE)
 def stream_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming LOCF-integral time-weighted mean (integer state, exact
     batch parity) — see the block comment above for the r14 registration

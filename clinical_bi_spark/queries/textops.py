@@ -1648,15 +1648,13 @@ JACCARD_TOKEN_MODE_ENV = "CLINICAL_BI_JACCARD_TOKENS"
 #: corpus vocabulary fits _JACCARD_BITMASK_VOCAB_CAP (<= 64 longs =
 #: 512 B per doc mask, <= cap+1-row bounded TopK collect for the id
 #: map, broadcast id join); an unbounded web-scale vocabulary falls
-#: back to the adjudicated array_intersect form automatically. Default
-#: stays "array" in r13 — the r13 window was committed with this
-#: query's fresh r12 row, so per the changed-code policy the default
-#: flip is scheduled for r14 WITH a window slot. The flag gates the
-#: whole prefix-join family's set-overlap verify: dedup_jaccard_prefix
-#: AND dedup_containment_prefix share _bitmask_pair_overlap (each
-#: projects its own measure over the (n_inter, ca, cb) core);
-#: containment's flip is scheduled r15 — one changed-code slot per
-#: round keeps the rotation arithmetic sound.
+#: back to the adjudicated array_intersect form automatically. Defaults
+#: are PER QUERY (the r13 one-flip-per-round schedule, executed):
+#: dedup_jaccard_prefix defaults to "bitmask" SINCE r14 (flipped with
+#: that round's changed-code window slot); dedup_containment_prefix
+#: stays "array" until its r15 slot. Both share _bitmask_pair_overlap
+#: (each projects its own measure over the (n_inter, ca, cb) core); the
+#: env var overrides both ways for A/B and fallback forcing.
 JACCARD_VERIFY_MODE_ENV = "CLINICAL_BI_JACCARD_VERIFY"
 
 #: dense-bitmask vocabulary ceiling: 4096 ids keeps every bounded term
@@ -1672,10 +1670,16 @@ def _jaccard_u64_tokens() -> bool:
     return os.environ.get(JACCARD_TOKEN_MODE_ENV, "u64") != "str"
 
 
-def _jaccard_verify_bitmask_mode() -> bool:
+def _jaccard_verify_bitmask_mode(default: str = "array") -> bool:
+    """Resolve the verify-mode flag with a PER-QUERY default: the r13
+    verdict schedules the default flips one changed-code window slot per
+    round — dedup_jaccard_prefix flipped to ``bitmask`` in r14 (its slot),
+    dedup_containment_prefix stays ``array`` until its r15 slot. The env
+    var still overrides both ways (``array`` forces the adjudicated slow
+    path; ``bitmask`` opts the not-yet-flipped query in)."""
     import os
 
-    return os.environ.get(JACCARD_VERIFY_MODE_ENV, "array") == "bitmask"
+    return os.environ.get(JACCARD_VERIFY_MODE_ENV, default) == "bitmask"
 
 
 #: Test seam: when set, replaces xxhash64 as BOTH the audited and the
@@ -2001,10 +2005,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (audit inside the query; auto-fallback to strings on a collision)
     toks = audited_token_relation(toks)
     cand = _jaccard_prefix_candidates(toks, tau, positional=True)
-    # r13 opt-in (see JACCARD_VERIFY_MODE_ENV): vocab-gated dense-bitmask
-    # verify — identical output, ~6x verify-stage CPU; auto-falls back to
-    # the array form past the vocab cap
-    if _jaccard_verify_bitmask_mode():
+    # r14 DEFAULT (flipped with this round's changed-code window slot;
+    # see JACCARD_VERIFY_MODE_ENV): vocab-gated dense-bitmask verify —
+    # identical output (differential-pinned), ~6x verify-stage CPU, and
+    # it removes the JIT-warmup bench jitter the r13 round root-caused;
+    # auto-falls back to the array form past the vocab cap, and
+    # CLINICAL_BI_JACCARD_VERIFY=array forces the old path outright
+    if _jaccard_verify_bitmask_mode(default="bitmask"):
         ver = _jaccard_verify_bitmask(spark, toks, cand, tau)
         if ver is not None:
             return ver
@@ -2693,11 +2700,13 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(10) * F.col("ub") >= F.lit(9) * F.col("sa"))
         .select("doc_a", "doc_b")
     )
-    # r13 opt-in (shared with the Jaccard join — see
+    # Still opt-in here (shared with the Jaccard join — see
     # JACCARD_VERIFY_MODE_ENV): the directed verify projects containment
     # over the same bitmask overlap core; falls back past the vocab cap.
-    # Flip scheduled r15 (r14's changed-code slot is Jaccard's).
-    if _jaccard_verify_bitmask_mode():
+    # Default flip scheduled r15 with its own window slot (r14's
+    # changed-code slot was Jaccard's — one flip per round keeps the
+    # rotation arithmetic sound).
+    if _jaccard_verify_bitmask_mode(default="array"):
         ov = _bitmask_pair_overlap(spark, toks, cand)
         if ov is not None:
             inter_bm = F.col("n_inter")

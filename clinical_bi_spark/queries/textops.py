@@ -2002,7 +2002,11 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("words") >= 1)
     )
     # u64 mode hashes ONLY behind a clean per-run injectivity certificate
-    # (audit inside the query; auto-fallback to strings on a collision)
+    # (audit inside the query; auto-fallback to strings on a collision).
+    # A fused audit+dfreq single-vocabulary-pass variant was measured
+    # r14 and REJECTED: 1.077x at interleaved min-of-5 on sf0.1 — the
+    # saved fact-scale pass is offset by the extra vocabulary persist +
+    # re-exchange (PERF.md round-14), so the adjudicated shape stands.
     toks = audited_token_relation(toks)
     cand = _jaccard_prefix_candidates(toks, tau, positional=True)
     # r14 DEFAULT (flipped with this round's changed-code window slot;

@@ -362,8 +362,14 @@ def test_jaccard_bitmask_verify_equals_array_verify(spark, monkeypatch):
             for r in df.collect()
         )
 
-    monkeypatch.delenv("CLINICAL_BI_JACCARD_VERIFY", raising=False)
+    # r14: bitmask IS the query's default now, so the adjudicated array
+    # side must be FORCED via the env override (delenv would silently
+    # compare bitmask against itself)
+    monkeypatch.setenv("CLINICAL_BI_JACCARD_VERIFY", "array")
     array_out = rows(reg["dedup_jaccard_prefix"].fn(spark, SF_ORACLE))
+    monkeypatch.delenv("CLINICAL_BI_JACCARD_VERIFY", raising=False)
+    default_out = rows(reg["dedup_jaccard_prefix"].fn(spark, SF_ORACLE))
+    assert default_out == array_out  # the flipped default reproduces array
     monkeypatch.setenv("CLINICAL_BI_JACCARD_VERIFY", "bitmask")
     bitmask_out = rows(reg["dedup_jaccard_prefix"].fn(spark, SF_ORACLE))
     assert bitmask_out == array_out
@@ -519,7 +525,10 @@ def test_containment_bitmask_verify_equals_array_verify(spark, monkeypatch):
             for r in df.collect()
         )
 
-    monkeypatch.delenv("CLINICAL_BI_JACCARD_VERIFY", raising=False)
+    # force the array side explicitly (r14 lesson: a delenv "array side"
+    # silently compares bitmask against itself once the default flips —
+    # this stays correct through containment's scheduled r15 flip)
+    monkeypatch.setenv("CLINICAL_BI_JACCARD_VERIFY", "array")
     array_out = rows(reg["dedup_containment_prefix"].fn(spark, SF_ORACLE))
     monkeypatch.setenv("CLINICAL_BI_JACCARD_VERIFY", "bitmask")
     bitmask_out = rows(reg["dedup_containment_prefix"].fn(spark, SF_ORACLE))

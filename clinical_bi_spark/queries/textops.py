@@ -2709,7 +2709,10 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the same bitmask overlap core; falls back past the vocab cap.
     # Default flip scheduled r15 with its own window slot (r14's
     # changed-code slot was Jaccard's — one flip per round keeps the
-    # rotation arithmetic sound).
+    # rotation arithmetic sound). r14 pre-flighted the flip like a
+    # parked candidate: bitmask-forced oracle PASS at sf0.001/sf0.01,
+    # degenerate 3/3, unicode sweep 189/0 — r15's change is this
+    # default string only.
     if _jaccard_verify_bitmask_mode(default="array"):
         ov = _bitmask_pair_overlap(spark, toks, cand)
         if ov is not None:

@@ -145,6 +145,15 @@ _R14_SET = _R13_SET | frozenset(
     }
 )
 
+# The bench set as of round 15 (r14 set + the two batch queries whose
+# parked r14 registrations landed this round with floors at birth: the
+# corpus-trained BPE tokenizer and the Z-order layout map).
+_R15_SET = _R14_SET | frozenset(
+    {
+        "text_bpe_train_encode", "data_zorder_layout",
+    }
+)
+
 
 def main() -> None:
     registry = load_all()
@@ -219,6 +228,8 @@ def main() -> None:
     assert not missing_r13, f"r13-set queries missing from bench: {missing_r13}"
     missing_r14 = _R14_SET - set(timings)
     assert not missing_r14, f"r14-set queries missing from bench: {missing_r14}"
+    missing_r15 = _R15_SET - set(timings)
+    assert not missing_r15, f"r15-set queries missing from bench: {missing_r15}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -265,6 +276,9 @@ def main() -> None:
         "subtotal_r14_set": round(
             sum(t for n, t in timings.items() if n in _R14_SET), 3
         ),
+        "subtotal_r15_set": round(
+            sum(t for n, t in timings.items() if n in _R15_SET), 3
+        ),
         # Global-rank dual path (operators/ranking.py): benched timings
         # measure the sharded prefix-sum production form (the default);
         # the single-partition window parity form
@@ -279,6 +293,15 @@ def main() -> None:
         # baseline form.
         "jaccard_tokens": os.environ.get(
             "CLINICAL_BI_JACCARD_TOKENS", "u64"
+        ),
+        # Jaccard/containment verify mode (queries/textops.py): since the
+        # r14/r15 default flips the prefix-join timings depend on this —
+        # record the env override when set, else "per-query-default"
+        # (bitmask for dedup_jaccard_prefix since r14 and for
+        # dedup_containment_prefix since r15, vocab-gated with automatic
+        # array fallback past the cap).
+        "jaccard_verify": os.environ.get(
+            "CLINICAL_BI_JACCARD_VERIFY", "per-query-default"
         ),
         # Self-describing variant flag: with CLINICAL_BI_EXACT_ARITH=0
         # (the bench default set above) the sim_ann_* timings measure the

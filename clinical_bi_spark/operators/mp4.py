@@ -54,13 +54,16 @@ def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
 FTYP = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
 MDAT_PAYLOAD_OFFSET = len(FTYP) + 8
 
-#: hard ceiling on a track's declared sample count (r13 ADVICE low): the
-#: parser materializes O(n_samples) sizes/durations/offsets/samples
-#: lists, so a corrupt-but-well-framed large asset must not drive
-#: multi-GB allocations before the consistency checks reject it. 2^22
-#: (~4.2M samples ≈ 9.7 h at 120 fps) is far past any real track while
-#: keeping the worst-case pre-validation allocation tens of MB.
-_MAX_SAMPLES = 1 << 22
+#: hard ceiling on a track's declared sample count (r13 ADVICE low; r14
+#: ADVICE tightened it): the parser materializes O(n_samples)
+#: sizes/durations/offsets lists pre-validation and a per-sample dict
+#: list post-validation, and the dict list dominates (~300 B/sample —
+#: at the old 2^22 cap a fixed=1 crafted asset could reach hundreds of
+#: MB to ~1 GB before or despite rejection). 2^20 (~1M samples ≈ 2.4 h
+#: at 120 fps) is still far past any real video track while bounding
+#: the worst case to tens of MB for the int lists and ~300 MB for a
+#: fully-consistent (i.e. genuinely declared) million-sample table.
+_MAX_SAMPLES = 1 << 20
 
 
 def _runlength(values: list[int]) -> list[tuple[int, int]]:
@@ -361,7 +364,10 @@ def _parse_trak(data: bytes, tb: int, te: int) -> dict | None:
             return None
         sync = set(u32s(b + 8, n_sync))
     else:
-        sync = set(range(1, n_samples + 1))
+        # absent stss ⇒ all samples sync: flag it instead of
+        # materializing set(range(1, n_samples + 1)) — at the sample
+        # ceiling that set alone is tens of MB of pure overhead
+        sync = None
 
     # stsc runs + stco → per-sample absolute offsets
     b, e = tables[b"stco"]
@@ -426,7 +432,7 @@ def _parse_trak(data: bytes, tb: int, te: int) -> dict | None:
                 "duration": durations[i],
                 "size": sizes[i],
                 "offset": offsets[i],
-                "sync": (i + 1) in sync,
+                "sync": sync is None or (i + 1) in sync,
             }
         )
         dts += durations[i]

@@ -72,7 +72,47 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: two rounds later — registry growth must stay small (<=2-3 new queries
 #: per round) now that the surface is complete.
 #:
-#: ROUND-14 WINDOW (committed with the round's new code already landed:
+#: ROUND-15 WINDOW (committed with the round's new code already landed:
+#: the two r14 parked candidates — text_bpe_train_encode,
+#: data_zorder_layout — registered exactly as the r14 parking comments
+#: planned (_R15_SET bench floors at birth), and the
+#: dedup_containment_prefix verify default FLIPPED to the proven bitmask
+#: path (the one-flip-per-round schedule's final flip; pre-flighted in
+#: r14 bitmask-forced: oracle PASS, degenerate 3/3, unicode 189/0).
+#: Slot budget, executed exactly as the r14 pre-plan computed
+#: (2 + 1 + 42 + 1 + 2 + 2 = 50):
+#:   (a) the two new registrations LEAD (never adjudicated; BPE first,
+#:       then the z-order layout map);
+#:   (b) dedup_containment_prefix — the scheduled changed-code slot for
+#:       the bitmask verify default flip (differential-pinned
+#:       byte-identical in tests/test_dedup.py; this row is the driver
+#:       adjudicating the NEW default path end to end);
+#:   (c) the 42 non-streaming r11-green entries at the staleness-4
+#:       ceiling (FORCED; their 2 streaming siblings sit at the tail) —
+#:       the 44 r11-green remainder the r14 slot-(d) pulls left, minus
+#:       the 2 streaming members;
+#:   (d) 1 r12-green pull, a round EARLY: dedup_containment_superset —
+#:       chosen over the oldest-alphabetical default because it shares
+#:       the candidate-generation machinery with this round's flipped
+#:       query (adjacent-code re-adjudication) while still draining the
+#:       r12 block: 47 r12-green exist, and dedup_containment_prefix's
+#:       flip slot here already drains one, so an unpulled r16 would be
+#:       FORCED to 46 + 2 registrations + 2 headliners = 50 with NO
+#:       slack; this pull makes r16's forced load 45 + 2 + 2 = 49 of
+#:       50, preserving the one-free-slot margin for a changed-code
+#:       slot there;
+#:   (e) headliners (flagship / dashboard), every round;
+#:   (f) streaming TAIL: the 2 forced r11-green streaming entries
+#:       (stream_corpus_curation, stream_sliding_window).
+#: r16 arithmetic check at this commit: 45 r12-green forced (47 minus
+#: the flip slot and the slot-(d) pull here) + 2 scheduled r16
+#: registrations (multimodal_audio_resample, multimodal_image_patches)
+#: + 2 headliners = 49 of 50 — the invariant holds with 1 free slot.
+#: The r12 rows-only rotation (agg_percentiles_approx,
+#: m3_feature_importance, m8_vocab_embedding_trained) rides inside the
+#: forced r12 block at r16, as the r14 plan recorded.
+#:
+#: ROUND-14 WINDOW (history; committed with the round's new code already landed:
 #: the three r13 parked candidates — evt_gapfill_interpolate,
 #: evt_time_weighted_avg, stream_time_weighted_avg — registered exactly
 #: as the r13 parking comments planned (_R14_SET bench floors for the
@@ -505,71 +545,68 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (a) the two new batch r14 registrations LEAD (never
-    #        adjudicated; their streaming twin leads the TAIL per
-    #        standing policy) --
-    "evt_gapfill_interpolate",
-    "evt_time_weighted_avg",
-    # -- (b) the scheduled changed-code slot: the bitmask verify default
-    #        flip lands this round, so the driver adjudicates the NEW
-    #        default path end to end --
-    "dedup_jaccard_prefix",
-    # -- (c) the 35 non-streaming r10-green staleness-ceiling entries
-    #        (FORCED; their 6 streaming siblings sit at the tail) --
-    "agg_ks_two_sample",
-    "agg_percentiles",
-    "dedup_cluster_winnow",
-    "dedup_decontaminate",
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_blocked",
-    "dedup_span_ngram",
-    "dedup_winnow_pairs",
-    "dq_constraint_report",
-    "etl_scd2_history",
-    "evt_markov_transitions",
-    "evt_ohlc_downsample",
-    "f_array_battery",
-    "graph_pagerank",
-    "j_bloom_prefilter_join",
-    "j_range_interval_join",
-    "m18_linreg_exact",
-    "m1_distributed_split_sizes",
-    "m1_exact_split_sizes",
-    "m5_bucketize",
-    "m6_one_hot",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "multimodal_resize",
-    "multimodal_resize_gif",
-    "multimodal_resize_png",
-    "sketch_bottomk_quantiles",
-    "sketch_countmin_topk",
-    "text_bm25_topk",
-    "text_chunk_split",
-    "text_sequence_packing",
-    "w5_rolling_range_window",
-    # -- (d) 3 r11-green pulls: the rows-only rotation pair + the oldest
-    #        alphabetical r11 entry, pulled a round early — this is what
-    #        keeps r15 at 49 of 50 instead of an unsatisfiable 52 --
-    "m9_mlp_train_eval",
-    "a3_approx_count_distinct",
-    "agg_bitwise_battery",
+    # -- (a) the two new r15 registrations LEAD (never adjudicated) --
+    "text_bpe_train_encode",
+    "data_zorder_layout",
+    # -- (b) the scheduled changed-code slot: the containment bitmask
+    #        verify default flip lands this round, so the driver
+    #        adjudicates the NEW default path end to end --
+    "dedup_containment_prefix",
+    # -- (c) the 42 non-streaming r11-green staleness-ceiling entries
+    #        (FORCED; their 2 streaming siblings sit at the tail) --
+    "agg_chi_square",
+    "agg_cube",
+    "agg_pivot",
+    "data_dsir_select",
+    "data_quality_select",
+    "data_temperature_mixture",
+    "entity_resolution_parts",
+    "etl_calculated_values_rebuild",
+    "etl_cohort_literal_joins",
+    "etl_incremental_agg_maintenance",
+    "etl_interventions_conditions",
+    "etl_name_keyed_rollup",
+    "evt_anomaly_mad",
+    "evt_attribution_last_touch",
+    "evt_json_typed_parse",
+    "f_regex_battery",
+    "f_string_battery",
+    "graph_bfs_distance",
+    "graph_label_propagation",
+    "graph_triangles",
+    "j_fuzzy_editdist_pairs",
+    "j_point_in_time_scd2",
+    "m14_kfold_assign",
+    "m16_feature_hashing",
+    "m17_target_encode_loo",
+    "multimodal_resize_jpeg",
+    "multimodal_video_mjpeg_frames",
+    "pipeline_corpus_curation",
+    "set_ops_all",
+    "sim_ann_ivf",
+    "sim_ann_ivf_exact",
+    "sim_ann_lsh",
+    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
+    "sketch_kmv_merge",
+    "text_boilerplate_strip",
+    "text_chunk_overlap_split",
+    "text_gopher_filters",
+    "text_quality_score",
+    "text_stats",
+    "unpivot_long",
+    "w3_lag_lead_first",
+    # -- (d) 1 r12-green pull, a round early: the flipped query's
+    #        standalone sibling (shares candidate machinery; see the
+    #        ROUND-15 WINDOW comment for the r16 arithmetic) --
+    "dedup_containment_superset",
     # -- (e) headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- (f) streaming members sit LAST: the never-adjudicated
-    #    registration leads the tail, then the 6 forced r10-green
+    # -- (f) streaming members sit LAST: the 2 forced r11-green
     #    streaming entries --
-    "stream_time_weighted_avg",
-    "stream_dedup_watermark",
-    "stream_hll_distinct",
-    "stream_session_window",
-    "stream_stream_join",
-    "stream_tumbling_window",
-    "stream_upsert_cdc",
+    "stream_corpus_curation",
+    "stream_sliding_window",
 )
 #: New queries that landed AFTER the current round's window was committed:
 #: they sit out this round (documented, not silently unadjudicated) and
@@ -577,15 +614,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #: fails if a never-adjudicated registry query is neither in the window
 #: nor listed here.
 _DEFERRED_NEW: tuple[str, ...] = ()
-# r14: EMPTY — the round's new registrations (evt_gapfill_interpolate,
-# evt_time_weighted_avg, stream_time_weighted_avg) landed BEFORE the
-# window commit and lead it (streaming twin at the tail). Due FIRST in
-# r15 (oldest-first): the 44 remaining r11-green entries (staleness 4 at
-# the r15 window commit) — 47 r11-green minus the 3 slot-(d) pulls
-# adjudicated here; that block + the 2 scheduled r15 registrations
-# (text_bpe_train_encode, data_zorder_layout) + 2 headliners +
-# dedup_containment_prefix's bitmask-flip slot fills 49 of 50.
-# (r10-r13 history: empty for the same reason — each round's new code
+# r15: EMPTY — the round's new registrations (text_bpe_train_encode,
+# data_zorder_layout) landed BEFORE the window commit and lead it. Due
+# FIRST in r16 (oldest-first): the 45 remaining r12-green entries
+# (staleness 4 at the r16 window commit) — 47 r12-green minus the
+# dedup_containment_prefix flip slot and the dedup_containment_superset
+# slot-(d) pull adjudicated here; that block + the 2 scheduled r16
+# registrations (multimodal_audio_resample, multimodal_image_patches) +
+# 2 headliners fills 49 of 50, one free slot in hand.
+# (r10-r14 history: empty for the same reason — each round's new code
 # registered pre-window and led it.)
 
 

@@ -945,12 +945,10 @@ def data_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Z-order (Morton curve) layout map — r15 REGISTRATION CANDIDATE,
-# deliberately undecorated (r13/r14 budgets are full; parks on the same
-# terms as text_bpe_train_encode and leads the r15 window with it — the
-# two are r15's whole registration budget). TO REGISTER IN r15 (before
-# that round's window commit): add
-#   @query("data_zorder_layout", oracle=_ZORDER_ORACLE)
+# Z-order (Morton curve) layout map — REGISTERED r15 (parked r14 on the
+# same terms as text_bpe_train_encode; the two are r15's whole
+# registration budget and lead the r15 window together; oracle, tests,
+# and scale rows were staged at parking time).
 #
 # The canonical 100 TB data-LAYOUT technique the engine had not yet made
 # adjudicable: multi-dimensional clustering. A linear sort on (x, y)
@@ -1018,12 +1016,14 @@ GROUP BY bucket
 """
 
 
+@query("data_zorder_layout", oracle=_ZORDER_ORACLE, bench=True)
 def data_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton-interleave orders on (custkey mod 256, order-day mod 256),
     equi-depth-bucket the z order into 64 ranges, and emit each bucket's
     row count and z/x/y extents — the pruning map a file-skipping scan
-    consults. See the block comment above for the layout rationale, the
-    tie-break-independence argument, and the r15 registration plan."""
+    consults. See the block comment above for the layout rationale and
+    the tie-break-independence argument. Registered r15 (parked r14 with
+    oracle/tests/scale rows staged, per the one-round parking policy)."""
     from clinical_bi_spark.operators.ranking import (
         global_prefix_sums,
         ntile_from_rank,

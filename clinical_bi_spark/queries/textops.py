@@ -1649,10 +1649,10 @@ JACCARD_TOKEN_MODE_ENV = "CLINICAL_BI_JACCARD_TOKENS"
 #: 512 B per doc mask, <= cap+1-row bounded TopK collect for the id
 #: map, broadcast id join); an unbounded web-scale vocabulary falls
 #: back to the adjudicated array_intersect form automatically. Defaults
-#: are PER QUERY (the r13 one-flip-per-round schedule, executed):
-#: dedup_jaccard_prefix defaults to "bitmask" SINCE r14 (flipped with
-#: that round's changed-code window slot); dedup_containment_prefix
-#: stays "array" until its r15 slot. Both share _bitmask_pair_overlap
+#: are PER QUERY (the r13 one-flip-per-round schedule, executed in
+#: full): dedup_jaccard_prefix defaults to "bitmask" SINCE r14 and
+#: dedup_containment_prefix SINCE r15, each flipped with its own
+#: changed-code window slot. Both share _bitmask_pair_overlap
 #: (each projects its own measure over the (n_inter, ca, cb) core); the
 #: env var overrides both ways for A/B and fallback forcing.
 JACCARD_VERIFY_MODE_ENV = "CLINICAL_BI_JACCARD_VERIFY"
@@ -1672,11 +1672,12 @@ def _jaccard_u64_tokens() -> bool:
 
 def _jaccard_verify_bitmask_mode(default: str = "array") -> bool:
     """Resolve the verify-mode flag with a PER-QUERY default: the r13
-    verdict schedules the default flips one changed-code window slot per
-    round — dedup_jaccard_prefix flipped to ``bitmask`` in r14 (its slot),
-    dedup_containment_prefix stays ``array`` until its r15 slot. The env
-    var still overrides both ways (``array`` forces the adjudicated slow
-    path; ``bitmask`` opts the not-yet-flipped query in)."""
+    verdict scheduled the default flips one changed-code window slot per
+    round — dedup_jaccard_prefix flipped to ``bitmask`` in r14,
+    dedup_containment_prefix in r15 (schedule complete; both now default
+    to ``bitmask``). The env var still overrides both ways (``array``
+    forces the adjudicated array_intersect baseline for A/B;
+    ``bitmask`` force-opts a caller passing an ``array`` default in)."""
     import os
 
     return os.environ.get(JACCARD_VERIFY_MODE_ENV, default) == "bitmask"
@@ -2621,8 +2622,10 @@ WHERE 10 * n_inter >= 9 * sa.sz
 @query("dedup_containment_prefix", oracle=_CONTAINMENT_ORACLE, bench=True)
 def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIRECTED containment >= 0.9 self-join via prefix filtering: A's
-    rarest-token prefix joins against the full inverted token list, the
-    exact array_intersect verifies. The oracle enumerates every
+    rarest-token prefix joins against the full inverted token list; the
+    verify step defaults to the vocab-gated dense-bitmask overlap since
+    r15 (array_intersect is the any-vocabulary fallback and the forced
+    A/B baseline — see JACCARD_VERIFY_MODE_ENV). The oracle enumerates every
     token-sharing DIRECTED pair — a strict superset of the prefix
     candidates — so a green row proves the containment prefix filter
     lossless (the dedup-family contract). 100 TB shape: candidates via
@@ -2704,16 +2707,16 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(10) * F.col("ub") >= F.lit(9) * F.col("sa"))
         .select("doc_a", "doc_b")
     )
-    # Still opt-in here (shared with the Jaccard join — see
+    # Default since r15 (shared with the Jaccard join — see
     # JACCARD_VERIFY_MODE_ENV): the directed verify projects containment
     # over the same bitmask overlap core; falls back past the vocab cap.
-    # Default flip scheduled r15 with its own window slot (r14's
-    # changed-code slot was Jaccard's — one flip per round keeps the
-    # rotation arithmetic sound). r14 pre-flighted the flip like a
-    # parked candidate: bitmask-forced oracle PASS at sf0.001/sf0.01,
-    # degenerate 3/3, unicode sweep 189/0 — r15's change is this
-    # default string only.
-    if _jaccard_verify_bitmask_mode(default="array"):
+    # The flip landed in its scheduled r15 changed-code window slot
+    # (r14's slot was Jaccard's — one flip per round keeps the rotation
+    # arithmetic sound), pre-flighted in r14 like a parked candidate:
+    # bitmask-forced oracle PASS at sf0.001/sf0.01, degenerate 3/3,
+    # unicode sweep 189/0. CLINICAL_BI_JACCARD_VERIFY=array still forces
+    # the adjudicated array_intersect baseline for A/B.
+    if _jaccard_verify_bitmask_mode(default="bitmask"):
         ov = _bitmask_pair_overlap(spark, toks, cand)
         if ov is not None:
             inter_bm = F.col("n_inter")
@@ -2945,14 +2948,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Corpus-trained BPE tokenizer — r15 REGISTRATION CANDIDATE, deliberately
-# undecorated: the r13 budget holds the three r12-parked candidates and
-# the r14 budget holds gapfill + time-weighted avg (see the parking
-# comments in queries/streamingops.py, multimodalops.py, events.py), so
-# per standing policy this parks with its oracle, tests, and scale rows
-# staged, and leads the r15 window. TO REGISTER IN r15 (before that
-# round's window commit): add
-#   @query("text_bpe_train_encode", oracle=_BPE_ORACLE)
+# Corpus-trained BPE tokenizer — REGISTERED r15 (parked through r13/r14
+# while those rounds' registration budgets held earlier candidates, per
+# the <=2-3-new-queries-per-round rotation arithmetic; oracle, tests,
+# and scale rows were staged at parking time and the registration is
+# the planned one-decorator change). Leads the r15 window with
+# data_zorder_layout.
 #
 # THE canonical training-data prep step the text family still lacked:
 # byte-pair encoding TRAINED ON THE CORPUS (Sennrich et al. 2016), not a
@@ -3089,11 +3090,13 @@ def bpe_train(vocab: DataFrame, n_merges: int) -> tuple[DataFrame, list]:
     return vocab, merges
 
 
+@query("text_bpe_train_encode", oracle=_BPE_ORACLE, bench=True)
 def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train ``_BPE_MERGES`` byte-pair merges on the corpus and encode it:
     per-doc word and subword-token counts under the learned vocabulary —
-    see the block comment above for the wrapper-string merge semantics,
-    the unrolled-CTE oracle design, and the r15 registration plan."""
+    see the block comment above for the wrapper-string merge semantics
+    and the unrolled-CTE oracle design. Registered r15 (parked r14 with
+    oracle/tests/scale rows staged, per the one-round parking policy)."""
     words = _bpe_words(spark, sf_dir)
     vocab = persist_tracked(
         words.groupBy("word")

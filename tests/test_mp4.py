@@ -197,7 +197,7 @@ def test_mp4_fixed_stsz_count_capped_before_materializing():
     assert parse_mp4_track(corrupt) is None
     # count past the hard ceiling (fixed=0 keeps the mdat bound moot but
     # the per-entry box-body gate already rejects; pin the fixed branch)
-    corrupt2 = _patch_u32(_patch_u32(data, at, 1), at + 4, (1 << 22) + 1)
+    corrupt2 = _patch_u32(_patch_u32(data, at, 1), at + 4, (1 << 20) + 1)
     assert parse_mp4_track(corrupt2) is None
 
 

@@ -1242,9 +1242,10 @@ def test_session_stateful_boundary_event_at_gap_starts_new_session(
 
 
 # ---------------------------------------------------------------------------
-# stream_time_weighted_avg — parked r14 candidate (streaming twin of the
-# parked batch evt_time_weighted_avg; see the parking comment in
-# queries/streamingops.py). Integer state => EXACT batch parity.
+# stream_time_weighted_avg — registered r14 alongside its batch twin
+# evt_time_weighted_avg (both parked in r13, registered as that plan
+# scheduled; see queries/streamingops.py / events.py). Integer state =>
+# EXACT batch parity.
 # ---------------------------------------------------------------------------
 
 

@@ -186,8 +186,28 @@ def main() -> None:
     # repeat count, so min-of-3 only tightens toward the true plan cost
     # and stays comparable with the r1-r9 min-of-2 series.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # r15 methodology: one UNTIMED warmup execution per query before its
+    # timed repeats. Mechanism (profiled r13 commit b8f9251, re-measured
+    # r15): a query's FIRST execution in a session pays 1.3-2.1x for
+    # whole-stage-codegen compilation + JVM JIT of its generated classes
+    # (per-repeat profile at sf0.1: bottomk [1.72, 1.09, 1.10, 1.09,
+    # 0.97], kmv [2.65, 1.84, 1.69, 1.79, 1.62], stream-curation [5.11,
+    # 2.50, 2.47, 2.36, 2.24], bruteforce [0.92, 0.74, 0.69, 0.70,
+    # 0.63]). Under min-of-3 that first repeat is a wasted sample, so a
+    # noisy host window leaves only TWO effective reads — the recurring
+    # ">1.5x official mover, acquitted as noise on A/B" class (PERF.md
+    # rounds 12-15). The warmup run restores all N timed repeats to the
+    # steady JIT-warm state a long-lived production session sits in.
+    # Comparability: min-of-N is monotone, and the warmup only removes
+    # the first-repeat compile term, so recorded floors move toward (never
+    # away from) the true plan cost; the flag is recorded in the JSON.
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_specs.items()):
+        if warmup:
+            run_fully(spec.fn(spark, SF_DIR))
+            caching.release_all(spark)
+            spark.catalog.clearCache()
         best = float("inf")
         for _ in range(repeats):
             start = time.perf_counter()
@@ -233,8 +253,10 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
-        "metric": "headline query wall-clock (min of {} runs), local[{}]".format(
-            repeats, os.environ.get("SPARK_GRAFT_CPUS", "32")
+        "metric": "headline query wall-clock (min of {} runs{}), local[{}]".format(
+            repeats,
+            ", post-warmup" if warmup else "",
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
         ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -303,6 +325,10 @@ def main() -> None:
         "jaccard_verify": os.environ.get(
             "CLINICAL_BI_JACCARD_VERIFY", "per-query-default"
         ),
+        # r15 methodology flag (see the warmup comment above): true =
+        # every timed repeat ran JIT-warm; SPARK_GRAFT_BENCH_WARMUP=0
+        # reverts to the r1-r14 cold-first-repeat recipe for A/B.
+        "bench_warmup": warmup,
         # Self-describing variant flag: with CLINICAL_BI_EXACT_ARITH=0
         # (the bench default set above) the sim_ann_* timings measure the
         # numpy batch production path; the adjudicated variants run the

@@ -623,7 +623,13 @@ _DEFERRED_NEW: tuple[str, ...] = ()
 # registrations (multimodal_audio_resample, multimodal_image_patches) +
 # 2 headliners fills 49 of 50, one free slot in hand.
 # (r10-r14 history: empty for the same reason — each round's new code
-# registered pre-window and led it.)
+# registered pre-window and led it.) The r17 registration budget is
+# staged this round on the standard parking terms: data_compaction_plan
+# (queries/pipelineops.py) + graph_adamic_adar (queries/graph.py) —
+# oracles, closed-form fixtures, degenerate-probe rows, and
+# scripts/scaleup_r17cand.py scale rows all present; registration is a
+# one-decorator change each, due r17 with the r16 pair's window slots
+# freed.
 
 
 def load_all() -> dict[str, QuerySpec]:

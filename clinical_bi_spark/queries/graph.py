@@ -458,3 +458,109 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(w_size).cast("bigint").alias("community_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction over the part co-purchase graph — r17
+# REGISTRATION CANDIDATE, deliberately undecorated (the r16 budget holds
+# the parked multimodal pair; this parks on the standard terms — oracle,
+# tests, and scale rows staged now, registration is a one-decorator
+# change, paired with data_compaction_plan as r17's whole budget).
+# TO REGISTER IN r17 (before that round's window commit): add
+#   @query("graph_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE)
+#
+# The canonical link-prediction score (Adamic & Adar 2003; the standard
+# baseline in the recommender / graph-ML literature): two parts that
+# share many LOW-DEGREE customers are more related than two sharing the
+# same number of hub customers, so each common neighbor c contributes
+# 1/ln(deg(c)) instead of 1. Computed here over the bipartite
+# customer→part basket relation (orders ⋈ lineitem, DISTINCT pairs).
+#
+# Exactness playbook: the per-neighbor term is frozen to a NANO-INT —
+# round(1e9 / ln(deg)) as BIGINT — *before* aggregation, so the score
+# is an order-independent integer SUM (the data_psi_drift /
+# graph_pagerank micro-int contract; deg is a small int, so both
+# engines' ln agree far beyond the rounding precision — pinned per-deg
+# in tests). deg ≥ 2 is automatic for any customer that generates a
+# pair, so ln is never 0.
+#
+# Scale shape (the classic all-pairs trap, answered the winnow way):
+# pair generation self-joins the basket relation on the CUSTOMER key,
+# so cost is Σ_c deg(c)² — quadratic in basket size, not corpus size.
+# Anti-skew cap: customers with deg > _AA_BASKET_CAP are EXCLUDED from
+# pair generation (the df-cap playbook of dedup_winnow_pairs — a
+# 10k-item hub basket predicts nothing pairwise and would alone emit
+# 50M candidate rows; the oracle applies the same cap, so the contract
+# is adjudicated, not silent). Output is bounded to pairs with ≥
+# _AA_MIN_COMMON common neighbors — the strong-link set a recommender
+# materializes. Only (cust, part, deg) ints ever shuffle.
+# ---------------------------------------------------------------------------
+
+_AA_BASKET_CAP = 64  # max basket size allowed into pair generation
+_AA_MIN_COMMON = 3  # emit pairs with at least this many common neighbors
+
+_ADAMIC_ADAR_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), deg AS (
+  SELECT cust, COUNT(*) AS deg FROM baskets GROUP BY cust
+), keep AS (
+  SELECT b.cust, b.part,
+         CAST(ROUND(1000000000.0 / ln(CAST(d.deg AS DOUBLE))) AS BIGINT)
+           AS term
+  FROM baskets b JOIN deg d ON d.cust = b.cust
+  WHERE d.deg BETWEEN 2 AND {_AA_BASKET_CAP}
+)
+SELECT a.part AS part_a, b.part AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(SUM(a.term) AS BIGINT) AS aa_nano
+FROM keep a JOIN keep b ON a.cust = b.cust AND a.part < b.part
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_AA_MIN_COMMON}
+"""
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction: for every part pair sharing >=
+    ``_AA_MIN_COMMON`` customers, sum round(1e9 / ln(basket size)) over
+    the common customers (nano-int exact; hub baskets past
+    ``_AA_BASKET_CAP`` excluded on both engines). See the block comment
+    above for the exactness/anti-skew contract and the r17 plan."""
+    t = load_tables(tune(spark), sf_dir)
+    baskets = (
+        t.orders.join(
+            t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    deg = baskets.groupBy("cust").agg(F.count(F.lit(1)).alias("deg"))
+    keep = persist_tracked(
+        baskets.join(
+            deg.filter(
+                (F.col("deg") >= 2) & (F.col("deg") <= _AA_BASKET_CAP)
+            ),
+            "cust",
+        ).select(
+            "cust",
+            "part",
+            F.round(F.lit(1e9) / F.log(F.col("deg").cast("double")))
+            .cast("bigint")
+            .alias("term"),
+        )
+    )
+    pa = keep.select("cust", F.col("part").alias("part_a"), "term")
+    pb = keep.select("cust", F.col("part").alias("part_b"))
+    return (
+        pa.join(pb, "cust")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("term").cast("bigint").alias("aa_nano"),
+        )
+        .filter(F.col("n_common") >= _AA_MIN_COMMON)
+    )

@@ -1075,3 +1075,116 @@ def data_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("y_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered compaction plan (small-files bin packing) — r17 REGISTRATION
+# CANDIDATE, deliberately undecorated (the r16 budget holds the parked
+# multimodal pair — audio resample + image patches — per the
+# <=2-3-new-queries-per-round rotation arithmetic; this parks on the
+# same terms as data_zorder_layout did in r14: oracle, tests, and scale
+# rows staged now, registration is a one-decorator change).
+# TO REGISTER IN r17 (before that round's window commit): add
+#   @query("data_compaction_plan", oracle=_COMPACTION_ORACLE)
+#
+# The OTHER canonical 100 TB layout operator next to Z-ordering: small-
+# file compaction. A day-partitioned table accumulates one small file
+# per partition per ingest; scan cost at 100 TB is dominated by file
+# OPEN overhead and lost locality, so maintenance jobs periodically
+# coalesce runs of adjacent small files into target-sized bins while
+# PRESERVING the sort/partition order (what Delta/Iceberg OPTIMIZE
+# compaction does within its ordering). This query emits that plan:
+# model each o_orderdate day as one "file" whose size is an exact
+# integer byte count (64 B/row overhead + the priority/status payload
+# widths), walk the files in date order, and assign each file to bin
+# floor(exclusive_running_bytes / _COMPACTION_TARGET) — the textbook
+# ordered packing: a bin closes as soon as the running total crosses a
+# target boundary, so every bin is a CONTIGUOUS date run (the property
+# that keeps min/max pruning intact after the rewrite) and only a
+# file's own tail can overflow a bin past the target.
+#
+# Exactness playbook: file sizes are exact integer sums, the running
+# total is the house distributed prefix-sum machinery
+# (operators/ranking.py global_prefix_sums — range exchange + local
+# cumsum + broadcast per-partition offsets, the agg_ks_two_sample /
+# zorder template), and the bin id is integer floor-division — no
+# floats anywhere, so the oracle (a plain window cumsum) matches
+# bit-for-bit. Bin ids may legitimately SKIP integers when a single
+# file spans multiple targets (label semantics, not a defect).
+# Scale shape: the only fact-scale op is the per-day groupBy (map-side
+# combined; shuffle bounded by the DATE DOMAIN ~2.4k values, not the
+# row count); prefix sums and the plan rollup run on the domain
+# relation — corpus replication leaves the post-groupBy work invariant.
+# ---------------------------------------------------------------------------
+
+#: target compacted-file size in bytes. Small on purpose: the synthetic
+#: corpus packs ~6 rows/day at sf0.01, and 16 KiB yields a multi-bin
+#: plan at every test SF while the arithmetic is scale-free.
+_COMPACTION_TARGET = 16384
+
+_COMPACTION_ORACLE = f"""
+WITH files AS (
+  SELECT CAST(o_orderdate AS DATE) AS file_date,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(64 + length(o_orderpriority) + length(o_orderstatus))
+              AS BIGINT) AS size_bytes
+  FROM orders
+  GROUP BY 1
+), c AS (
+  SELECT file_date, n_rows, size_bytes,
+         SUM(size_bytes) OVER (ORDER BY file_date
+                               ROWS UNBOUNDED PRECEDING) - size_bytes
+           AS excl_bytes
+  FROM files
+)
+SELECT CAST(excl_bytes // {_COMPACTION_TARGET} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+       MIN(file_date) AS date_lo,
+       MAX(file_date) AS date_hi
+FROM c
+GROUP BY bin
+"""
+
+
+def data_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered small-file compaction plan: per-day file stats → exact
+    distributed running byte total → bin = floor(exclusive_bytes /
+    target) → per-bin file count, row count, byte total, and contiguous
+    date range. See the block comment above for the layout rationale,
+    the exactness argument, and the r17 registration plan."""
+    from clinical_bi_spark.operators.ranking import global_prefix_sums
+
+    t = load_tables(tune(spark), sf_dir)
+    files = persist_tracked(
+        t.orders.groupBy(
+            F.col("o_orderdate").cast("date").alias("file_date")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.lit(64)
+                + F.length("o_orderpriority")
+                + F.length("o_orderstatus")
+            )
+            .cast("bigint")
+            .alias("size_bytes"),
+        )
+    )
+    cum = global_prefix_sums(
+        files, [F.col("file_date")], ["size_bytes"], ["cum_bytes"]
+    )
+    binned = cum.withColumn(
+        "bin",
+        F.floor(
+            (F.col("cum_bytes") - F.col("size_bytes"))
+            / F.lit(_COMPACTION_TARGET)
+        ).cast("bigint"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("size_bytes").cast("bigint").alias("total_bytes"),
+        F.min("file_date").alias("date_lo"),
+        F.max("file_date").alias("date_hi"),
+    )

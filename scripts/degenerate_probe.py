@@ -152,26 +152,22 @@ def _parked_candidates() -> dict:
     queries/__init__.py. Streaming candidates are excluded: the probe's
     count() contract doesn't drive a streaming sink (their degenerate
     pins live in tests/test_streaming.py)."""
-    from clinical_bi_spark.queries.events import (
-        evt_gapfill_interpolate,
-        evt_time_weighted_avg,
-    )
+    from clinical_bi_spark.queries.graph import graph_adamic_adar
     from clinical_bi_spark.queries.multimodalops import (
         multimodal_audio_resample,
         multimodal_image_patches,
     )
-    from clinical_bi_spark.queries.pipelineops import data_zorder_layout
-    from clinical_bi_spark.queries.textops import text_bpe_train_encode
+    from clinical_bi_spark.queries.pipelineops import data_compaction_plan
 
-    # multimodal_video_mp4_samples graduated to the registry in r13 and
-    # now rides the registered sweep
+    # graduated to the registry and now riding the registered sweep:
+    # multimodal_video_mp4_samples (r13), evt_gapfill_interpolate /
+    # evt_time_weighted_avg (r14), text_bpe_train_encode /
+    # data_zorder_layout (r15)
     return {
-        "PARKED:evt_gapfill_interpolate": evt_gapfill_interpolate,
-        "PARKED:evt_time_weighted_avg": evt_time_weighted_avg,
-        "PARKED:text_bpe_train_encode": text_bpe_train_encode,
-        "PARKED:data_zorder_layout": data_zorder_layout,
         "PARKED:multimodal_audio_resample": multimodal_audio_resample,
         "PARKED:multimodal_image_patches": multimodal_image_patches,
+        "PARKED:data_compaction_plan": data_compaction_plan,
+        "PARKED:graph_adamic_adar": graph_adamic_adar,
     }
 
 

@@ -1299,3 +1299,86 @@ def test_twa_sharded_twin_equals_window_form(spark, tmp_path):
     assert a == b
     assert a[2] == (1, None) and a[3][1] is None  # span-0 contracts hold
     assert a[1][0] == 500 and a[1][1] is not None
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar — parked r17 candidate (link prediction over the part
+# co-purchase graph; see the parking comment in queries/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_adamic_adar_matches_oracle(spark, oracle_con):
+    from clinical_bi_spark.queries.graph import (
+        _ADAMIC_ADAR_ORACLE,
+        graph_adamic_adar,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    df = graph_adamic_adar(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, oracle_con, _ADAMIC_ADAR_ORACLE, name="graph_adamic_adar"
+    )
+
+
+def test_adamic_adar_nano_term_engine_agreement(spark, oracle_con):
+    """The one float in the pipeline, pinned per input: for every basket
+    size the cap admits, round(1e9 / ln(deg)) must agree bit-for-bit
+    across Spark, DuckDB, and Python (the nano-int is frozen BEFORE
+    aggregation, so per-deg agreement proves score exactness)."""
+    import math
+
+    from clinical_bi_spark.queries.graph import _AA_BASKET_CAP
+
+    degs = list(range(2, _AA_BASKET_CAP + 1))
+    spark_terms = {
+        r.deg: r.term
+        for r in spark.sql(
+            "SELECT deg, CAST(ROUND(1e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"
+            " AS term FROM VALUES "
+            + ",".join(f"({d})" for d in degs)
+            + " AS t(deg)"
+        ).collect()
+    }
+    duck_terms = dict(
+        oracle_con.execute(
+            "SELECT deg, CAST(ROUND(1000000000.0 / ln(CAST(deg AS DOUBLE)))"
+            " AS BIGINT) FROM (SELECT UNNEST(range(2, "
+            f"{_AA_BASKET_CAP + 1})) AS deg)"
+        ).fetchall()
+    )
+    for d in degs:
+        py = round(1e9 / math.log(d))
+        assert spark_terms[d] == duck_terms[d] == py, (
+            d, spark_terms[d], duck_terms[d], py,
+        )
+
+
+def test_adamic_adar_closed_form_fixture(spark, tmp_path):
+    """Hand graph: p1-p2 share customers {c1(deg 2), c2(deg 3), c3(deg 2)}
+    → n_common 3, score term(2)+term(3)+term(2); every other pair has
+    < 3 common customers and is absent. A hub customer whose basket
+    exceeds the cap carries all three parts and must change nothing."""
+    import math
+
+    from clinical_bi_spark.queries.graph import (
+        _AA_BASKET_CAP,
+        graph_adamic_adar,
+    )
+
+    baskets = {1: [1, 2], 2: [1, 2, 3], 3: [1, 2], 4: [2, 3],
+               5: list(range(1, _AA_BASKET_CAP + 2))}  # c5: over-cap hub
+    orders, lineitem = [], []
+    for cust, parts in baskets.items():
+        orders.append((cust * 10, cust))
+        lineitem.extend((cust * 10, p) for p in parts)
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    rows = graph_adamic_adar(spark, str(tmp_path)).collect()
+    term = lambda d: round(1e9 / math.log(d))  # noqa: E731
+    assert {(r.part_a, r.part_b): (r.n_common, r.aa_nano) for r in rows} == {
+        (1, 2): (3, term(2) + term(3) + term(2))
+    }

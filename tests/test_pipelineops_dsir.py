@@ -175,3 +175,78 @@ def test_zorder_prunes_both_dimensions(spark, oracle_con):
     xlo, xhi = 40, 55
     touched_zx = sum(1 for r in zmap if r.x_lo <= xhi and r.x_hi >= xlo)
     assert touched_zx < 64
+
+
+# ---------------------------------------------------------------------------
+# data_compaction_plan — parked r17 candidate (ordered small-file bin
+# packing; see the parking comment in queries/pipelineops.py)
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_matches_oracle(spark, oracle_con):
+    from clinical_bi_spark.queries.pipelineops import (
+        _COMPACTION_ORACLE,
+        data_compaction_plan,
+    )
+
+    df = data_compaction_plan(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, oracle_con, _COMPACTION_ORACLE, name="data_compaction_plan"
+    )
+
+
+def test_compaction_bins_are_contiguous_date_runs(spark):
+    """The layout claim: every bin is a contiguous, non-overlapping run
+    of dates in bin order (the property that keeps min/max pruning
+    intact after the rewrite), and the plan conserves the corpus."""
+    import pyspark.sql.functions as F
+
+    from clinical_bi_spark.queries.pipelineops import data_compaction_plan
+
+    rows = sorted(
+        data_compaction_plan(spark, SF_ORACLE).collect(), key=lambda r: r.bin
+    )
+    assert len(rows) > 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.date_lo <= a.date_hi < b.date_lo, (a, b)
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    totals = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.lit(64)
+            + F.length("o_orderpriority")
+            + F.length("o_orderstatus")
+        ).alias("b"),
+    ).collect()[0]
+    assert sum(r.n_rows for r in rows) == totals.n
+    assert sum(r.total_bytes for r in rows) == totals.b
+
+
+def test_compaction_closed_form_fixture(spark, tmp_path, monkeypatch):
+    """Hand-computed packing: files of 120/90/100/250/70 bytes at a
+    200-byte target must bin as {0: [d1, d2], 1: [d3, d4], 2: [d5]}
+    (exclusive prefixes 0/120/210/310/560 → floor-div bins 0/0/1/1/2;
+    d4 overflows bin 1 past the target — only its own tail may)."""
+    from clinical_bi_spark.queries import pipelineops
+
+    sizes = [120, 90, 100, 250, 70]  # row size = 64 + len(prio) + len("F")
+    rows = [
+        (i + 1, f"1995-01-0{i + 1}", "x" * (s - 65), "F")
+        for i, s in enumerate(sizes)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, d string, o_orderpriority string, o_orderstatus string"
+    ).selectExpr(
+        "o_orderkey", "CAST(d AS DATE) AS o_orderdate",
+        "o_orderpriority", "o_orderstatus",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    monkeypatch.setattr(pipelineops, "_COMPACTION_TARGET", 200)
+    got = {
+        r.bin: (r.n_files, r.total_bytes, str(r.date_lo), str(r.date_hi))
+        for r in pipelineops.data_compaction_plan(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (2, 210, "1995-01-01", "1995-01-02"),
+        1: (2, 350, "1995-01-03", "1995-01-04"),
+        2: (1, 70, "1995-01-05", "1995-01-05"),
+    }

@@ -785,3 +785,33 @@ def test_bpe_encode_is_broadcast_join(spark):
     plan = _explain_fn(spark, text_bpe_train_encode)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_compaction_plan_no_single_partition_no_join(spark):
+    """Parked r17 candidate: the running byte total must ride the
+    sharded prefix-sum machinery (range exchange + broadcast offsets) —
+    no SinglePartition window sort, and the only join anywhere is the
+    machinery's own broadcast of the tiny per-partition offset table."""
+    from clinical_bi_spark.queries.pipelineops import data_compaction_plan
+
+    plan = _explain_fn(spark, data_compaction_plan)
+    assert ") Window" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "SinglePartition" not in line, line
+
+
+def test_adamic_adar_all_joins_are_hash_equi_joins(spark):
+    """Parked r17 candidate: basket build, degree cap, and pair
+    generation are all equi-joins on cust/orderkey — no cartesian, no
+    nested loop (the all-pairs trap the basket cap exists to prevent)."""
+    from clinical_bi_spark.queries.graph import graph_adamic_adar
+
+    plan = _explain_fn(spark, graph_adamic_adar)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )

@@ -216,19 +216,24 @@ def test_jaccard_bitmask_verify_plan(spark, monkeypatch):
 
 
 def test_verify_mode_per_query_defaults(spark, monkeypatch):
-    # r14 flip, pinned at PLAN level with the env UNSET: the jaccard
-    # join's default must be the bitmask verify (bit_count in the plan —
-    # the flip actually engaged end to end), while the containment join
-    # stays on the adjudicated array verify until its scheduled r15
-    # slot; the env override must force both ways for both queries
+    # per-query defaults pinned at PLAN level with the env UNSET. The
+    # one-flip-per-round schedule is complete as of r15: BOTH prefix
+    # joins default to the bitmask verify (bit_count in the plan — the
+    # flips actually engaged end to end; jaccard since r14, containment
+    # since r15); the env override must force both ways for both queries
     monkeypatch.delenv("CLINICAL_BI_JACCARD_VERIFY", raising=False)
     jac = explain(spark, "dedup_jaccard_prefix")
     assert "bit_count" in jac and "array_intersect" not in jac
     cont = explain(spark, "dedup_containment_prefix")
-    assert "array_intersect" in cont and "bit_count" not in cont
+    assert "bit_count" in cont and "array_intersect" not in cont
     monkeypatch.setenv("CLINICAL_BI_JACCARD_VERIFY", "array")
     jac_forced = explain(spark, "dedup_jaccard_prefix")
     assert "array_intersect" in jac_forced and "bit_count" not in jac_forced
+    cont_forced_arr = explain(spark, "dedup_containment_prefix")
+    assert (
+        "array_intersect" in cont_forced_arr
+        and "bit_count" not in cont_forced_arr
+    )
     monkeypatch.setenv("CLINICAL_BI_JACCARD_VERIFY", "bitmask")
     cont_forced = explain(spark, "dedup_containment_prefix")
     assert "bit_count" in cont_forced and "array_intersect" not in cont_forced

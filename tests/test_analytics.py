@@ -1079,7 +1079,7 @@ def test_degenerate_psi(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# evt_gapfill_interpolate — parked r14 candidate (time-bucket gapfill +
+# evt_gapfill_interpolate — registered r14 (time-bucket gapfill +
 # exact linear interpolation; see the parking comment in queries/events.py)
 # ---------------------------------------------------------------------------
 
@@ -1177,7 +1177,7 @@ def test_gapfill_near_bound_exactness(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# evt_time_weighted_avg — parked r14 candidate (LOCF-integral time-weighted
+# evt_time_weighted_avg — registered r14 (LOCF-integral time-weighted
 # mean; see the parking comment in queries/events.py)
 # ---------------------------------------------------------------------------
 

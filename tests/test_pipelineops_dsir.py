@@ -103,7 +103,7 @@ def test_r11_candidates_survive_degenerate_corpora(spark, degenerate_dirs):
 
 
 # ---------------------------------------------------------------------------
-# data_zorder_layout — parked r15 candidate (Morton-curve layout map; see
+# data_zorder_layout — registered r15 (Morton-curve layout map; see
 # the parking comment in queries/pipelineops.py)
 # ---------------------------------------------------------------------------
 

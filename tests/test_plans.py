@@ -740,7 +740,7 @@ def _explain_fn(spark, fn) -> str:
 
 
 def test_gapfill_single_pass_plan(spark):
-    """Parked r14 candidate: the densification must be single-pass — one
+    """Registered r14: the densification must be single-pass — one
     fact scan, one aggregate exchange, one window exchange, one Generate.
     The union-of-branches form planned TWO complete scans+aggregations
     (measured 2x the wall at x1; PERF.md) — pin the restructure."""
@@ -768,7 +768,7 @@ def test_mp4_samples_plan_is_two_arrow_stages(spark):
 
 
 def test_twa_single_shuffle_window_and_agg_colocated(spark):
-    """Parked r14 candidate: the per-user LEAD window and the per-user
+    """Registered r14: the per-user LEAD window and the per-user
     aggregate must share hash(user_id) partitioning — ONE exchange total,
     the aggregate rides the window's shuffle."""
     from clinical_bi_spark.queries.events import evt_time_weighted_avg
@@ -781,7 +781,7 @@ def test_twa_single_shuffle_window_and_agg_colocated(spark):
 
 
 def test_bpe_encode_is_broadcast_join(spark):
-    """Parked r15 candidate: the final encode must broadcast the
+    """Registered r15: the final encode must broadcast the
     vocabulary-sized relation against the exploded corpus — no
     SortMergeJoin, no cartesian; the corpus side never shuffles for the
     join."""

@@ -660,7 +660,7 @@ def test_bound_quality_and_gate_match_unbound_forms(spark, texts):
 
 
 # ---------------------------------------------------------------------------
-# Parked r14 candidates: gapfill + TWA vs pure-Python big-int references
+# Registered r14 (parked r13): gapfill + TWA vs pure-Python big-int references
 # on hypothesis-random event sets (ties, duplicate timestamps, single-
 # event users, arbitrary gaps) — the property form of the hand fixtures.
 # ---------------------------------------------------------------------------

@@ -97,7 +97,7 @@ def test_curation_avg_div_exact_past_2_53(spark):
 
 
 # ---------------------------------------------------------------------------
-# text_bpe_train_encode — parked r15 candidate (corpus-trained BPE; see the
+# text_bpe_train_encode — registered r15 (corpus-trained BPE; see the
 # parking comment in queries/textops.py). The reference implementation here
 # is canonical Sennrich-style BPE: count adjacent symbol pairs weighted by
 # word frequency, merge the (count DESC, pair ASC) argmax greedily leftmost.

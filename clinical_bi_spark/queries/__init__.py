@@ -107,10 +107,34 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: r16 arithmetic check at this commit: 45 r12-green forced (47 minus
 #: the flip slot and the slot-(d) pull here) + 2 scheduled r16
 #: registrations (multimodal_audio_resample, multimodal_image_patches)
-#: + 2 headliners = 49 of 50 — the invariant holds with 1 free slot.
+#: + 2 headliners = 49 of 50 — the invariant holds with 1 free slot,
+#: which MUST pull 1 r13-green (the r17 arithmetic below needs it).
 #: The r12 rows-only rotation (agg_percentiles_approx,
 #: m3_feature_importance, m8_vocab_embedding_trained) rides inside the
 #: forced r12 block at r16, as the r14 plan recorded.
+#:
+#: ROTATION CAPACITY (computed at the r15 commit — the full-cycle
+#: arithmetic the one-round-ahead checks above no longer capture).
+#: Post-r15 blocks: r12:45, r13:48, r14:48, r15:50. The 50-slot /
+#: 4-round contract supplies 200 slots per cycle; demand is every
+#: non-headliner query once (currently 189, 191 after the r17 pair)
+#: plus 2 headliner slots per round (8/cycle) plus new registrations.
+#: At 191 non-headliner entries demand is 191 + 8 = 199 of 200 — the
+#: registry is AT capacity. Consequences, pre-planned here:
+#:   * r16: 45 + 2 regs + 2 headliners + 1 r13 pull = 50 (as above);
+#:   * r17: 47 r13-green + 2 regs (data_compaction_plan,
+#:     graph_adamic_adar) + flagship = 50 — dashboard_extract SITS OUT
+#:     exactly one round (it will be 2 rounds fresh, far under the
+#:     ceiling, and is exercised every session by bench + the oracle
+#:     suite; flagship keeps its every-round slot). Without this
+#:     one-round headliner rest, r17 is oversubscribed at 51 of 50.
+#:   * r18 onward: steady state at 48 forced + 2 headliners = 50
+#:     exactly, ZERO free slots — future changed-code slots must land
+#:     on entries already due (schedule flips to the block's round), and
+#:     REGISTRY GROWTH STOPS at 193 total queries unless an entry is
+#:     retired or the headliner policy is relaxed further. The r17 pair
+#:     is therefore the LAST planned registration; anything new must
+#:     name the entry it displaces.
 #:
 #: ROUND-14 WINDOW (history; committed with the round's new code already landed:
 #: the three r13 parked candidates — evt_gapfill_interpolate,
@@ -628,8 +652,9 @@ _DEFERRED_NEW: tuple[str, ...] = ()
 # (queries/pipelineops.py) + graph_adamic_adar (queries/graph.py) —
 # oracles, closed-form fixtures, degenerate-probe rows, and
 # scripts/scaleup_r17cand.py scale rows all present; registration is a
-# one-decorator change each, due r17 with the r16 pair's window slots
-# freed.
+# one-decorator change each, due r17 (which rests the dashboard
+# headliner for one round — see ROTATION CAPACITY above; these two are
+# the LAST planned registrations under the 50-slot contract).
 
 
 def load_all() -> dict[str, QuerySpec]:

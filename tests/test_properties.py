@@ -804,3 +804,117 @@ def test_bpe_matches_reference_on_random_corpora(
     tmp = tmp_path_factory.mktemp("bpe_prop")
     got = _run_bpe(spark, tmp, texts)
     assert got == _ref_bpe_counts(texts, _BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Parked r17 candidates: compaction plan + Adamic-Adar vs pure-Python
+# references on hypothesis-random inputs — the property form of the hand
+# fixtures in test_pipelineops_dsir.py / test_analytics.py.
+# ---------------------------------------------------------------------------
+
+
+@_slow_ok
+@given(
+    st.lists(st.integers(min_value=66, max_value=600), min_size=1, max_size=24)
+)
+def test_compaction_matches_python_reference(spark, tmp_path_factory, sizes):
+    """Random per-file byte sizes (one file per consecutive day) → the
+    query's bins must equal the textbook ordered packing computed in
+    plain Python: bin(file i) = floor(sum(sizes[:i]) / target)."""
+    import datetime
+
+    from clinical_bi_spark.queries import pipelineops
+
+    tmp_path = tmp_path_factory.mktemp("compaction_prop")
+    base = datetime.date(1995, 1, 1)
+    rows = [
+        (i + 1, base + datetime.timedelta(days=i), "x" * (s - 65), "F")
+        for i, s in enumerate(sizes)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderdate date, o_orderpriority string, "
+        "o_orderstatus string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    target = 200
+    # pure-Python reference: exclusive prefix // target, rolled up per bin
+    ref: dict = {}
+    excl = 0
+    for i, s in enumerate(sizes):
+        b = excl // target
+        d = base + datetime.timedelta(days=i)
+        n, tot, lo, hi = ref.get(b, (0, 0, d, d))
+        ref[b] = (n + 1, tot + s, min(lo, d), max(hi, d))
+        excl += s
+
+    orig = pipelineops._COMPACTION_TARGET
+    pipelineops._COMPACTION_TARGET = target
+    try:
+        got = {
+            r.bin: (r.n_files, r.total_bytes, r.date_lo, r.date_hi)
+            for r in pipelineops.data_compaction_plan(
+                spark, str(tmp_path)
+            ).collect()
+        }
+    finally:
+        pipelineops._COMPACTION_TARGET = orig
+    assert got == ref
+
+
+_BASKET = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),   # customer
+        st.integers(min_value=1, max_value=8),   # part
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_slow_ok
+@given(_BASKET)
+def test_adamic_adar_matches_python_reference(spark, tmp_path_factory, pairs):
+    """Random small bipartite graphs (duplicate basket rows collapse, deg<2
+    customers drop out, the >=_AA_MIN_COMMON floor applies) → the query
+    must equal a dict-and-loop Python Adamic-Adar."""
+    import itertools
+    import math
+
+    from clinical_bi_spark.queries.graph import (
+        _AA_BASKET_CAP,
+        _AA_MIN_COMMON,
+        graph_adamic_adar,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("aa_prop")
+    baskets: dict = {}
+    for c, p in pairs:
+        baskets.setdefault(c, set()).add(p)
+    orders, lineitem = [], []
+    for c, parts in baskets.items():
+        orders.append((c * 100, c))
+        lineitem.extend((c * 100, p) for p in sorted(parts))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    ref: dict = {}
+    for c, parts in baskets.items():
+        deg = len(parts)
+        if not (2 <= deg <= _AA_BASKET_CAP):
+            continue
+        term = round(1e9 / math.log(deg))
+        for a, b in itertools.combinations(sorted(parts), 2):
+            n, s = ref.get((a, b), (0, 0))
+            ref[(a, b)] = (n + 1, s + term)
+    ref = {k: v for k, v in ref.items() if v[0] >= _AA_MIN_COMMON}
+
+    got = {
+        (r.part_a, r.part_b): (r.n_common, r.aa_nano)
+        for r in graph_adamic_adar(spark, str(tmp_path)).collect()
+    }
+    assert got == ref

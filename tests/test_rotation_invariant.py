@@ -103,3 +103,34 @@ def test_deferred_new_entries_are_real_and_truly_new():
             f"{name} already has a driver verdict; it does not belong in "
             "_DEFERRED_NEW"
         )
+
+
+def test_bench_sets_are_monotone_and_registered():
+    """bench.py's round-set constants are the round-over-round
+    comparability contract: every set member must be a registered,
+    bench-flagged query, and each round's set must contain its
+    predecessor (subtotals stay comparable). bench.py asserts this at
+    RUN time; pinning it here fails every pytest session instead of the
+    next driver bench."""
+    import bench
+
+    reg = load_all()
+    benched = {n for n, s in reg.items() if s.bench}
+    sets = sorted(
+        (
+            (int(name[2:-4]), getattr(bench, name))
+            for name in dir(bench)
+            if re.fullmatch(r"_R\d+_SET", name)
+        ),
+    )
+    assert sets, "bench.py round sets not found"
+    prev: frozenset = frozenset()
+    for _rnd, s in sets:
+        assert s >= prev, f"round set shrank at r{_rnd}"
+        prev = s
+    latest = sets[-1][1]
+    assert latest <= benched, (
+        f"bench-set members missing bench=True: {sorted(latest - benched)}"
+    )
+    missing = latest - set(reg)
+    assert not missing, f"bench-set members not in registry: {missing}"

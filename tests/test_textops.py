@@ -269,3 +269,31 @@ def test_bpe_unicode_corpus_cross_engine(spark, tmp_path):
     duck = {d: (w, n) for d, w, n in con.execute(_BPE_ORACLE).fetchall()}
     con.close()
     assert duck == got
+
+
+def test_bpe_random_small_alphabet_property(spark, tmp_path_factory):
+    """Hypothesis form of the hand corpora: random texts over a 3-letter
+    alphabet maximize merge collisions, tie-breaks, pair-exhausted
+    rounds, and the shared-delimiter runs ('a a a a') where naive
+    space-framed BPE provably diverges — the query must match the
+    canonical Python reference on every draw."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    text = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(text, min_size=1, max_size=6))
+    def run(texts):
+        from clinical_bi_spark.queries.textops import _BPE_MERGES
+
+        tmp_path = tmp_path_factory.mktemp("bpe_prop")
+        got = _run_bpe(spark, tmp_path, texts)
+        assert got == _ref_bpe_counts(texts, _BPE_MERGES)
+
+    run()

@@ -24,14 +24,6 @@ from clinical_bi_spark.session import get_spark, warm
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Bench the numpy production path of oracle-graduated ANN queries: the
-# sequential exact-arithmetic form exists for DuckDB adjudication and
-# costs a measured 2.2x on sim_ann_lsh (r6 regression, PERF.md round-7);
-# the two paths are differential-pinned equal in tests/test_similarity.py,
-# which is what licenses timing one while adjudicating the other.
-os.environ.setdefault("CLINICAL_BI_EXACT_ARITH", "0")
-
-
 # The bench set as of round 4 — kept stable for round-over-round totals.
 _R4_SET = frozenset(
     {
@@ -156,6 +148,16 @@ _R15_SET = _R14_SET | frozenset(
 
 
 def main() -> None:
+    # Bench the numpy production path of oracle-graduated ANN queries:
+    # the sequential exact-arithmetic form exists for DuckDB adjudication
+    # and costs a measured 2.2x on sim_ann_lsh (r6 regression, PERF.md
+    # round-7); the two paths are differential-pinned equal in
+    # tests/test_similarity.py, which is what licenses timing one while
+    # adjudicating the other. Set INSIDE main (r15 review): at import
+    # time it would leak into any process that merely imports bench —
+    # e.g. the pytest invariant over the round sets — silently flipping
+    # the ANN dual-path default for every later test in that process.
+    os.environ.setdefault("CLINICAL_BI_EXACT_ARITH", "0")
     registry = load_all()
     bench_specs = {n: s for n, s in registry.items() if s.bench}
     spark = get_spark("clinical-bi-spark-bench")

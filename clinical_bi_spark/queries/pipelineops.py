@@ -1174,12 +1174,17 @@ def data_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_prefix_sums(
         files, [F.col("file_date")], ["size_bytes"], ["cum_bytes"]
     )
+    # DIV, not floor(a / b): Spark's `/` on bigints is DOUBLE division,
+    # exact only below 2^53 and wrong-by-one near ulp boundaries for
+    # non-power-of-two targets — DIV keeps the whole pipeline integer,
+    # matching the oracle's `//` bit-for-bit at any scale (the
+    # sources.py:91 convention).
     binned = cum.withColumn(
         "bin",
-        F.floor(
-            (F.col("cum_bytes") - F.col("size_bytes"))
-            / F.lit(_COMPACTION_TARGET)
-        ).cast("bigint"),
+        F.expr(
+            f"CAST((cum_bytes - size_bytes) DIV {_COMPACTION_TARGET}"
+            " AS BIGINT)"
+        ),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_files"),

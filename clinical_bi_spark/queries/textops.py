@@ -1670,14 +1670,13 @@ def _jaccard_u64_tokens() -> bool:
     return os.environ.get(JACCARD_TOKEN_MODE_ENV, "u64") != "str"
 
 
-def _jaccard_verify_bitmask_mode(default: str = "array") -> bool:
-    """Resolve the verify-mode flag with a PER-QUERY default: the r13
-    verdict scheduled the default flips one changed-code window slot per
-    round — dedup_jaccard_prefix flipped to ``bitmask`` in r14,
-    dedup_containment_prefix in r15 (schedule complete; both now default
-    to ``bitmask``). The env var still overrides both ways (``array``
-    forces the adjudicated array_intersect baseline for A/B;
-    ``bitmask`` force-opts a caller passing an ``array`` default in)."""
+def _jaccard_verify_bitmask_mode(default: str = "bitmask") -> bool:
+    """Resolve the verify-mode flag. The r13 one-flip-per-round schedule
+    is complete — dedup_jaccard_prefix flipped to ``bitmask`` in r14,
+    dedup_containment_prefix in r15 — so ``bitmask`` is now the uniform
+    default (the per-query ``default`` parameter remains for an A/B
+    caller). The env var still overrides both ways (``array`` forces the
+    adjudicated array_intersect baseline)."""
     import os
 
     return os.environ.get(JACCARD_VERIFY_MODE_ENV, default) == "bitmask"

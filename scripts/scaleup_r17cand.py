@@ -35,6 +35,7 @@ from types import SimpleNamespace
 
 from pyspark.sql import functions as F
 
+from clinical_bi_spark import caching
 from clinical_bi_spark.queries import graph, pipelineops
 from clinical_bi_spark.session import get_spark, warm
 
@@ -91,6 +92,12 @@ def main() -> None:
                     "noop"
                 ).mode("overwrite").save()
                 best = min(best, time.perf_counter() - start)
+                # release the query's persist_tracked intermediates: the
+                # CacheManager plan-matches an identical second run and
+                # would skip the fact-scale groupBy under test (r15
+                # review) — the INPUT persist above is the one cache the
+                # methodology keeps warm
+                caching.release_all(spark)
             print(
                 f"x{mult}",
                 {"orders": n_ord * mult, "data_compaction_plan": round(best, 2)},
@@ -119,7 +126,9 @@ def main() -> None:
                 df = graph.graph_adamic_adar(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - start)
+                caching.release_all(spark)  # see the compaction note
             pairs = graph.graph_adamic_adar(spark, SF_DIR).count()
+            caching.release_all(spark)
             print(
                 f"x{mult}",
                 {

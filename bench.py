@@ -146,6 +146,15 @@ _R15_SET = _R14_SET | frozenset(
     }
 )
 
+# The bench set as of round 16 (r15 set + the two batch queries whose
+# parked r15 registrations landed this round with floors at birth: the
+# WAV zero-order-hold resampler and the ViT image patchifier).
+_R16_SET = _R15_SET | frozenset(
+    {
+        "multimodal_audio_resample", "multimodal_image_patches",
+    }
+)
+
 
 def main() -> None:
     # Bench the numpy production path of oracle-graduated ANN queries:
@@ -252,6 +261,8 @@ def main() -> None:
     assert not missing_r14, f"r14-set queries missing from bench: {missing_r14}"
     missing_r15 = _R15_SET - set(timings)
     assert not missing_r15, f"r15-set queries missing from bench: {missing_r15}"
+    missing_r16 = _R16_SET - set(timings)
+    assert not missing_r16, f"r16-set queries missing from bench: {missing_r16}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -302,6 +313,9 @@ def main() -> None:
         ),
         "subtotal_r15_set": round(
             sum(t for n, t in timings.items() if n in _R15_SET), 3
+        ),
+        "subtotal_r16_set": round(
+            sum(t for n, t in timings.items() if n in _R16_SET), 3
         ),
         # Global-rank dual path (operators/ranking.py): benched timings
         # measure the sharded prefix-sum production form (the default);

@@ -72,7 +72,43 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: two rounds later — registry growth must stay small (<=2-3 new queries
 #: per round) now that the surface is complete.
 #:
-#: ROUND-15 WINDOW (committed with the round's new code already landed:
+#: ROUND-16 WINDOW (committed with the round's new code already landed:
+#: the two r15 parked candidates — multimodal_audio_resample,
+#: multimodal_image_patches — registered exactly as the r15 parking
+#: comments planned (_R16_SET bench floors at birth; both pre-flighted
+#: on the r15 final tree value-equal to their oracles at driver shape,
+#: 500/500 and 2000/2000). No default flip this round — the
+#: one-flip-per-round verify schedule completed at r15. Slot budget,
+#: executed exactly as the r15 pre-plan computed (2 + 43 + 1 + 2 + 2 =
+#: 50):
+#:   (a) the two new registrations LEAD (never adjudicated; the audio
+#:       resampler first, then the image patchifier);
+#:   (b) no changed-code slot owed: no registered query's default path
+#:       changed since its last driver row (the round's perf work is
+#:       A/B adjudication of byte-unchanged code, recorded in PERF.md);
+#:   (c) the 43 non-streaming r12-green entries at the staleness-4
+#:       ceiling (FORCED; their 2 streaming siblings sit at the tail) —
+#:       the 45 r12-green remainder the r15 flip slot and slot-(d) pull
+#:       left, minus the 2 streaming members; includes the r12
+#:       rows-only rotation (agg_percentiles_approx,
+#:       m3_feature_importance, m8_vocab_embedding_trained), riding the
+#:       forced block as the r14 plan recorded;
+#:   (d) 1 r13-green pull, a round EARLY, oldest-alphabetical:
+#:       a3_hll_merge — the r15 ROTATION CAPACITY arithmetic requires
+#:       exactly one r13 pull here so r17 lands at 47 r13-green forced
+#:       + 2 registrations (data_compaction_plan, graph_adamic_adar) +
+#:       flagship = 50 (dashboard rests one round there);
+#:   (e) headliners (flagship / dashboard), every round;
+#:   (f) streaming TAIL: the 2 forced r12-green streaming entries
+#:       (stream_left_outer_join, then stream_stateful_user_stats).
+#: r17 arithmetic check at this commit: 48 r13-green minus the
+#: a3_hll_merge pull here = 47 forced + the 2 scheduled r17
+#: registrations + flagship = 50 exactly — the invariant holds with
+#: dashboard_extract sitting out the one pre-planned round (2 rounds
+#: fresh at r17, under the 4-round ceiling; bench + the oracle suite
+#: still exercise it every session).
+#:
+#: ROUND-15 WINDOW (history; committed with the round's new code already landed:
 #: the two r14 parked candidates — text_bpe_train_encode,
 #: data_zorder_layout — registered exactly as the r14 parking comments
 #: planned (_R15_SET bench floors at birth), and the
@@ -569,68 +605,67 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (a) the two new r15 registrations LEAD (never adjudicated) --
-    "text_bpe_train_encode",
-    "data_zorder_layout",
-    # -- (b) the scheduled changed-code slot: the containment bitmask
-    #        verify default flip lands this round, so the driver
-    #        adjudicates the NEW default path end to end --
-    "dedup_containment_prefix",
-    # -- (c) the 42 non-streaming r11-green staleness-ceiling entries
-    #        (FORCED; their 2 streaming siblings sit at the tail) --
-    "agg_chi_square",
-    "agg_cube",
-    "agg_pivot",
-    "data_dsir_select",
-    "data_quality_select",
-    "data_temperature_mixture",
-    "entity_resolution_parts",
-    "etl_calculated_values_rebuild",
-    "etl_cohort_literal_joins",
-    "etl_incremental_agg_maintenance",
-    "etl_interventions_conditions",
-    "etl_name_keyed_rollup",
-    "evt_anomaly_mad",
-    "evt_attribution_last_touch",
-    "evt_json_typed_parse",
-    "f_regex_battery",
-    "f_string_battery",
-    "graph_bfs_distance",
-    "graph_label_propagation",
-    "graph_triangles",
-    "j_fuzzy_editdist_pairs",
-    "j_point_in_time_scd2",
-    "m14_kfold_assign",
-    "m16_feature_hashing",
-    "m17_target_encode_loo",
-    "multimodal_resize_jpeg",
-    "multimodal_video_mjpeg_frames",
-    "pipeline_corpus_curation",
-    "set_ops_all",
-    "sim_ann_ivf",
-    "sim_ann_ivf_exact",
-    "sim_ann_lsh",
-    "sketch_kmv_distinct",
-    "sketch_kmv_jaccard",
-    "sketch_kmv_merge",
-    "text_boilerplate_strip",
-    "text_chunk_overlap_split",
-    "text_gopher_filters",
-    "text_quality_score",
-    "text_stats",
-    "unpivot_long",
-    "w3_lag_lead_first",
-    # -- (d) 1 r12-green pull, a round early: the flipped query's
-    #        standalone sibling (shares candidate machinery; see the
-    #        ROUND-15 WINDOW comment for the r16 arithmetic) --
-    "dedup_containment_superset",
+    # -- (a) the two new r16 registrations LEAD (never adjudicated) --
+    "multimodal_audio_resample",
+    "multimodal_image_patches",
+    # -- (b) no changed-code slot this round (no registered default
+    #        path changed since its last driver row) --
+    # -- (c) the 43 non-streaming r12-green staleness-ceiling entries
+    #        (FORCED; their 2 streaming siblings sit at the tail);
+    #        includes the r12 rows-only rotation --
+    "a3_multi_count_distinct",
+    "agg_benford_firstdigit",
+    "agg_bootstrap_ci_mean",
+    "agg_equidepth_histogram",
+    "agg_mannwhitney_u",
+    "agg_percentiles_approx",
+    "agg_pricing_summary",
+    "agg_ttest_welch",
+    "agg_winsorized_mean",
+    "asof_join_events",
+    "data_psi_drift",
+    "data_snapshot_diff",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_best",
+    "evt_cep_pattern",
+    "evt_cep_pattern_quantified",
+    "evt_dedup_window",
+    "evt_forward_fill",
+    "evt_funnel_conversion",
+    "evt_funnel_time_bounded",
+    "evt_group_zscore",
+    "evt_group_zscore_window",
+    "evt_json_extract",
+    "evt_retention_cohorts",
+    "evt_rfm_segmentation",
+    "evt_sessionization",
+    "evt_sliding_window",
+    "evt_tumbling_window",
+    "f_scalar_battery",
+    "j2_selfjoin_fanout",
+    "m13_auc_rank",
+    "m19_temporal_split",
+    "m3_feature_importance",
+    "m8_vocab_embedding",
+    "m8_vocab_embedding_trained",
+    "multimodal_features",
+    "multimodal_resize_bmp",
+    "p_filter_conjunction",
+    "sim_ann_pq",
+    "text_language_id",
+    "vec_pca_power_top1",
+    "w2_running_total",
+    # -- (d) 1 r13-green pull, a round early, oldest-alphabetical
+    #        (see the ROUND-16 WINDOW comment for the r17 arithmetic) --
+    "a3_hll_merge",
     # -- (e) headliners, every round --
     "flagship_feature_query",
     "dashboard_extract",
-    # -- (f) streaming members sit LAST: the 2 forced r11-green
-    #    streaming entries --
-    "stream_corpus_curation",
-    "stream_sliding_window",
+    # -- (f) streaming members sit LAST: the 2 forced r12-green
+    #    streaming entries (stateless join first) --
+    "stream_left_outer_join",
+    "stream_stateful_user_stats",
 )
 #: New queries that landed AFTER the current round's window was committed:
 #: they sit out this round (documented, not silently unadjudicated) and
@@ -638,23 +673,24 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #: fails if a never-adjudicated registry query is neither in the window
 #: nor listed here.
 _DEFERRED_NEW: tuple[str, ...] = ()
-# r15: EMPTY — the round's new registrations (text_bpe_train_encode,
-# data_zorder_layout) landed BEFORE the window commit and lead it. Due
-# FIRST in r16 (oldest-first): the 45 remaining r12-green entries
-# (staleness 4 at the r16 window commit) — 47 r12-green minus the
-# dedup_containment_prefix flip slot and the dedup_containment_superset
-# slot-(d) pull adjudicated here; that block + the 2 scheduled r16
-# registrations (multimodal_audio_resample, multimodal_image_patches) +
-# 2 headliners fills 49 of 50, one free slot in hand.
-# (r10-r14 history: empty for the same reason — each round's new code
-# registered pre-window and led it.) The r17 registration budget is
-# staged this round on the standard parking terms: data_compaction_plan
+# r16: EMPTY — the round's new registrations (multimodal_audio_resample,
+# multimodal_image_patches) landed BEFORE the window commit and lead it.
+# Due FIRST in r17 (oldest-first): the 47 remaining r13-green entries
+# (staleness 4 at the r17 window commit) — 48 r13-green minus the
+# a3_hll_merge slot-(d) pull adjudicated here; that block + the 2
+# scheduled r17 registrations (data_compaction_plan, graph_adamic_adar)
+# + flagship fills 50 of 50 EXACTLY — dashboard_extract rests the one
+# pre-planned round (see ROTATION CAPACITY above).
+# (r10-r15 history: empty for the same reason — each round's new code
+# registered pre-window and led it.) The r17 registration budget stays
+# staged on the standard parking terms: data_compaction_plan
 # (queries/pipelineops.py) + graph_adamic_adar (queries/graph.py) —
 # oracles, closed-form fixtures, degenerate-probe rows, and
-# scripts/scaleup_r17cand.py scale rows all present; registration is a
-# one-decorator change each, due r17 (which rests the dashboard
-# headliner for one round — see ROTATION CAPACITY above; these two are
-# the LAST planned registrations under the 50-slot contract).
+# scripts/scaleup_r17cand.py scale rows all present (refreshed at the
+# r16 close); registration is a one-decorator change each, due r17.
+# These two are the LAST planned registrations under the 50-slot
+# contract — r18 onward runs at 48 forced + 2 headliners = 50 with zero
+# free slots (see ROTATION CAPACITY).
 
 
 def load_all() -> dict[str, QuerySpec]:

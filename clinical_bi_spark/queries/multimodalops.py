@@ -906,12 +906,9 @@ def multimodal_video_mp4_samples(
 
 
 # ---------------------------------------------------------------------------
-# Audio resampling — REGISTRATION CANDIDATE, earliest r16 (the r13–r15
-# window budgets are fully committed to the eight candidates listed in
-# queries/__init__.py's round-12 post-commit note; this one waits for
-# the next free budget rather than over-committing future windows). TO
-# REGISTER (before that round's window commit): add
-#   @query("multimodal_audio_resample", oracle=_AUDIO_RESAMPLE_ORACLE)
+# Audio resampling — REGISTERED r16 (the scheduled slot its r15 parking
+# comment planned; pre-flighted on the r15 final tree value-equal to the
+# oracle at driver shape, 500/500).
 #
 # The speech-pipeline prep step ("everything to 16 kHz") done for REAL
 # and exactly: each document synthesizes the same deterministic 48 kHz
@@ -957,11 +954,11 @@ FROM documents
 """
 
 
+@query("multimodal_audio_resample", oracle=_AUDIO_RESAMPLE_ORACLE, bench=True)
 def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48 kHz → 18 kHz zero-order-hold resampling through the REAL WAV
     codec, output file byte-exact against the oracle's closed-form
-    reconstruction — see the block comment above for the design and the
-    registration plan."""
+    reconstruction — see the block comment above for the design."""
     from clinical_bi_spark.operators.multimodal import resample_audio
 
     t = load_tables(tune(spark), sf_dir)
@@ -994,12 +991,11 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ViT-style image patchify — REGISTRATION CANDIDATE, earliest r16 (pairs
-# with multimodal_audio_resample above: together they are the natural
-# r16 budget — the audio and vision PREP steps of a multimodal training
-# pipeline; same budget note). TO REGISTER (before that round's window
-# commit): add
-#   @query("multimodal_image_patches", oracle=_PATCHES_ORACLE)
+# ViT-style image patchify — REGISTERED r16 (pairs with
+# multimodal_audio_resample above: the audio and vision PREP steps of a
+# multimodal training pipeline, the natural r16 budget its r15 parking
+# comment planned; pre-flighted on the r15 final tree value-equal to the
+# oracle at driver shape, 2000/2000).
 #
 # The vision-training analog of frame sampling: decode the REAL 16×16
 # PPM (the multimodal_resize synthesis — pixel (x,y,c) =
@@ -1032,10 +1028,11 @@ FROM documents,
 """
 
 
+@query("multimodal_image_patches", oracle=_PATCHES_ORACLE, bench=True)
 def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2×2 grid of 8×8 ViT patches through the REAL PPM codec, byte-exact
     against the oracle's closed-form reconstruction — see the block
-    comment above for the design and the r16 registration plan."""
+    comment above for the design."""
     from clinical_bi_spark.operators.multimodal import extract_image_patches
 
     t = load_tables(tune(spark), sf_dir)

@@ -63,6 +63,13 @@ MDAT_PAYLOAD_OFFSET = len(FTYP) + 8
 #: at 120 fps) is still far past any real video track while bounding
 #: the worst case to tens of MB for the int lists and ~300 MB for a
 #: fully-consistent (i.e. genuinely declared) million-sample table.
+#: ACCEPTED LIMIT for audio tracks (r15 ADVICE low): stsz counts codec
+#: frames, not seconds — 1024-sample AAC at 44.1 kHz is ~43 frames/s,
+#: so a legitimate audio track longer than ~6.7 h parses to None under
+#: this cap. This engine's MP4 surface is the video sample-table walk
+#: (hdlr 'vide' fixtures throughout); if long-audio assets enter scope,
+#: make the cap per-handler ('soun' vs 'vide') rather than raising it
+#: globally.
 _MAX_SAMPLES = 1 << 20
 
 

@@ -482,7 +482,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph_pagerank micro-int contract; deg is a small int, so both
 # engines' ln agree far beyond the rounding precision — pinned per-deg
 # in tests). deg ≥ 2 is automatic for any customer that generates a
-# pair, so ln is never 0.
+# pair, so ln is never 0. ROUNDING CAVEAT (r15 ADVICE low): the per-deg
+# pin spans exactly deg 2.._AA_BASKET_CAP and relies on Spark F.round
+# (HALF_UP) == DuckDB ROUND (half-away) == Python round() (banker's)
+# agreeing EMPIRICALLY over that range — the Python reference uses a
+# different half-way tie rule, so any raise of _AA_BASKET_CAP MUST
+# re-run the pin (tests/test_analytics.py keys the range to the cap,
+# so the re-run is automatic — but a half-way tie at a new deg would
+# rightly fail it; resolve by switching the Python reference to the
+# half-away rule math.floor(x + 0.5), not by loosening the pin).
 #
 # Scale shape (the classic all-pairs trap, answered the winnow way):
 # pair generation self-joins the basket relation on the CUSTOMER key,

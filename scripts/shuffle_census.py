@@ -86,6 +86,11 @@ def _fmt(n: int) -> str:
 
 
 def main() -> None:
+    # the census IS a UI-REST consumer — enable the UI for the session it
+    # builds (session.get_spark defaults spark.ui.enabled to CBS_SPARK_UI,
+    # default false; without this the script can only exit 2 below, which
+    # cost a wasted full run in r16)
+    os.environ.setdefault("CBS_SPARK_UI", "true")
     registry = load_all()
     only = os.environ.get("CBS_CENSUS_ONLY")
     if only:

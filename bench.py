@@ -156,6 +156,18 @@ _R16_SET = _R15_SET | frozenset(
 )
 
 
+def repeat_blocks(names: list[str], size: int) -> list[list[str]]:
+    """Partition the (already sorted) bench list into the interleave
+    blocks: each block's queries are timed as `repeats` PASSES over the
+    block, so a query's samples sit ~one block-wall apart. size=1 is the
+    pre-r16 sequential shape (each query's repeats back-to-back). Order
+    is preserved; every name appears exactly once (pinned in
+    tests/test_rotation_invariant.py)."""
+    if size < 1:
+        raise ValueError(f"interleave block size must be >= 1, got {size}")
+    return [names[i : i + size] for i in range(0, len(names), size)]
+
+
 def main() -> None:
     # Bench the numpy production path of oracle-graduated ANN queries:
     # the sequential exact-arithmetic form exists for DuckDB adjudication
@@ -213,26 +225,60 @@ def main() -> None:
     # the first-repeat compile term, so recorded floors move toward (never
     # away from) the true plan cost; the flag is recorded in the JSON.
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    # r16 methodology: schedule the timed repeats as PASSES over BLOCKS
+    # of adjacent queries instead of back-to-back per query. Mechanism
+    # (PERF.md round-16): with per-query back-to-back repeats, one
+    # host-slow window of ~25 s inflates EVERY sample of every query
+    # inside it — the official BENCH_r15 inflation was exactly such a
+    # window over the alphabetically contiguous data_->evt_ segment
+    # (1.05-1.96x across unrelated families), and it cost a seven-query
+    # A/B adjudication. Interleaving a block's repeats spreads a query's
+    # N samples ~block-wall apart, so a window that long taints at most
+    # one sample and min-of-N still lands on a clean read. Block size
+    # bounds the OTHER failure mode: Spark's generated-class cache holds
+    # ~100 codegen units, so a full-list interleave over 55 queries
+    # would evict a query's compiled stages between passes and
+    # reintroduce the first-run compile term the r15 warmup removed;
+    # blocks of ~8 stay inside the cache (warmup runs per block, right
+    # before its passes, preserving the warm-JIT contract). Block size 1
+    # is EXACTLY the r15 sequential shape (env SPARK_GRAFT_BENCH_
+    # INTERLEAVE=1 reverts for historical A/B); the effective size is
+    # recorded in the JSON (`bench_interleave`). Comparability: the
+    # statistic is unchanged (min over the same N warmed executions);
+    # only the schedule of the samples moves, and the same-tree control
+    # (PERF.md round-16) shows per-query mins in-band with the
+    # sequential reads.
+    interleave = int(os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVE", "8"))
+    names = sorted(bench_specs)
+    blocks = repeat_blocks(names, interleave)
+
+    def _run_released(spec) -> float:
+        """One full execution; returns the timed duration. The
+        release/clear runs OUTSIDE the timed window: queries persist()
+        intermediates (signatures, postings, curated slices) — drop them
+        so repeats, and the next entry, never read a prior run's cache.
+        release_all also reclaims localCheckpoint blocks
+        (connected_components) that clearCache leaves behind; the extra
+        clearCache is belt and suspenders on a session the bench owns
+        outright."""
+        start = time.perf_counter()
+        run_fully(spec.fn(spark, SF_DIR))
+        dur = time.perf_counter() - start
+        caching.release_all(spark)
+        spark.catalog.clearCache()
+        return dur
+
     timings: dict[str, float] = {}
-    for name, spec in sorted(bench_specs.items()):
+    for block in blocks:
         if warmup:
-            run_fully(spec.fn(spark, SF_DIR))
-            caching.release_all(spark)
-            spark.catalog.clearCache()
-        best = float("inf")
+            for name in block:
+                _run_released(bench_specs[name])
+        best = {name: float("inf") for name in block}
         for _ in range(repeats):
-            start = time.perf_counter()
-            run_fully(spec.fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - start)
-            # queries persist() intermediates (signatures, postings,
-            # curated slices); drop them so repeats — and the next entry —
-            # never read a prior run's cache. release_all also reclaims
-            # localCheckpoint blocks (connected_components) that
-            # clearCache leaves behind; the extra clearCache is belt and
-            # suspenders on a session the bench owns outright.
-            caching.release_all(spark)
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+            for name in block:
+                best[name] = min(best[name], _run_released(bench_specs[name]))
+        for name in block:
+            timings[name] = round(best[name], 3)
 
     # the round-over-round subtotal is only comparable if every r4-set
     # query was actually timed — a dropped bench flag or an errored query
@@ -345,6 +391,7 @@ def main() -> None:
         # every timed repeat ran JIT-warm; SPARK_GRAFT_BENCH_WARMUP=0
         # reverts to the r1-r14 cold-first-repeat recipe for A/B.
         "bench_warmup": warmup,
+        "bench_interleave": interleave,
         # Self-describing variant flag: with CLINICAL_BI_EXACT_ARITH=0
         # (the bench default set above) the sim_ann_* timings measure the
         # numpy batch production path; the adjudicated variants run the

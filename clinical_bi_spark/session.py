@@ -138,5 +138,16 @@ def get_spark(app_name: str = "clinical-bi-spark") -> SparkSession:
         # for harnesses that read per-stage metrics over the REST API
         # (scripts/ppjoin_ab.py's shuffle-volume capture)
         .config("spark.ui.enabled", os.environ.get("CBS_SPARK_UI", "false"))
+        # STATIC conf (only effective on the session-creating process):
+        # the generated-class cache defaults to 100 entries, which one
+        # wide query block exceeds — a 55-query bench session evicts and
+        # recompiles stages it already warmed (measured ~1.33x median
+        # inflation under interleaved repeats, PERF.md round-16). 4096
+        # keeps every benched query's stages resident; memory cost is
+        # generated bytecode only, negligible against the 20g driver.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("CBS_CODEGEN_CACHE", "4096"),
+        )
     )
     return tune(builder.getOrCreate())

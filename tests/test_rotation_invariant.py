@@ -134,3 +134,27 @@ def test_bench_sets_are_monotone_and_registered():
     )
     missing = latest - set(reg)
     assert not missing, f"bench-set members not in registry: {missing}"
+
+
+def test_bench_repeat_blocks_partition_exactly():
+    """The r16 interleave schedule must be a PARTITION of the bench list:
+    every query timed exactly once per pass, order preserved, no query
+    dropped by the blocking arithmetic (a lost tail block would silently
+    shrink the subtotals, which the missing-set asserts would catch only
+    at driver-bench time); size=1 must reproduce the pre-r16 sequential
+    shape (singleton blocks)."""
+    import bench
+
+    names = [f"q{i:02d}" for i in range(55)]
+    for size in (1, 7, 8, 54, 55, 56):
+        blocks = bench.repeat_blocks(names, size)
+        flat = [n for b in blocks for n in b]
+        assert flat == names, size
+        assert all(len(b) <= size for b in blocks), size
+    assert bench.repeat_blocks(names, 1) == [[n] for n in names]
+    try:
+        bench.repeat_blocks(names, 0)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("size=0 must raise")

@@ -158,3 +158,14 @@ def test_bench_repeat_blocks_partition_exactly():
         pass
     else:
         raise AssertionError("size=0 must raise")
+
+
+def test_bench_session_codegen_cache_sized(spark):
+    """The r16 interleave methodology is only honest while the
+    generated-class cache holds a whole bench session's stages: at
+    Spark's 100-entry default, cycling blocks between passes evicts and
+    recompiles warmed stages (measured 1.33x median inflation, PERF.md
+    round-16). get_spark sets the STATIC conf at session build — pin it
+    on the shared test session (built by the same get_spark the bench
+    uses) so a refactor can't silently drop it."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 4096

@@ -83,9 +83,20 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: 50):
 #:   (a) the two new registrations LEAD (never adjudicated; the audio
 #:       resampler first, then the image patchifier);
-#:   (b) no changed-code slot owed: no registered query's default path
-#:       changed since its last driver row (the round's perf work is
-#:       A/B adjudication of byte-unchanged code, recorded in PERF.md);
+#:   (b) changed-code slots, AMENDED late-round: the r16 nulls probe
+#:       (its own registration round) found four None-crash sites and
+#:       the null-skipping fixes touched four REGISTERED queries after
+#:       the first window commit — text_bm25_topk (r14-green),
+#:       sim_ann_ivf (r15-green), dedup_semantic_cluster (r13-green,
+#:       shared _semdedup_pipeline), evt_changepoint_cusum (r13-green).
+#:       Placement, cheapest-first: dedup_semantic_cluster TAKES the
+#:       slot-(d) r13 pull (same arithmetic as the alphabetical
+#:       default); sim_ann_ivf takes dashboard's rested headliner slot
+#:       (see (e)); evt_changepoint_cusum rides r17's forced r13 block
+#:       (one-round delay, the r13 semdedup precedent);
+#:       text_bm25_topk rides its r14 block at r18 (two-round delay —
+#:       the one concession, a one-line coalesce whose
+#:       differential/oracle pins re-ran green this round);
 #:   (c) the 43 non-streaming r12-green entries at the staleness-4
 #:       ceiling (FORCED; their 2 streaming siblings sit at the tail) —
 #:       the 45 r12-green remainder the r15 flip slot and slot-(d) pull
@@ -93,20 +104,25 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #:       rows-only rotation (agg_percentiles_approx,
 #:       m3_feature_importance, m8_vocab_embedding_trained), riding the
 #:       forced block as the r14 plan recorded;
-#:   (d) 1 r13-green pull, a round EARLY, oldest-alphabetical:
-#:       a3_hll_merge — the r15 ROTATION CAPACITY arithmetic requires
-#:       exactly one r13 pull here so r17 lands at 47 r13-green forced
-#:       + 2 registrations (data_compaction_plan, graph_adamic_adar) +
-#:       flagship = 50 (dashboard rests one round there);
-#:   (e) headliners (flagship / dashboard), every round;
+#:   (d) 1 r13-green pull, a round EARLY: dedup_semantic_cluster
+#:       (changed-code; any single r13 pull satisfies the r15 ROTATION
+#:       CAPACITY requirement that r17 land at 47 r13-green forced + 2
+#:       registrations + flagship = 50); a3_hll_merge — the
+#:       alphabetical default this pull replaced — stays r13-green and
+#:       rides r17's forced block;
+#:   (e) flagship every round; dashboard_extract RESTS r16+r17 (the
+#:       pre-planned r17 rest moved up one round to fund sim_ann_ivf's
+#:       changed-code slot — green r15, windowed r18 at staleness 3,
+#:       exercised by bench + the full oracle suite every session);
 #:   (f) streaming TAIL: the 2 forced r12-green streaming entries
 #:       (stream_left_outer_join, then stream_stateful_user_stats).
 #: r17 arithmetic check at this commit: 48 r13-green minus the
-#: a3_hll_merge pull here = 47 forced + the 2 scheduled r17
-#: registrations + flagship = 50 exactly — the invariant holds with
-#: dashboard_extract sitting out the one pre-planned round (2 rounds
-#: fresh at r17, under the 4-round ceiling; bench + the oracle suite
-#: still exercise it every session).
+#: dedup_semantic_cluster pull here = 47 forced (incl.
+#: evt_changepoint_cusum's changed-code row and a3_hll_merge) + the 2
+#: scheduled r17 registrations + flagship = 50 exactly — the invariant
+#: holds with dashboard_extract resting its second round (windowed r18
+#: at staleness 3 <= 4; r18 then holds the r14-green block incl.
+#: text_bm25_topk + dashboard + flagship).
 #:
 #: ROUND-15 WINDOW (history; committed with the round's new code already landed:
 #: the two r14 parked candidates — text_bpe_train_encode,
@@ -656,12 +672,20 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_language_id",
     "vec_pca_power_top1",
     "w2_running_total",
-    # -- (d) 1 r13-green pull, a round early, oldest-alphabetical
-    #        (see the ROUND-16 WINDOW comment for the r17 arithmetic) --
-    "a3_hll_merge",
-    # -- (e) headliners, every round --
+    # -- (d) 1 r13-green pull, a round early: dedup_semantic_cluster —
+    #        the SAME arithmetic as the oldest-alphabetical default
+    #        (any r13 pull leaves 47 forced for r17) chosen because the
+    #        null-skip contract landed in its shared _semdedup_pipeline
+    #        AFTER the first window commit (changed code gets the
+    #        current-round row; see the ROUND-16 WINDOW comment) --
+    "dedup_semantic_cluster",
+    # -- (e) flagship every round; dashboard RESTS starting this round
+    #        (two rounds, r16+r17 — the pre-planned r17 rest moved up
+    #        one round to fund sim_ann_ivf's changed-code slot; green
+    #        r15, windowed r18 at staleness 3 < 4, exercised by bench +
+    #        the oracle suite every session) --
     "flagship_feature_query",
-    "dashboard_extract",
+    "sim_ann_ivf",
     # -- (f) streaming members sit LAST: the 2 forced r12-green
     #    streaming entries (stateless join first) --
     "stream_left_outer_join",
@@ -677,10 +701,13 @@ _DEFERRED_NEW: tuple[str, ...] = ()
 # multimodal_image_patches) landed BEFORE the window commit and lead it.
 # Due FIRST in r17 (oldest-first): the 47 remaining r13-green entries
 # (staleness 4 at the r17 window commit) — 48 r13-green minus the
-# a3_hll_merge slot-(d) pull adjudicated here; that block + the 2
+# dedup_semantic_cluster slot-(d) pull adjudicated here (the block
+# includes evt_changepoint_cusum, whose r16 null-skip change gets its
+# changed-code row there, and a3_hll_merge); that block + the 2
 # scheduled r17 registrations (data_compaction_plan, graph_adamic_adar)
-# + flagship fills 50 of 50 EXACTLY — dashboard_extract rests the one
-# pre-planned round (see ROTATION CAPACITY above).
+# + flagship fills 50 of 50 EXACTLY — dashboard_extract rests its
+# second round (windowed r18 at staleness 3; see ROTATION CAPACITY and
+# the ROUND-16 WINDOW amendment above).
 # (r10-r15 history: empty for the same reason — each round's new code
 # registered pre-window and led it.) The r17 registration budget stays
 # staged on the standard parking terms: data_compaction_plan

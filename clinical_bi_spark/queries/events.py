@@ -1145,16 +1145,23 @@ def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays under 2^53 — at larger scale the mean itself would fold as a
     broadcast one-row relation instead)."""
     t = load_tables(tune(spark), sf_dir)
+    # NULL-value events are EXCLUDED from the detector (null-skipping):
+    # a missing metric reading contributes neither to the global mean
+    # nor to the deviation series — without the filter, F.sum skips the
+    # NULLs but F.count doesn't, skewing mu, and an all-NULL corpus
+    # crashes the driver-side None/float division (r16 nulls probe).
+    # The non-null fixtures adjudicate unchanged.
+    ev = t.events.filter(F.col("value").isNotNull())
     micro = F.round(F.col("value") * 1000000).cast("bigint")
-    sm, n = t.events.agg(F.sum(micro), F.count("*")).first()
-    mu = sm / (1000000.0 * n)
+    sm, n = ev.agg(F.sum(micro), F.count("*")).first()
+    mu = sm / (1000000.0 * n) if n else 0.0
     w_run = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_n = Window.partitionBy("user_id")
-    s = t.events.select(
+    s = ev.select(
         "user_id",
         "ts",
         "event_id",

@@ -1347,8 +1347,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build, partial-agg'd map-side; nothing driver-sized but 5 strings
     and 2 integers."""
     t = load_tables(tune(spark), sf_dir)
+    # NULL text ≡ empty text (zero-token doc, counted in N with dl=0 —
+    # the same treatment '' already gets): without the coalesce a NULL
+    # doc makes dl NULL, F.sum skips it, and the driver-side int(tt)
+    # crashes on an all-NULL corpus (r16 nulls probe). The oracle string
+    # assumes the fixtures' non-null corpus contract.
     toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
     )
     base = t.documents.select("doc_id", toks.alias("t"))
     dl = base.select("doc_id", F.size("t").cast("bigint").alias("dl"))

@@ -351,7 +351,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(tune(spark), sf_dir)
-    emb = t.embeddings
+    # NULL-embedding rows excluded on both index and query sides (the
+    # null-skipping convention; see _semdedup_pipeline) — crash class
+    # found by the r16 nulls probe; IsNotNull pushes to the scan and the
+    # non-null fixtures adjudicate unchanged.
+    emb = t.embeddings.filter(F.col("embedding").isNotNull())
     # r11: the fit runs driver-side, bit-for-bit (det_kmeans_rows — see
     # the SemDeDup note; differential-pinned against the plan form), so
     # the codebook is a 16-row literal instead of a deep lazy subtree
@@ -1049,6 +1053,14 @@ def _semdedup_pipeline(
         det_kmeans_rows,
         np_kmeans_rows,
     )
+
+    # NULL-embedding rows are EXCLUDED (the null-skipping aggregate
+    # convention): a NULL vector can be neither trained on, assigned,
+    # nor cosine-compared — without the filter the driver-side fit
+    # crashes on list(None) (r16 nulls probe). IsNotNull pushes to the
+    # parquet scan; the fixtures are non-null, so adjudicated results
+    # are unchanged.
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
 
     # Driver-side bit-exact Lloyd fit (det_kmeans_rows): the lazy
     # Spark-plan fit is ~6 tiny shuffle stages of orchestration for

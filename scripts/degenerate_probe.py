@@ -2,7 +2,7 @@
 sweep found ten real ANSI crash-vs-NULL divergences — codify it as a
 round-end harness).
 
-Builds three pathological corpora from sf0.001 and runs EVERY registry
+Builds four pathological corpora from sf0.001 and runs EVERY registry
 query against each, asserting no UNEXPECTED crash (returning zero rows,
 NULL statistics, or a DOCUMENTED loud error is fine; an ANSI
 DIVIDE_BY_ZERO / INVALID_ARRAY_INDEX / numpy broadcast surprise is a
@@ -14,9 +14,16 @@ bug):
 * ``monokey`` — additionally collapses entity keys and event time:
   every event from ONE user at ONE timestamp, every order from one
   customer — the single-entity / single-instant regime.
+* ``nulls`` (r16) — every non-key value column NULL: 3VL predicates,
+  null-skipping aggregates, NULL through split/explode/array kernels
+  and None inside pandas_udf numpy paths — a different surface from
+  zeros (0 and '' are VALUES; NULL is the absence the r9 sweep's
+  crash-vs-NULL divergences were actually about).
 * ``megadoc`` (r11) — ONE ~1 MB document / one vector: per-document
   quadratics and single-giant-row paths (token arrays, shingle
   explosions, Arrow batch sizing) the tiny-row corpora never reach.
+
+Env: CBS_PROBE_REGIMES=nulls[,zeros,...] selects regimes (default all).
 
 DOCUMENTED loud errors (intentional data contracts, not bugs):
 
@@ -71,6 +78,26 @@ def _mono_constants():
     }
 
 
+def _degenerate_nulls(df):
+    """The fourth regime (r16): every non-key value column NULL. Zeros
+    and NULLs are DIFFERENT failure surfaces — zeros exercise the
+    arithmetic at a boundary value, NULLs exercise 3VL predicates,
+    null-skipping aggregates, NULL propagation through split/explode/
+    array kernels, and None handling inside pandas_udf numpy paths,
+    none of which the empty-string/zero corpus reaches. Keys and
+    timestamps keep their real values (the zeros-probe contract: entity
+    identity and event time are key-like; a NULL event time is
+    out-of-contract data, not a robustness target)."""
+    cols = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if any(f.name.endswith(s) for s in _KEYISH) or t == "timestamp":
+            cols.append(F.col(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
 def _degenerate(df, mono: bool):
     mono_consts = _mono_constants() if mono else {}
     cols = []
@@ -93,10 +120,11 @@ def _degenerate(df, mono: bool):
     return df.select(*cols)
 
 
-def build_corpus(spark, out_dir: str, mono: bool) -> None:
+def build_corpus(spark, out_dir: str, mono: bool | None) -> None:
+    """mono=False -> zeros, mono=True -> monokey, mono="nulls" -> nulls."""
     for t in TABLES:
         df = spark.read.parquet(f"{SRC}/{t}.parquet").limit(64)
-        deg = _degenerate(df, mono)
+        deg = _degenerate_nulls(df) if mono == "nulls" else _degenerate(df, mono)
         deg.coalesce(1).write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
@@ -153,19 +181,14 @@ def _parked_candidates() -> dict:
     count() contract doesn't drive a streaming sink (their degenerate
     pins live in tests/test_streaming.py)."""
     from clinical_bi_spark.queries.graph import graph_adamic_adar
-    from clinical_bi_spark.queries.multimodalops import (
-        multimodal_audio_resample,
-        multimodal_image_patches,
-    )
     from clinical_bi_spark.queries.pipelineops import data_compaction_plan
 
     # graduated to the registry and now riding the registered sweep:
     # multimodal_video_mp4_samples (r13), evt_gapfill_interpolate /
     # evt_time_weighted_avg (r14), text_bpe_train_encode /
-    # data_zorder_layout (r15)
+    # data_zorder_layout (r15), multimodal_audio_resample /
+    # multimodal_image_patches (r16)
     return {
-        "PARKED:multimodal_audio_resample": multimodal_audio_resample,
-        "PARKED:multimodal_image_patches": multimodal_image_patches,
         "PARKED:data_compaction_plan": data_compaction_plan,
         "PARKED:graph_adamic_adar": graph_adamic_adar,
     }
@@ -188,7 +211,16 @@ def main() -> None:
         prefix="cbs_degenerate_"
     )
     failures = []
-    for probe, mono in (("zeros", False), ("monokey", True), ("megadoc", None)):
+    regimes = os.environ.get("CBS_PROBE_REGIMES")
+    wanted = set(regimes.split(",")) if regimes else None
+    for probe, mono in (
+        ("zeros", False),
+        ("monokey", True),
+        ("nulls", "nulls"),
+        ("megadoc", None),
+    ):
+        if wanted is not None and probe not in wanted:
+            continue
         d = os.path.join(base, probe)
         if probe == "megadoc":
             build_megadoc_corpus(spark, d)

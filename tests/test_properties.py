@@ -918,3 +918,30 @@ def test_adamic_adar_matches_python_reference(spark, tmp_path_factory, pairs):
         for r in graph_adamic_adar(spark, str(tmp_path)).collect()
     }
     assert got == ref
+
+
+def test_null_value_columns_do_not_crash(spark, tmp_path_factory):
+    """Pin the r16 null-skipping contract per-session, not just at the
+    round-end probe: the four queries the nulls regime crashed at birth
+    (None inside driver-side int()/division and list(None) into the
+    k-means fit — see the null-contract comments at each site) must
+    build and count on an all-NULL value corpus. The full-registry
+    sweep stays the probe's job (scripts/degenerate_probe.py, regime
+    ``nulls``); this covers the fixed sites so a refactor can't silently
+    reintroduce the crash class between probe runs."""
+    from scripts.degenerate_probe import build_corpus
+
+    d = str(tmp_path_factory.mktemp("nulls_corpus"))
+    build_corpus(spark, d, "nulls")
+
+    from clinical_bi_spark.queries.events import evt_changepoint_cusum
+    from clinical_bi_spark.queries.textops import text_bm25_topk
+    from clinical_bi_spark.queries.vectorops import (
+        dedup_semantic_cluster,
+        sim_ann_ivf,
+    )
+
+    for fn in (text_bm25_topk, sim_ann_ivf, dedup_semantic_cluster,
+               evt_changepoint_cusum):
+        n = fn(spark, d).count()
+        assert n >= 0, fn.__name__

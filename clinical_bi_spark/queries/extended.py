@@ -1155,7 +1155,6 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(tune(spark), sf_dir)
     e = F.col("ts").cast("double")
-    emax = t.events.agg(F.max(e)).first()[0]
     per_user = t.events.groupBy("user_id").agg(
         F.max(e).alias("last_e"),
         F.count("*").cast("bigint").alias("frequency"),
@@ -1163,6 +1162,17 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_micro"),
     )
+    if not use_single_partition_rank():
+        # r16: the corpus max event time is the max of the per-user maxes,
+        # so read it off the (persisted) entity relation instead of a
+        # second full scan of the fact table — identical double, one
+        # fewer events pass. The persist moves ABOVE the scalar action so
+        # the cache is populated by it (the count below then reads cache).
+        per_user = persist_tracked(per_user)
+        emax = per_user.agg(F.max("last_e")).first()[0]
+    else:
+        # parity path unchanged (its plan pin expects the bare aggregate)
+        emax = t.events.agg(F.max(e)).first()[0]
     recency = (
         F.floor((F.lit(float(emax)) - F.col("last_e")) / 86400.0)
         .cast("bigint")
@@ -1182,8 +1192,7 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(5).over(w_m).cast("int").alias("m_score"),
         )
     else:
-        per_user = persist_tracked(per_user)
-        n_users = per_user.count()  # one scalar, inlined as a literal
+        n_users = per_user.count()  # one scalar (cache-served), inlined
         ranked = global_row_number(
             per_user, [F.col("last_e").desc(), F.col("user_id")], out_col="__r_rnk"
         )

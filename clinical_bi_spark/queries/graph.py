@@ -8,12 +8,15 @@ text_lm_score and the dedup family hash-exact (float PageRank would
 drift with partitioning; integer PageRank cannot).
 
 Scale shape: the expensive part is EDGE DERIVATION (a fact-table
-multi-join + DISTINCT — one shuffle on the join key, then a distinct on
-the compact (src, dst) pair). The iterations run on the edge list: each
-is one shuffle of (dst, contribution) pairs, partial-agg'd map-side. At
-billions of edges you persist the edge list once and localCheckpoint the
-rank table every few iterations to truncate lineage — documented here,
-unnecessary at 25 nodes x <=625 edges.
+multi-join + DISTINCT/aggregate — one shuffle on the join key, then a
+reduction to the compact (src, dst) pair). The nation-level iterations
+(pagerank, LPA) then run on the DRIVER over the collected edge list,
+which is <= 625 rows BY CONSTRUCTION (25-key nation domain) at any
+corpus scale — the bounded-collect contract. A graph whose node set
+grows with the data (e.g. BFS over entity keys) must keep its
+iterations distributed: persist the edge list once and localCheckpoint
+the frontier every few iterations to truncate lineage, as
+graph_bfs_distance does.
 """
 
 from __future__ import annotations
@@ -127,55 +130,59 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Truncating div and BIGINT sums are order-independent, so the result
     is bit-identical however Spark partitions the contributions — the
     property that lets an iterative algorithm carry an exact SQL oracle
-    (unrolled CTEs, one per iteration)."""
-    t = load_tables(tune(spark), sf_dir)
-    # node-count-sized relations: persist once, iterate against the cache
-    edges = persist_tracked(_trade_edges(t))
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    nodes = persist_tracked(nodes)
-    n_nodes = nodes.count()  # graph-order scalar (25 here), not data-sized
-    r0 = _SCALE // n_nodes
-    base = (15 * r0) // 100
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ew = edges.join(outdeg, "src").select("src", "dst", "outdeg")
-    ew = persist_tracked(ew)
+    (unrolled CTEs, one per iteration).
 
-    ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
-    for _ in range(_ITERS):
-        contrib = (
-            ew.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("rank div outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({_DAMP_NUM} * coalesce(contrib, 0L)) div {_DAMP_DEN}"
-                    )
-                ).cast("long").alias("rank"),
-            )
-        )
+    r16 optimization: the fact-scale work (deriving the distinct edge
+    list) stays in Spark; the 5 rank iterations run on the DRIVER over
+    the collected edge list. The collect is bounded BY CONSTRUCTION —
+    the node domain is the 25-key nation dimension, so the distinct
+    (src, dst) list is <= 625 rows at ANY corpus scale (the same bounded
+    -collect contract as DSIR's 1024-bucket model and the BPE per-round
+    argmax). The previous distributed loop spent ~10 tiny exchange/
+    broadcast stages on 25-row relations — pure scheduler overhead that
+    cannot amortize because the iterated relation cannot grow with the
+    data (measured 2.68 s -> the edge-derivation cost alone). Integer //
+    on non-negative Python ints is exactly SQL's truncating div, so the
+    ranks are bit-identical to the distributed form (pinned by the
+    unchanged DuckDB oracle and tests/test_analytics.py invariants)."""
+    t = load_tables(tune(spark), sf_dir)
+    erows = _trade_edges(t).collect()  # <= 625 rows by nation-domain bound
+    edges = [(int(r.src), int(r.dst)) for r in erows]
+    node_set = {s for s, _ in edges} | {d for _, d in edges}
+    nodes = sorted(node_set)
+    out_schema = "node int, out_deg int, rank_micro long"
+    if nodes:
+        n_nodes = len(nodes)
+        r0 = _SCALE // n_nodes
+        base = (15 * r0) // 100
+        outdeg: dict[int, int] = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        rank = dict.fromkeys(nodes, r0)
+        for _ in range(_ITERS):
+            contrib = dict.fromkeys(nodes, 0)
+            for s, d in edges:
+                contrib[d] += rank[s] // outdeg[s]
+            rank = {
+                v: base + (_DAMP_NUM * contrib[v]) // _DAMP_DEN for v in nodes
+            }
+        rows = [(v, outdeg.get(v, 0), rank[v]) for v in nodes]
+    else:
+        rows = []
+    rdf = spark.createDataFrame(rows, out_schema)
     return (
-        ranks.join(
+        rdf.join(
             F.broadcast(t.nation.select("n_nationkey", "n_name")),
             F.col("n_nationkey") == F.col("node"),
         )
-        .join(outdeg.withColumnRenamed("src", "node"), "node", "left")
         .select(
             "node",
             F.col("n_name").alias("nation"),
-            F.coalesce(F.col("outdeg"), F.lit(0)).cast("int").alias("out_deg"),
-            F.col("rank").alias("rank_micro"),
-            (F.col("rank").cast("double") / F.lit(1000000000000.0)).alias("rank"),
+            "out_deg",
+            "rank_micro",
+            (F.col("rank_micro").cast("double") / F.lit(1000000000000.0)).alias(
+                "rank"
+            ),
         )
     )
 
@@ -375,13 +382,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism-over-optimality trade the PageRank and IVF-fit
     graduations made.
 
-    Scale shape: per iteration one (node, label)-count shuffle with
-    map-side partials + one window on node — edges persist once;
-    iterations never touch the fact table (edge derivation pays the
-    one fact join, shared with graph_pagerank's audit)."""
+    Scale shape: the fact-scale work is the lane aggregation (one
+    map-side-combined fact join, shared shape with graph_pagerank's
+    audit); the 4 label iterations run on the driver over the collected
+    <=625-row lane table (nation-domain bound — see the r16 comment
+    below)."""
     t = load_tables(tune(spark), sf_dir)
-    from pyspark.sql.window import Window
-
     pairs = (
         t.lineitem.select("l_orderkey", "l_suppkey")
         .join(
@@ -402,48 +408,53 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
-    # one-row aggregate read on the driver (the mlops scalar pattern):
-    # inlining the threshold as a literal keeps the sparsification a pure
-    # map-side filter instead of a 1-row broadcast nested-loop join
-    avg_cnt = int(
-        pairs.agg(
-            (F.sum("cnt") / F.count("*")).cast("bigint").alias("a")
-        ).first()["a"]
+    # r16 optimization: ONE bounded collect of the aggregated lane table
+    # (<= 625 rows BY CONSTRUCTION — the nation-domain bound, same
+    # bounded-collect contract as graph_pagerank's edge list) replaces
+    # (a) the separate threshold-scalar action that re-ran the fact-scale
+    # 4-way join a second time for the heavy filter, (b) the eager
+    # localCheckpoint materialization, and (c) 4 iterations x (join +
+    # groupBy + window) of tiny exchange stages over 25-node relations.
+    # The synchronous (count DESC, label ASC) rule is exact integer
+    # bookkeeping, so the driver fixpoint is value-identical to the
+    # distributed form (pinned by the unchanged DuckDB oracle).
+    prows = pairs.collect()
+    if prows:
+        total = sum(int(r.cnt) for r in prows)
+        # SUM // COUNT, like the oracle's thresh CTE (values non-negative,
+        # so Python floor-div == the previous double-div + bigint cast)
+        avg_cnt = total // len(prows)
+        heavy = {
+            (int(r.src), int(r.dst)) for r in prows if int(r.cnt) > avg_cnt
+        }
+        uedges = heavy | {(d, s) for s, d in heavy}
+        neigh: dict[int, list[int]] = {}
+        for s, d in sorted(uedges):
+            neigh.setdefault(s, []).append(d)
+        labels = {v: v for v in neigh}
+        for _ in range(_LPA_ITERS):
+            new_labels = {}
+            for v, ns in neigh.items():
+                counts: dict[int, int] = {}
+                for u in ns:
+                    lbl = labels[u]
+                    counts[lbl] = counts.get(lbl, 0) + 1
+                # ROW_NUMBER() OVER (ORDER BY c DESC, label) = 1
+                new_labels[v] = min(counts, key=lambda l: (-counts[l], l))
+            labels = new_labels
+        sizes: dict[int, int] = {}
+        for lbl in labels.values():
+            sizes[lbl] = sizes.get(lbl, 0) + 1
+        rows = [
+            (v, labels[v], sizes[labels[v]]) for v in sorted(labels)
+        ]
+    else:
+        rows = []
+    ldf = spark.createDataFrame(
+        rows, "node int, community int, community_size long"
     )
-    heavy = pairs.filter(F.col("cnt") > avg_cnt).select("src", "dst")
-    # localCheckpoint truncates the fact-join lineage so each of the 4
-    # iterations plans against the materialized edge list, not a
-    # re-derivation (the connected-components recipe); blocks release at
-    # the next query boundary via the tracked registry
-    from clinical_bi_spark.caching import local_checkpoint_tracked
-
-    uedges, _ids = local_checkpoint_tracked(
-        heavy.union(
-            heavy.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct(),
-        eager=True,
-    )
-    labels = uedges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
-    for _ in range(_LPA_ITERS):
-        labels = (
-            uedges.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("label")
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("node"), "label")
-            .agg(F.count("*").alias("c"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
-        )
-    w_size = Window.partitionBy("label")
     return (
-        labels.join(
+        ldf.join(
             F.broadcast(
                 t.nation.select(
                     F.col("n_nationkey").cast("int").alias("node"), "n_name"
@@ -454,8 +465,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "node",
             F.col("n_name").alias("nation"),
-            F.col("label").cast("int").alias("community"),
-            F.count("*").over(w_size).cast("bigint").alias("community_size"),
+            "community",
+            "community_size",
         )
     )
 

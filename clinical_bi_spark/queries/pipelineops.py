@@ -694,7 +694,10 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hash to the m-bucket space IN the explode projection: feature
     # strings never reach an exchange — only (doc_id, lang, bucket) ints
-    fb = (
+    # persist_tracked (r16 fix): a bare .persist() here escaped the
+    # tracked registry, so the release at the next query boundary (and
+    # the sequential-replay flatness contract) missed this cache
+    fb = persist_tracked(
         base.select("doc_id", "lang", F.explode(feats).alias("f"))
         .select(
             "doc_id",
@@ -703,7 +706,6 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bucket"
             ),
         )
-        .persist()
     )
     # ONE fact-scale pass yields both models: raw counts cq and target
     # counts ct per bucket. The collect is bounded by m = 1024 rows BY

@@ -1482,6 +1482,9 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # policy as the minhash/winnow queries; no-op at real scale)
     docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
     f1s, f2s = span_fingerprint_arrays(F.col("text"), 8)
+    # (r16 note: caching this relation was tried and REGRESSED 1.2x —
+    # materializing the position-level explode costs more than the two
+    # pipelined recomputes it saves; see OPTIMIZATION_r16.md)
     spans = (
         docs.select(
             "doc_id",
@@ -1500,12 +1503,21 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("dup_spans"))
     )
-    counts = spans.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_spans")
+    # r16: n_spans is a closed form of the token count — max(len - 7, 0)
+    # rolling 8-gram positions — so the third full pass over the
+    # fingerprint explode (groupBy(doc_id).count + a second join) is a
+    # per-row expression on the output scan instead. Same tokenizer
+    # expression as span_fingerprint_arrays; NULL text -> NULL size ->
+    # greatest(.., 0) = 0, matching the old explode-none/coalesce-0 path.
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    n_spans_expr = F.greatest(
+        F.size(toks).cast("long") - F.lit(7).cast("long"),
+        F.lit(0).cast("long"),
     )
     return (
-        t.documents.select("doc_id")
-        .join(counts, "doc_id", "left")
+        t.documents.select("doc_id", n_spans_expr.alias("n_spans"))
         .join(perdoc, "doc_id", "left")
         .select(
             "doc_id",
@@ -2250,44 +2262,52 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt from the survivors in order — the C4 repeated-span / Dolma
     paragraph-dedup rewrite at word-gram granularity.
 
-    Plan shape for 100 TB: one exchange on doc_id (the lead() window +
-    the final rebuild reuse it), one fingerprint-only exchange for the
-    df count — grams shuffle as md5-u32 int PAIRS, never as text (the
-    engine-wide no-text-in-exchanges rule); the boilerplate set joins
-    back by hash equi-join (AQE broadcasts it when small) and covered
-    positions expand to an int equi-anti-join. Only the final rebuild
-    carries words, and that is the output itself."""
-    from pyspark.sql.window import Window
-
+    Plan shape for 100 TB (r16 restructure): grams are built PER ROW from
+    the split array (transform over a position sequence — no posexplode +
+    lead() window, so the old full-word-row exchange + sort is gone) and
+    leave the row only as md5-u32 int pairs; the df count is the one
+    fingerprint exchange; covered positions aggregate to a PER-DOC int
+    set (groupBy doc_id), and the rebuild is a per-row array filter of
+    the split words against that set — the old plan's (doc_id, pos,
+    word) anti-join and the collect_list re-assembly exchange (both
+    carrying every word of the corpus) no longer exist. The only join
+    touching word arrays is the final doc_id join, whose text-bearing
+    side is the output itself."""
     from clinical_bi_spark.operators.dedup import _md5_word
 
     t = load_tables(tune(spark), sf_dir)
-    docs = t.documents.select("doc_id", "text")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
-    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word")
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        words.select(
-            "doc_id",
-            "pos",
-            F.when(
-                F.lead("word", 2).over(win).isNotNull(),
-                F.concat_ws(
-                    " ",
-                    "word",
-                    F.lead("word", 1).over(win),
-                    F.lead("word", 2).over(win),
-                ),
-            ).alias("gram"),
-        )
-        .filter(F.col("gram").isNotNull())
+    docs = t.documents.select(
+        "doc_id", F.split("text", " ").alias("ws")
     )
-    gh = grams.select(
-        "doc_id",
-        "pos",
-        _md5_word(F.col("gram"), 1).alias("f1"),
-        _md5_word(F.col("gram"), 9).alias("f2"),
+    n = F.size("ws")
+    # gram start positions 0 .. n-3 (empty when n < 3; sequence() would
+    # count DOWN for n < 3, hence the guard)
+    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("bigint").alias("pos"),
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i + 1),
+                F.element_at(F.col("ws"), i + 2),
+                F.element_at(F.col("ws"), i + 3),
+            ).alias("gram"),
+        ),
+    )
+    # persisted: gh feeds both the df count and the covered-position set;
+    # without the cache the per-gram string build + md5 hashing re-runs
+    # once per consumer (A/B'd: no-persist reads 1.43x the cached form).
+    # Ints only (doc_id, pos, f1, f2), released at the query boundary.
+    gh = persist_tracked(
+        docs.select("doc_id", F.explode(gram_structs).alias("g")).select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            _md5_word(F.col("g.gram"), 1).alias("f1"),
+            _md5_word(F.col("g.gram"), 9).alias("f2"),
+        )
     )
     boil = (
         gh.groupBy("f1", "f2")
@@ -2303,29 +2323,23 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(F.col("pos"), F.col("pos") + 1, F.col("pos") + 2)
             ).alias("pos"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
     )
-    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda x: x["word"],
-            ),
-        ).alias("cleaned_text"),
+    covc = F.coalesce(F.col("cov"), F.array().cast("array<bigint>"))
+    kept = F.filter(
+        F.col("ws"),
+        lambda x, i: ~F.array_contains(covc, i.cast("bigint")),
     )
     return (
-        docs.select(
-            "doc_id", F.size(F.split("text", " ")).cast("int").alias("n_words")
-        )
-        .join(agg, "doc_id", "left")
+        docs.join(covered, "doc_id", "left")
         .select(
             "doc_id",
-            "n_words",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            F.size("ws").cast("int").alias("n_words"),
+            F.coalesce(F.size(kept), F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce(F.concat_ws(" ", kept), F.lit("")).alias(
+                "cleaned_text"
+            ),
         )
     )
 
@@ -3103,6 +3117,11 @@ def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the unrolled-CTE oracle design. Registered r15 (parked r14 with
     oracle/tests/scale rows staged, per the one-round parking policy)."""
     words = _bpe_words(spark, sf_dir)
+    # (r16 note: reducing to per-(doc, word) counts first — one
+    # tokenization pass + a cached distinct relation — was tried and
+    # REGRESSED 1.33x: the (doc_id, word) exchange + cache it introduces
+    # costs more than the second pipelined tokenization it saves; see
+    # OPTIMIZATION_r16.md)
     vocab = persist_tracked(
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))

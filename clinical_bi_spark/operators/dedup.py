@@ -596,39 +596,84 @@ def winnow_fingerprints_df(
         return winnow_fingerprints_expr(df, id_col, text_col, k, window)
 
     def batches(it):
-        import re as _re
-
-        import numpy as _np
+        fps_of = _winnow_fps_kernel(k, window)
         import pandas as _pd
-        from numpy.lib.stride_tricks import sliding_window_view as _swv
 
-        norm = _re.compile("[^a-z0-9]")
-        weights = _np.array(
-            [31 ** (k - 1 - j) for j in range(k)], dtype=_np.int64
-        )
         for pdf in it:
             ids, fps_list = [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
-                s = norm.sub("", (txt or "").lower())
-                codes = _np.frombuffer(
-                    s.encode("ascii"), dtype=_np.uint8
-                ).astype(_np.int64)
-                if codes.size < k:
-                    fps = _np.empty(0, dtype=_np.int64)
-                else:
-                    gh = _swv(codes, k) @ weights
-                    if gh.size < window:
-                        mins = gh.min(keepdims=True)
-                    else:
-                        mins = _swv(gh, window).min(axis=1)
-                    fps = _np.unique(mins)  # sorted distinct
                 ids.append(i)
-                fps_list.append(fps.tolist())
+                fps_list.append(fps_of(txt))
             yield _pd.DataFrame({"id": ids, "fps": fps_list})
 
     return df.select(id_col, text_col).mapInPandas(
         batches, schema="id long, fps array<long>"
     )
+
+
+def _winnow_fps_kernel(k: int, window: int):
+    """Per-document winnow-fingerprint kernel (numpy sliding windows),
+    shared by :func:`winnow_fingerprints_df` and the passthrough variant
+    so every caller computes byte-identical fingerprint sets."""
+    import re as _re
+
+    import numpy as _np
+    from numpy.lib.stride_tricks import sliding_window_view as _swv
+
+    norm = _re.compile("[^a-z0-9]")
+    weights = _np.array([31 ** (k - 1 - j) for j in range(k)], dtype=_np.int64)
+
+    def fps_of(txt) -> list:
+        s = norm.sub("", (txt or "").lower())
+        codes = _np.frombuffer(s.encode("ascii"), dtype=_np.uint8).astype(
+            _np.int64
+        )
+        if codes.size < k:
+            return []
+        gh = _swv(codes, k) @ weights
+        if gh.size < window:
+            mins = gh.min(keepdims=True)
+        else:
+            mins = _swv(gh, window).min(axis=1)
+        return _np.unique(mins).tolist()  # sorted distinct
+
+    return fps_of
+
+
+def winnow_fingerprints_passthrough(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowed fingerprints computed IN PLACE of the text column: the
+    output carries every input column except ``text_col``, plus
+    ``fps: array<long>`` — same kernel (hence byte-identical fingerprint
+    sets) as :func:`winnow_fingerprints_df`.
+
+    Exists for pipelines that persist a curated slice AND near-dup-mine
+    it (queries/textops.pipeline_corpus_curation, r16 optimization):
+    fusing the fingerprint pass into the slice's materialization means
+    the raw text is consumed in the same pass that builds the cache, so
+    the persisted relation holds fingerprints (ints) instead of the
+    corpus text, and the miner's separate fingerprint pass + cache over
+    a text-bearing relation disappear."""
+    keep = [f.name for f in df.schema.fields if f.name != text_col]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        ", ".join(f"{c} {types[c]}" for c in keep) + ", fps array<long>"
+    )
+
+    def batches(it):
+        fps_of = _winnow_fps_kernel(k, window)
+
+        for pdf in it:
+            out = pdf[keep].copy()
+            out["fps"] = [fps_of(t) for t in pdf[text_col]]
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def winnow_neardup_pairs(
@@ -640,8 +685,18 @@ def winnow_neardup_pairs(
     min_shared: int = 3,
     min_containment: float = 0.5,
     max_df: int = 50,
+    fps_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by shared winnowed fingerprints.
+
+    ``fps_df`` (optional): a precomputed ``(id, fps: array<long>)``
+    relation — the caller already ran the fingerprint kernel (e.g. fused
+    into a persisted curation slice, see
+    :func:`winnow_fingerprints_passthrough`). It must be backed by a
+    cache or an otherwise cheap plan: the postings derived from it feed
+    the df-cap count, both pair-join sides, and the size table, and this
+    function does NOT add its own persist around a caller-provided
+    relation. ``df``/``id_col``/``text_col`` are ignored when given.
 
     The production shape for corpus-scale near-dup mining (the CCNet/Gopher
     pipeline pattern): explode to (fingerprint, doc) postings, drop
@@ -683,7 +738,12 @@ def winnow_neardup_pairs(
     # computation at sf0.1) — and the postings then feed four DAG branches
     # (df-cap, sizes, both join sides), multiplying it. Cached (id, fps)
     # rows are a tiny fraction of corpus size even at 100 TB.
-    fp = persist_tracked(winnow_fingerprints_df(df, id_col, text_col, k, window))
+    if fps_df is not None:
+        fp = fps_df
+    else:
+        fp = persist_tracked(
+            winnow_fingerprints_df(df, id_col, text_col, k, window)
+        )
     e = fp.select("id", F.explode("fps").alias("fp"))
     overflow = persist_tracked(
         e.groupBy("fp")

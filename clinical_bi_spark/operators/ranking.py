@@ -97,6 +97,52 @@ def global_row_number(
         .withColumn("__pid", F.spark_partition_id())
     )
 
+    if not part_cols:
+        # JVM fast path for the (only query-used) ungrouped case (r16
+        # optimization, guide §4 "eliminate the Python boundary"): the
+        # local per-partition row index is exactly what
+        # monotonically_increasing_id encodes — partition id in the upper
+        # 31 bits, the 0-based row index within the partition in the
+        # lower 33 (deterministic here: rows are sorted within the
+        # partition, and <2^33 rows/partition is the function's own
+        # documented bound, far above any real task size) — so the local
+        # cumcount needs no mapInPandas round-trip of the whole relation
+        # through Arrow/Python. The grouped path below keeps the pandas
+        # cumcount (per-group counters across batches have no JVM
+        # equivalent short of a window, which is what this operator
+        # exists to avoid).
+        local = persist_tracked(
+            ranged.withColumn(
+                "__local_rn",
+                F.monotonically_increasing_id().bitwiseAND(
+                    F.lit((1 << 33) - 1).cast("long")
+                )
+                + F.lit(1).cast("long"),
+            )
+        )
+        counts = (
+            local.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
+        )
+        acc = 0
+        offsets = []
+        for r in sorted(counts, key=lambda row: row["__pid"]):
+            offsets.append((r["__pid"], acc))
+            acc += int(r["__n"])
+        off_schema = StructType(
+            [
+                StructField("__pid", local.schema["__pid"].dataType, True),
+                StructField("__offset", LongType(), True),
+            ]
+        )
+        off_df = spark.createDataFrame(offsets or [], off_schema)
+        joined = local.join(F.broadcast(off_df), ["__pid"], "left")
+        return joined.withColumn(
+            out_col,
+            (
+                F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local_rn")
+            ).cast("bigint"),
+        ).drop("__pid", "__local_rn", "__offset")
+
     def local_rn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # rows arrive sorted; carry per-group counters across Arrow batches
         seen: dict[tuple, int] = {}

@@ -545,7 +545,15 @@ def ivf_topk(
         .drop("rnk", "cell_cos")
     )
 
-    cand = assigned.join(probes, "cell_id").filter(
+    # the probe side is |queries| x nprobe rows — broadcast it explicitly
+    # (r16 optimization): the planner cannot size the post-window probe
+    # relation and picked a SortMergeJoin, which exchanged AND sorted the
+    # whole assigned corpus by cell_id — an n_cells-ary hot-key
+    # partitioning (16 distinct keys), a skew magnet at scale. The query
+    # set is small by the operator's contract (the same bound that lets
+    # sim_bruteforce_topk broadcast its query side), so with the hint the
+    # corpus side is never shuffled on cell_id at all.
+    cand = assigned.join(F.broadcast(probes), "cell_id").filter(
         F.col("neighbor_id") != F.col("q_id")
     )
     cos = F.round(cos_fn(F.col("c_emb"), F.col("q_emb")), 6)

@@ -773,19 +773,29 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = kept0.withColumn("xfp", doc_fingerprint(text))
     w_fp = Window.partitionBy("xfp").orderBy("doc_id")
     # materialize the curated survivors once: three consumers (near-dup
-    # fingerprinting, the anti-join left side, the rollup) would otherwise
-    # each re-run the scoring regexes over the full text (measured 19 s →
-    # 6 s at sf0.1) — the same slice a production pipeline writes to
-    # parquet. Split by what each consumer needs:
-    #   * kept1_text (doc_id, text) — the winnow miner's input, the ONLY
-    #     post-curation consumer of raw text. DISK_ONLY: the local
-    #     analogue of the parquet materialization (no executor-memory
-    #     text at scale).
-    #   * kept1 (doc_id, source, quality, n_tokens) — text-free, a few
+    # mining, the anti-join left side, the rollup) would otherwise each
+    # re-run the scoring regexes over the full text (measured 19 s → 6 s
+    # at sf0.1) — the same slice a production pipeline writes to parquet.
+    # r16 optimization: the winnow FINGERPRINT pass is fused into this
+    # materialization (operators/dedup.winnow_fingerprints_passthrough —
+    # same kernel, byte-identical fingerprint sets): the survivors' text
+    # is consumed by the fingerprint kernel in the same pass that builds
+    # the cache, so raw text is never persisted a second time and the
+    # miner's separate fingerprint pass + cache over a text-bearing
+    # relation disappear (guide §2.3: post-curation consumers shuffle and
+    # cache int fingerprints, never the documents). Split by consumer:
+    #   * kept1_all (doc_id, source, qmicro, n_tokens, fps) — DISK_ONLY
+    #     (the local analogue of the parquet materialization; written
+    #     once, read twice: the fps explode and the slim select below).
+    #   * kept1 (doc_id, source, qmicro, n_tokens) — text-free, a few
     #     dozen bytes/doc, memory-cached; the anti-join and the rollup
     #     read this slim relation (token_count precomputed here so the
     #     rollup never touches text).
-    kept1_all = (
+    from clinical_bi_spark.operators.dedup import (
+        winnow_fingerprints_passthrough,
+    )
+
+    survivors = (
         fp.withColumn("rn", F.row_number().over(w_fp))
         .filter(F.col("rn") == 1)
         .select(
@@ -796,15 +806,21 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
     )
-    kept1_all = persist_tracked(kept1_all, StorageLevel.DISK_ONLY)
-    kept1_text = kept1_all.select("doc_id", "text")
+    kept1_all = persist_tracked(
+        winnow_fingerprints_passthrough(
+            survivors, id_col="doc_id", text_col="text"
+        ),
+        StorageLevel.DISK_ONLY,
+    )
     kept1 = persist_tracked(
         kept1_all.select("doc_id", "source", "qmicro", "n_tokens")
     )
-    # near-dup drop: anti-join the higher id of each winnowed pair
+    # near-dup drop: anti-join the higher id of each winnowed pair (the
+    # miner consumes the fused fingerprints; its df/text args are unused)
     pairs = winnow_neardup_pairs(
-        kept1_text, id_col="doc_id", text_col="text",
+        kept1, id_col="doc_id", text_col="text",
         min_shared=3, min_containment=0.5, max_df=50,
+        fps_df=kept1_all.select(F.col("doc_id").alias("id"), "fps"),
     )
     # pairs → components → drop all but each component's minimum id
     # (pair-wise dropping under-drops on transitive chains)

@@ -1150,30 +1150,41 @@ def _semdedup_pipeline(
     from clinical_bi_spark.caching import persist_tracked
 
     assigned = persist_tracked(assigned)
-    a = assigned.select(
-        F.col("vec_id").alias("va"), F.col("emb").alias("ea"),
-        "cell_id", F.col("cent_cos").alias("ca"),
+    # Pair join: both sides are the SAME projection of the cached
+    # assignment (renames happen AFTER the join via alias-qualified
+    # refs), so the two cell_id exchanges canonicalize identically and
+    # ReuseExchange shares one. The two neighbor directions come from
+    # ONE pass over the joined pairs (explode of a 2-struct array), not
+    # a unionAll of two projections of `pairs` — the union form planned
+    # the whole SortMergeJoin subtree TWICE (4 cache-scan+exchange legs).
+    s = assigned.select("vec_id", "emb", "cell_id", "cent_cos")
+    pa, pb = s.alias("pa"), s.alias("pb")
+    pair_cos = F.round(
+        cosine_similarity(F.col("pa.emb"), F.col("pb.emb")), 6
     )
-    b = assigned.select(
-        F.col("vec_id").alias("vb"), F.col("emb").alias("eb"),
-        "cell_id", F.col("cent_cos").alias("cb"),
-    )
-    pair_cos = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
     pairs = (
-        a.join(b, "cell_id")
-        .filter(F.col("va") < F.col("vb"))
+        pa.join(pb, F.col("pa.cell_id") == F.col("pb.cell_id"))
+        .filter(F.col("pa.vec_id") < F.col("pb.vec_id"))
         .filter(pair_cos >= F.lit(eps))
-        .select("va", "ca", "vb", "cb")
-    )
-    nbr = pairs.select(
-        F.col("va").alias("vec_id"), F.col("ca").alias("d_cos"),
-        F.col("vb").alias("n_id"), F.col("cb").alias("n_cos"),
-    ).unionAll(
-        pairs.select(
-            F.col("vb").alias("vec_id"), F.col("cb").alias("d_cos"),
-            F.col("va").alias("n_id"), F.col("ca").alias("n_cos"),
+        .select(
+            F.col("pa.vec_id").alias("va"), F.col("pa.cent_cos").alias("ca"),
+            F.col("pb.vec_id").alias("vb"), F.col("pb.cent_cos").alias("cb"),
         )
     )
+    nbr = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("va").alias("vec_id"), F.col("ca").alias("d_cos"),
+                    F.col("vb").alias("n_id"), F.col("cb").alias("n_cos"),
+                ),
+                F.struct(
+                    F.col("vb").alias("vec_id"), F.col("cb").alias("d_cos"),
+                    F.col("va").alias("n_id"), F.col("ca").alias("n_cos"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     verdict = nbr.groupBy("vec_id").agg(
         F.count("*").cast("bigint").alias("n_neighbors"),
         F.bool_or(

@@ -10,12 +10,18 @@ packing:
 
 1. range-partition by the full sort key (group cols + order cols) so
    partitions hold disjoint, ordered key ranges;
-2. local row numbers per partition (narrow ``mapInPandas`` cumcount —
-   rows arrive pre-sorted by ``sortWithinPartitions``);
-3. per-(partition, group) row COUNTS to the driver — one long per cell,
-   bounded by n_partitions x n_groups (callers with a high-cardinality
-   group key should use the ordinary partitioned window instead: Spark
-   already distributes that well);
+2. local row numbers per partition (JVM bit ops in the ungrouped case,
+   narrow ``mapInPandas`` cumcount in the grouped one — rows arrive
+   pre-sorted by ``sortWithinPartitions``);
+3. per-(partition, group) row COUNTS — one long per cell, bounded by
+   n_partitions x n_groups (callers with a high-cardinality group key
+   should use the ordinary partitioned window instead: Spark already
+   distributes that well) — folded into exclusive prefix offsets by a
+   broadcast inequality self-join over that tiny totals relation
+   (r16 optimization: the offsets used to be a driver ``collect`` +
+   ``createDataFrame`` round trip, which forced a separate job per
+   operator call; distributing them makes the whole operator ONE lazy
+   plan — a single job at the consumer's action);
 4. broadcast the exclusive prefix offsets back; global rank = offset +
    local row number.
 
@@ -58,6 +64,37 @@ def use_single_partition_rank() -> bool:
     return os.environ.get(SINGLE_PARTITION_RANK_ENV, "0") == "1"
 
 
+def _excl_prefix_offsets(
+    tot: DataFrame,
+    part_cols: list[str],
+    sum_cols: list[str],
+    out_names: list[str],
+) -> DataFrame:
+    """Exclusive per-group prefix offsets over ``__pid`` order, computed
+    distributively from the per-(partition, group) totals relation
+    (n_partitions x n_groups rows — tiny by the operator contract):
+    ``offset(pid, g) = SUM(total(pid', g) WHERE pid' < pid)`` via a
+    broadcast inequality self-join + re-aggregation. Replaces the old
+    driver ``collect`` + ``createDataFrame`` round trip, so the caller's
+    whole rank/cumsum plan is ONE lazy job. NULL group keys are real
+    groups (null-safe equality), exactly as the driver loop treated them;
+    a group's first partition (no predecessors) coalesces to offset 0."""
+    ta, tb = tot.alias("rko_a"), tot.alias("rko_b")
+    cond = F.col("rko_b.__pid") < F.col("rko_a.__pid")
+    for c in part_cols:
+        cond = cond & F.col(f"rko_b.{c}").eqNullSafe(F.col(f"rko_a.{c}"))
+    keys = [F.col("rko_a.__pid").alias("__pid")] + [
+        F.col(f"rko_a.{c}").alias(c) for c in part_cols
+    ]
+    aggs = [
+        F.coalesce(F.sum(F.col(f"rko_b.{sc}")), F.lit(0))
+        .cast("long")
+        .alias(on)
+        for sc, on in zip(sum_cols, out_names)
+    ]
+    return ta.join(F.broadcast(tb), cond, "left").groupBy(*keys).agg(*aggs)
+
+
 def global_row_number(
     df: DataFrame,
     order_by: list[Column],
@@ -72,8 +109,8 @@ def global_row_number(
     ``order_by`` are Column sort expressions (``F.col(...).desc()``
     allowed) that must form a total order within each group;
     ``partition_by`` are column NAMES (needed as pandas group keys) and
-    must be low-cardinality — per-(partition, group) counts are collected
-    to the driver (one long each).
+    must be low-cardinality — the per-(partition, group) counts relation
+    (one long each) is the offsets self-join's broadcast side.
 
     NULL group keys are handled explicitly (r9 ADVICE): SQL's
     ROW_NUMBER() OVER (PARTITION BY g ...) puts NULLs in their own
@@ -120,21 +157,12 @@ def global_row_number(
                 + F.lit(1).cast("long"),
             )
         )
-        counts = (
-            local.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
+        off_df = _excl_prefix_offsets(
+            local.groupBy("__pid").agg(F.count("*").alias("__n")),
+            [],
+            ["__n"],
+            ["__offset"],
         )
-        acc = 0
-        offsets = []
-        for r in sorted(counts, key=lambda row: row["__pid"]):
-            offsets.append((r["__pid"], acc))
-            acc += int(r["__n"])
-        off_schema = StructType(
-            [
-                StructField("__pid", local.schema["__pid"].dataType, True),
-                StructField("__offset", LongType(), True),
-            ]
-        )
-        off_df = spark.createDataFrame(offsets or [], off_schema)
         joined = local.join(F.broadcast(off_df), ["__pid"], "left")
         return joined.withColumn(
             out_col,
@@ -177,25 +205,17 @@ def global_row_number(
     schema = StructType(
         list(ranged.schema.fields) + [StructField("__local_rn", LongType())]
     )
-    # persist: the counts job and the final job must see one partition layout
+    # persist: the offsets subtree and the main subtree must see ONE
+    # materialized partition layout (range-boundary sampling is
+    # nondeterministic across re-executions), and the cache pins it
     local = persist_tracked(ranged.mapInPandas(local_rn, schema=schema))
 
-    counts = (
-        local.groupBy("__pid", *part_cols).agg(F.count("*").alias("__n")).collect()
+    off_df = _excl_prefix_offsets(
+        local.groupBy("__pid", *part_cols).agg(F.count("*").alias("__n")),
+        part_cols,
+        ["__n"],
+        ["__offset"],
     )
-    # exclusive prefix offsets per group, accumulated in pid (= range) order
-    acc: dict[tuple, int] = {}
-    offsets = []
-    for r in sorted(counts, key=lambda row: row["__pid"]):
-        key = tuple(r[c] for c in part_cols)
-        offsets.append((r["__pid"], *key, acc.get(key, 0)))
-        acc[key] = acc.get(key, 0) + int(r["__n"])
-    fields = [local.schema["__pid"]] + [local.schema[c] for c in part_cols]
-    off_schema = StructType(
-        [StructField(f.name, f.dataType, True) for f in fields]
-        + [StructField("__offset", LongType(), True)]
-    )
-    off_df = spark.createDataFrame(offsets or [], off_schema)
     if part_cols:
         # null-safe offset join: NULL group keys are a real rank partition
         off_df = off_df.select(
@@ -239,9 +259,11 @@ def global_prefix_sums(
        must be a total order within each group;
     2. local cumulative sums per (partition, group) (narrow
        ``mapInPandas``, carried across Arrow batches);
-    3. per-(partition, group) TOTALS of each value col to the driver —
-       one long per cell, bounded driver state (``partition_by`` must be
-       low-cardinality, like global_row_number's);
+    3. per-(partition, group) TOTALS of each value col — one long per
+       cell, a tiny relation (``partition_by`` must be low-cardinality,
+       like global_row_number's) — folded into exclusive prefix offsets
+       by the shared broadcast self-join (:func:`_excl_prefix_offsets`;
+       no driver collect, the whole operator is one lazy plan);
     4. broadcast exclusive prefix offsets back (null-safe join — NULL
        group keys are their own running-total partition, as in SQL);
        global running total = offset + local cumsum.
@@ -317,25 +339,18 @@ def global_prefix_sums(
         list(ranged.schema.fields)
         + [StructField(cc, LongType()) for cc in cum_cols]
     )
-    # persist: the totals job and the final job must see one partition layout
+    # persist: the offsets subtree and the main subtree must see ONE
+    # materialized partition layout (range-boundary sampling is
+    # nondeterministic across re-executions), and the cache pins it
     local = persist_tracked(ranged.mapInPandas(local_cum, schema=schema))
-    totals = local.groupBy("__pid", *part_cols).agg(
-        *[F.sum(c).alias(c) for c in value_cols]
-    ).collect()
-    acc: dict[tuple, dict[str, int]] = {}
-    offsets = []
-    for r in sorted(totals, key=lambda row: row["__pid"]):
-        key = tuple(r[c] for c in part_cols)
-        cell = acc.setdefault(key, dict.fromkeys(value_cols, 0))
-        offsets.append((r["__pid"], *key, *[cell[c] for c in value_cols]))
-        for c in value_cols:
-            cell[c] += int(r[c] or 0)
-    fields = [local.schema["__pid"]] + [local.schema[c] for c in part_cols]
-    off_schema = StructType(
-        [StructField(f.name, f.dataType, True) for f in fields]
-        + [StructField(f"__off_{c}", LongType(), True) for c in value_cols]
+    off_df = _excl_prefix_offsets(
+        local.groupBy("__pid", *part_cols).agg(
+            *[F.sum(c).alias(c) for c in value_cols]
+        ),
+        part_cols,
+        value_cols,
+        [f"__off_{c}" for c in value_cols],
     )
-    off_df = spark.createDataFrame(offsets or [], off_schema)
     if part_cols:
         off_df = off_df.select(
             F.col("__pid").alias("__o_pid"),

@@ -795,14 +795,25 @@ def test_bpe_encode_is_broadcast_join(spark):
 def test_compaction_plan_no_single_partition_no_join(spark):
     """Parked r17 candidate: the running byte total must ride the
     sharded prefix-sum machinery (range exchange + broadcast offsets) —
-    no SinglePartition window sort, and the only join anywhere is the
-    machinery's own broadcast of the tiny per-partition offset table."""
+    no SinglePartition window sort, and the only joins anywhere are the
+    machinery's own: the broadcast of the tiny per-partition offset
+    table, and (r16) the LeftOuter inequality self-join that computes
+    those offsets distributively over the n_partitions-row totals
+    relation (a BroadcastNestedLoopJoin by necessity — its condition is
+    `pid < pid` — but over a relation whose size is the partition count,
+    not the data; any OTHER nested-loop shape stays forbidden)."""
     from clinical_bi_spark.queries.pipelineops import data_compaction_plan
 
     plan = _explain_fn(spark, data_compaction_plan)
     assert ") Window" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # every nested-loop join must be the offsets machinery's LeftOuter
+    # inequality self-join (broadcast side = the totals aggregate)
+    for line in plan.splitlines():
+        # tree-section lines carry the join type ("... LeftOuter
+        # BuildRight (n)"); detail-section headers carry only the name
+        if "BroadcastNestedLoopJoin" in line and "Build" in line:
+            assert "LeftOuter" in line, line
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "SinglePartition" not in line, line

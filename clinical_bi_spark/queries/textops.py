@@ -1727,27 +1727,51 @@ def _token_hash_fn():
     return _TOKEN_HASH_OVERRIDE or F.xxhash64
 
 
-def audited_token_relation(toks: DataFrame) -> DataFrame:
+def audited_token_relation(
+    toks: DataFrame, *, return_dfreq: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Resolve the token-mode contract PER RUN (r10; ADVICE medium): the
     u64 mode's exactness rests on the per-corpus injectivity certificate,
     so the certificate must be issued inside the query, not only in tests.
 
     * str mode: persist and return the string tokens unchanged.
-    * u64 mode: persist the string tokens, run ``jaccard_token_audit``
-      on THIS corpus (one cheap aggregate over the already-persisted
-      relation), and only on a clean certificate hash the arrays
+    * u64 mode: persist the string tokens, audit injectivity on THIS
+      corpus, and only on a clean certificate hash the arrays
       (persisted — candidates and verify both consume them). On a
       collision (count(DISTINCT token) != count(DISTINCT hash)) fall
       back to the string tokens with a loud RuntimeWarning — exactly the
       ``CLINICAL_BI_JACCARD_TOKENS=str`` behavior the docstrings
       promise, made automatic. The fallback is pinned end-to-end by
       tests/test_dedup.py's forged-collision test.
+
+    ``return_dfreq=True`` additionally returns the persisted
+    ``(w, df)`` document-frequency relation in the SAME token mode as
+    the returned tokens (r16 optimization, guide §2.3): the prefix
+    family used to aggregate the full token relation by vocabulary
+    THREE times per query — the audit's distinct, the df-ordering's
+    groupBy, and the bitmask verify's vocab TopK. One persisted
+    ``dfreq`` now serves all three: the audit is a tiny aggregate OVER
+    it (count rows vs countDistinct(hash) — identical counts to the old
+    exploded-distinct form), the candidates join against it, and the
+    verify TopK sorts it. In u64 mode the hashed relation's df equals
+    the string relation's df because the audited hash is injective on
+    this corpus — the certificate that gates the mode is exactly the
+    statement that makes the derivation sound.
     """
-    if not _jaccard_u64_tokens():
-        return persist_tracked(toks)
     toks = persist_tracked(toks)
+    dfreq = persist_tracked(
+        toks.select(F.explode("words").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("df"))
+    )
+    if not _jaccard_u64_tokens():
+        return (toks, dfreq) if return_dfreq else toks
     hash_fn = _token_hash_fn()
-    n_tok, n_hash = jaccard_token_audit(toks, hash_fn=hash_fn)
+    row = dfreq.agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct(hash_fn(F.col("w"))).alias("n_hash"),
+    ).first()
+    n_tok, n_hash = int(row["n_tok"]), int(row["n_hash"])
     if n_tok != n_hash:
         import warnings
 
@@ -1759,12 +1783,16 @@ def audited_token_relation(toks: DataFrame) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
-        return toks
-    return persist_tracked(
+        return (toks, dfreq) if return_dfreq else toks
+    toks_h = persist_tracked(
         toks.select(
             "doc_id", F.transform("words", lambda w: hash_fn(w)).alias("words")
         )
     )
+    # df carries over through the (audited-injective) hash; derived
+    # lazily from the cached string dfreq — vocabulary-sized work
+    dfreq_h = dfreq.select(hash_fn(F.col("w")).alias("w"), "df")
+    return (toks_h, dfreq_h) if return_dfreq else toks_h
 
 
 def jaccard_token_audit(toks: DataFrame, hash_fn=None) -> tuple[int, int]:
@@ -1790,15 +1818,22 @@ def jaccard_token_audit(toks: DataFrame, hash_fn=None) -> tuple[int, int]:
 
 
 def _jaccard_prefix_candidates(
-    toks: DataFrame, tau: float, positional: bool = True
+    toks: DataFrame,
+    tau: float,
+    positional: bool = True,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs for the prefix-filtered Jaccard
     join: df-ordered prefix equi-join + length-ratio filter, plus (when
     ``positional``) the PPJoin positional filter. Split out so the scale
     harness can A/B the positional filter's candidate cut; the query
-    always runs with it on."""
+    always runs with it on. ``dfreq``: optional precomputed ``(w, df)``
+    document-frequency relation (cache-backed — see
+    :func:`audited_token_relation`) so the df-ordering needn't
+    re-aggregate the full token relation."""
     tok = toks.select("doc_id", F.explode("words").alias("w"))
-    dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
+    if dfreq is None:
+        dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
     ordered = (
         tok.join(dfreq, "w")
         .groupBy("doc_id")
@@ -1881,6 +1916,7 @@ def _bitmask_pair_overlap(
     toks: DataFrame,
     cand: DataFrame,
     vocab_cap: int = _JACCARD_BITMASK_VOCAB_CAP,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame | None:
     """Dense-bitmask EXACT overlap for prefix-join candidate pairs —
     the shared verify core of the prefix family (Jaccard and directed
@@ -1903,13 +1939,14 @@ def _bitmask_pair_overlap(
     hash set — which is both the ~6x CPU cut and the end of the
     family's JIT-warmup bench jitter (PERF.md round-13)."""
     tok_type = toks.schema["words"].dataType.elementType.simpleString()
+    if dfreq is None:
+        dfreq = (
+            toks.select(F.explode("words").alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("df"))
+        )
     vocab = (
-        toks.select(F.explode("words").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.asc("df"), F.asc("w"))
-        .limit(vocab_cap + 1)
-        .collect()
+        dfreq.orderBy(F.asc("df"), F.asc("w")).limit(vocab_cap + 1).collect()
     )
     if len(vocab) > vocab_cap:
         return None
@@ -1965,11 +2002,12 @@ def _jaccard_verify_bitmask(
     cand: DataFrame,
     tau: float,
     vocab_cap: int = _JACCARD_BITMASK_VOCAB_CAP,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame | None:
     """Jaccard projection over the shared bitmask overlap core (see
     _bitmask_pair_overlap for the exactness/bounds argument); ``None``
     past the vocab gate."""
-    ov = _bitmask_pair_overlap(spark, toks, cand, vocab_cap)
+    ov = _bitmask_pair_overlap(spark, toks, cand, vocab_cap, dfreq=dfreq)
     if ov is None:
         return None
     inter = F.col("n_inter")
@@ -2038,10 +2076,18 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # u64 mode hashes ONLY behind a clean per-run injectivity certificate
     # (audit inside the query; auto-fallback to strings on a collision).
     # A fused audit+dfreq single-vocabulary-pass variant was measured
-    # r14 and REJECTED: 1.077x at interleaved min-of-5 on sf0.1 — the
-    # saved fact-scale pass is offset by the extra vocabulary persist +
-    # re-exchange (PERF.md round-14), so the adjudicated shape stands.
-    toks = audited_token_relation(toks)
+    # r14 and REJECTED (1.077x): with only TWO vocabulary consumers the
+    # saved fact-scale pass was offset by the extra vocabulary persist.
+    # r16 re-measured AFTER the bitmask verify became the default (its
+    # vocab TopK is a THIRD full-corpus vocabulary aggregation): the
+    # shared persisted dfreq now wins — one fact-scale vocabulary pass
+    # serves the audit, the df-ordering, and the verify TopK.
+    toks, dfreq = audited_token_relation(toks, return_dfreq=True)
+    # the candidates' df-ordering keeps its INLINE dfreq aggregate: that
+    # join must stay a runtime broadcast, and AQE only converts it when
+    # the build side sits above a shuffle whose size it can observe — a
+    # cache-backed dfreq planned as SortMergeJoin (+1 fact exchange,
+    # measured) because an unmaterialized InMemoryRelation has no stats
     cand = _jaccard_prefix_candidates(toks, tau, positional=True)
     # r14 DEFAULT (flipped with this round's changed-code window slot;
     # see JACCARD_VERIFY_MODE_ENV): vocab-gated dense-bitmask verify —
@@ -2050,7 +2096,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # auto-falls back to the array form past the vocab cap, and
     # CLINICAL_BI_JACCARD_VERIFY=array forces the old path outright
     if _jaccard_verify_bitmask_mode(default="bitmask"):
-        ver = _jaccard_verify_bitmask(spark, toks, cand, tau)
+        ver = _jaccard_verify_bitmask(spark, toks, cand, tau, dfreq=dfreq)
         if ver is not None:
             return ver
     wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wsa"))
@@ -2690,12 +2736,17 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(word_tokens(F.lower(F.col("text")))).alias("words"),
     ).filter(F.size("words") >= 1)
     # u64 mode hashes ONLY behind a clean per-run injectivity certificate
-    # (audit inside the query; auto-fallback to strings on a collision)
-    toks = audited_token_relation(toks)
+    # (audit inside the query; auto-fallback to strings on a collision).
+    # r16: one persisted dfreq serves the audit AND the bitmask verify's
+    # vocab TopK (see audited_token_relation). The df-ordering below
+    # keeps its INLINE aggregate: the join must stay a runtime broadcast,
+    # and AQE only converts when the build side sits above an observable
+    # shuffle — a cache-backed dfreq planned as SortMergeJoin (measured).
+    toks, dfreq = audited_token_relation(toks, return_dfreq=True)
     tok = toks.select("doc_id", F.explode("words").alias("w"))
-    dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
+    dfreq_o = tok.groupBy("w").agg(F.count("*").alias("df"))
     ordered = (
-        tok.join(dfreq, "w")
+        tok.join(dfreq_o, "w")
         .groupBy("doc_id")
         .agg(
             F.expr(
@@ -2752,7 +2803,7 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unicode sweep 189/0. CLINICAL_BI_JACCARD_VERIFY=array still forces
     # the adjudicated array_intersect baseline for A/B.
     if _jaccard_verify_bitmask_mode(default="bitmask"):
-        ov = _bitmask_pair_overlap(spark, toks, cand)
+        ov = _bitmask_pair_overlap(spark, toks, cand, dfreq=dfreq)
         if ov is not None:
             inter_bm = F.col("n_inter")
             return ov.select(
@@ -2830,7 +2881,10 @@ def dedup_containment_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(word_tokens(F.lower(F.col("text")))).alias("words"),
     ).filter(F.size("words") >= 1)
     # u64 mode hashes ONLY behind a clean per-run injectivity certificate
-    # (audit inside the query; auto-fallback to strings on a collision)
+    # (audit inside the query; auto-fallback to strings on a collision).
+    # The df-ordering keeps its inline aggregate (runtime-broadcast; see
+    # dedup_containment_prefix) — this query has no bitmask TopK, so the
+    # audit's persisted dfreq has no second consumer here.
     toks = audited_token_relation(toks)
     tok = toks.select("doc_id", F.explode("words").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))

@@ -3192,6 +3192,13 @@ def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REGRESSED 1.33x: the (doc_id, word) exchange + cache it introduces
     # costs more than the second pipelined tokenization it saves; see
     # OPTIMIZATION_r16.md)
+    # coalesce(1): the cached relation the 12 serial merge rounds iterate
+    # on is VOCABULARY-sized (distinct [a-z]{1,20} words — saturates, and
+    # the same relation is broadcast whole into the encode join below), so
+    # one cache partition makes each round's pair-count job a single task
+    # instead of a fan-out over the word-count shuffle's partition layout;
+    # the fact-scale map side of that shuffle stays parallel (coalesce
+    # collapses only the post-exchange read). A/B'd r16: 0.74x.
     vocab = persist_tracked(
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -3203,6 +3210,7 @@ def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("_|"),
             ),
         )
+        .coalesce(1)
     )
     encoded, _merges = bpe_train(vocab, _BPE_MERGES)
     enc = encoded.select(

@@ -155,6 +155,15 @@ _R16_SET = _R15_SET | frozenset(
     }
 )
 
+# The bench set as of round 17 (r16 set + the two batch queries whose
+# parked r16 registrations landed this round with floors at birth: the
+# ordered small-file compaction plan and the Adamic-Adar link scorer).
+_R17_SET = _R16_SET | frozenset(
+    {
+        "data_compaction_plan", "graph_adamic_adar",
+    }
+)
+
 
 def repeat_blocks(names: list[str], size: int) -> list[list[str]]:
     """Partition the (already sorted) bench list into the interleave
@@ -309,6 +318,8 @@ def main() -> None:
     assert not missing_r15, f"r15-set queries missing from bench: {missing_r15}"
     missing_r16 = _R16_SET - set(timings)
     assert not missing_r16, f"r16-set queries missing from bench: {missing_r16}"
+    missing_r17 = _R17_SET - set(timings)
+    assert not missing_r17, f"r17-set queries missing from bench: {missing_r17}"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -362,6 +373,9 @@ def main() -> None:
         ),
         "subtotal_r16_set": round(
             sum(t for n, t in timings.items() if n in _R16_SET), 3
+        ),
+        "subtotal_r17_set": round(
+            sum(t for n, t in timings.items() if n in _R17_SET), 3
         ),
         # Global-rank dual path (operators/ranking.py): benched timings
         # measure the sharded prefix-sum production form (the default);

@@ -257,8 +257,11 @@ def global_prefix_sums(
 
     1. range-partition + sort by (partition_by, order_by) — order_by
        must be a total order within each group;
-    2. local cumulative sums per (partition, group) (narrow
-       ``mapInPandas``, carried across Arrow batches);
+    2. local cumulative sums per (partition, group) — a JVM window
+       partitioned by the range-partition id (+ group cols), which can
+       never funnel: its partition population is exactly one range
+       shard (r17; the r16 form was a ``mapInPandas`` cumcount that
+       shipped the whole relation through Arrow/Python);
     3. per-(partition, group) TOTALS of each value col — one long per
        cell, a tiny relation (``partition_by`` must be low-cardinality,
        like global_row_number's) — folded into exclusive prefix offsets
@@ -272,7 +275,7 @@ def global_prefix_sums(
     exact-arithmetic contract of the callers); NULLs count as 0 locally
     and are skipped by the Spark-side totals, which agree.
     """
-    import pandas as pd
+    from pyspark.sql import Window
 
     from clinical_bi_spark.caching import persist_tracked
 
@@ -280,69 +283,38 @@ def global_prefix_sums(
     spark = df.sparkSession
     np_ = n_partitions or spark.sparkContext.defaultParallelism
     sort_exprs = [F.col(c) for c in part_cols] + list(order_by)
-    ranged = (
-        df.repartitionByRange(np_, *sort_exprs)
-        .sortWithinPartitions(*sort_exprs)
-        .withColumn("__pid", F.spark_partition_id())
+    ranged = df.repartitionByRange(np_, *sort_exprs).withColumn(
+        "__pid", F.spark_partition_id()
     )
     cum_cols = [f"__cum_{c}" for c in value_cols]
 
-    def _keys(pdf: pd.DataFrame) -> pd.Series:
-        # NaN/NaT -> None so tuples are stable dict keys (see
-        # global_row_number)
-        kdf = pdf[part_cols].astype(object)
-        kdf = kdf.where(kdf.notna(), None)
-        return pd.Series(
-            list(kdf.itertuples(index=False, name=None)), index=pdf.index
-        )
-
-    def local_cum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: dict[tuple, dict[str, int]] = {}
-        for pdf in it:
-            out = {}
-            if not len(pdf):
-                for cc in cum_cols:
-                    out[cc] = pd.Series([], dtype="int64")
-                yield pdf.assign(**out)
-                continue
-            if part_cols:
-                keys = _keys(pdf)
-                for c, cc in zip(value_cols, cum_cols):
-                    # GroupBy.cumsum aligns to the original index
-                    local = (
-                        pdf[c]
-                        .fillna(0)
-                        .astype("int64")
-                        .groupby(keys.values)
-                        .cumsum()
-                        .astype("int64")
-                    )
-                    offs = keys.map(
-                        lambda k, _c=c: carry.get(k, {}).get(_c, 0)
-                    ).astype("int64")
-                    cs = (local + offs).astype("int64")
-                    out[cc] = cs
-                    last = cs.groupby(keys.values).last()
-                    for k, v in last.items():
-                        carry.setdefault(k, {})[c] = int(v)
-            else:
-                for c, cc in zip(value_cols, cum_cols):
-                    prev = carry.setdefault((), {}).get(c, 0)
-                    cs = (
-                        pdf[c].fillna(0).astype("int64").cumsum() + prev
-                    ).astype("int64")
-                    carry[()][c] = int(cs.iloc[-1])
-                    out[cc] = cs
-            yield pdf.assign(**out)
-
-    schema = StructType(
-        list(ranged.schema.fields)
-        + [StructField(cc, LongType()) for cc in cum_cols]
+    # Local cumsum as a JVM window PARTITIONED BY the range-partition id
+    # (r17 optimization, guide §4 — eliminate the Python boundary; the
+    # r16 mapInPandas shipped the whole relation through Arrow/Python).
+    # This window never funnels: its partition key is __pid (+ the group
+    # cols), so partitions stay exactly the range shards — the hash
+    # exchange it plans re-moves only this already-domain-bounded
+    # relation, and the per-(pid, group) totals aggregate below then
+    # rides the SAME hash(__pid) clustering with no further exchange.
+    # Value-identity with the pandas form: integer SUMs, window SUM
+    # skips NULLs exactly as fillna(0)+cumsum did, and COALESCE(.., 0)
+    # covers an all-NULL prefix (differential-pinned against the
+    # single-partition window in tests/test_analytics.py).
+    w = (
+        Window.partitionBy("__pid", *part_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = ranged
+    for c, cc in zip(value_cols, cum_cols):
+        local = local.withColumn(
+            cc,
+            F.coalesce(F.sum(F.col(c)).over(w), F.lit(0)).cast("long"),
+        )
     # persist: the offsets subtree and the main subtree must see ONE
     # materialized partition layout (range-boundary sampling is
     # nondeterministic across re-executions), and the cache pins it
-    local = persist_tracked(ranged.mapInPandas(local_cum, schema=schema))
+    local = persist_tracked(local)
     off_df = _excl_prefix_offsets(
         local.groupBy("__pid", *part_cols).agg(
             *[F.sum(c).alias(c) for c in value_cols]

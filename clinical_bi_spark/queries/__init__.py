@@ -72,7 +72,38 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: two rounds later — registry growth must stay small (<=2-3 new queries
 #: per round) now that the surface is complete.
 #:
-#: ROUND-16 WINDOW (committed with the round's new code already landed:
+#: ROUND-17 WINDOW (committed with the round's new code already landed:
+#: the two r16 parked candidates — data_compaction_plan,
+#: graph_adamic_adar — registered exactly as the r16 parking comments
+#: and the ROTATION CAPACITY pre-plan specified (one decorator each,
+#: _R17_SET bench floors at birth; oracles, closed-form fixtures,
+#: degenerate rows and scaleup_r17cand.py scale rows were staged at
+#: parking time and re-ran green this round). No default flip. Slot
+#: budget, executed exactly as the r15 ROTATION CAPACITY arithmetic and
+#: the r16 window comment pre-computed (2 + 42 + 1 + 5 = 50):
+#:   (a) the two new registrations LEAD (never adjudicated; the
+#:       compaction plan first, then Adamic-Adar);
+#:   (b) no changed-code slot: this is an optimization round — every
+#:       touched query is value-identical by oracle re-adjudication,
+#:       and the r16-touched entries are r16-green (staleness 1);
+#:   (c) the 42 non-streaming r13-green entries at the staleness-4
+#:       ceiling (FORCED; their 5 streaming siblings sit at the tail) —
+#:       the 47 r13-green remainder after r16's dedup_semantic_cluster
+#:       pull, minus the 5 streaming members; includes
+#:       evt_changepoint_cusum (its r16 null-skip change gets its
+#:       changed-code row here, as the r16 plan recorded) and
+#:       a3_hll_merge (the r16 slot-(d) displacement riding this block);
+#:   (e) flagship every round; dashboard_extract RESTS its second and
+#:       final round (windowed r18 at staleness 3 <= 4; exercised by
+#:       bench + the full oracle suite every session);
+#:   (f) streaming TAIL: the 5 forced r13-green streaming entries.
+#: r18 arithmetic check at this commit: the 48 r14-green entries reach
+#: the ceiling (incl. text_bm25_topk's two-round-deferred changed-code
+#: row) + dashboard_extract + flagship = 50 exactly — steady state,
+#: zero free slots, as ROTATION CAPACITY computed; the r17 pair was the
+#: LAST planned registration.
+#:
+#: ROUND-16 WINDOW (history; committed with the round's new code already landed:
 #: the two r15 parked candidates — multimodal_audio_resample,
 #: multimodal_image_patches — registered exactly as the r15 parking
 #: comments planned (_R16_SET bench floors at birth; both pre-flighted
@@ -621,75 +652,66 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #: order after the priority block — all have green r4/r5 verdicts on
 #: code unchanged since (see the deferred-to-r7 list below).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- (a) the two new r16 registrations LEAD (never adjudicated) --
-    "multimodal_audio_resample",
-    "multimodal_image_patches",
-    # -- (b) no changed-code slot this round (no registered default
-    #        path changed since its last driver row) --
-    # -- (c) the 43 non-streaming r12-green staleness-ceiling entries
-    #        (FORCED; their 2 streaming siblings sit at the tail);
-    #        includes the r12 rows-only rotation --
-    "a3_multi_count_distinct",
-    "agg_benford_firstdigit",
-    "agg_bootstrap_ci_mean",
-    "agg_equidepth_histogram",
-    "agg_mannwhitney_u",
-    "agg_percentiles_approx",
-    "agg_pricing_summary",
-    "agg_ttest_welch",
-    "agg_winsorized_mean",
-    "asof_join_events",
-    "data_psi_drift",
-    "data_snapshot_diff",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_keep_best",
-    "evt_cep_pattern",
-    "evt_cep_pattern_quantified",
-    "evt_dedup_window",
-    "evt_forward_fill",
-    "evt_funnel_conversion",
-    "evt_funnel_time_bounded",
-    "evt_group_zscore",
-    "evt_group_zscore_window",
-    "evt_json_extract",
-    "evt_retention_cohorts",
-    "evt_rfm_segmentation",
-    "evt_sessionization",
-    "evt_sliding_window",
-    "evt_tumbling_window",
-    "f_scalar_battery",
-    "j2_selfjoin_fanout",
-    "m13_auc_rank",
-    "m19_temporal_split",
-    "m3_feature_importance",
-    "m8_vocab_embedding",
-    "m8_vocab_embedding_trained",
-    "multimodal_features",
-    "multimodal_resize_bmp",
-    "p_filter_conjunction",
-    "sim_ann_pq",
-    "text_language_id",
-    "vec_pca_power_top1",
-    "w2_running_total",
-    # -- (d) 1 r13-green pull, a round early: dedup_semantic_cluster —
-    #        the SAME arithmetic as the oldest-alphabetical default
-    #        (any r13 pull leaves 47 forced for r17) chosen because the
-    #        null-skip contract landed in its shared _semdedup_pipeline
-    #        AFTER the first window commit (changed code gets the
-    #        current-round row; see the ROUND-16 WINDOW comment) --
-    "dedup_semantic_cluster",
-    # -- (e) flagship every round; dashboard RESTS starting this round
-    #        (two rounds, r16+r17 — the pre-planned r17 rest moved up
-    #        one round to fund sim_ann_ivf's changed-code slot; green
-    #        r15, windowed r18 at staleness 3 < 4, exercised by bench +
-    #        the oracle suite every session) --
+    # -- (a) the two new r17 registrations LEAD (never adjudicated) --
+    "data_compaction_plan",
+    "graph_adamic_adar",
+    # -- (c) the 42 non-streaming r13-green staleness-ceiling entries
+    #        (FORCED; their 5 streaming siblings sit at the tail);
+    #        includes evt_changepoint_cusum (r16 null-skip change --
+    #        its changed-code row, one-round delayed as planned) and
+    #        a3_hll_merge (the r16 slot-(d) displacement) --
+    "a3_hll_merge",
+    "a3_hll_portable",
+    "agg_gini_coefficient",
+    "agg_grouping_sets",
+    "agg_histogram_quantiles",
+    "agg_rollup",
+    "agg_salted_count",
+    "agg_spearman_corr",
+    "agg_stats_battery",
+    "data_global_shuffle",
+    "data_mixture_sample",
+    "data_weighted_sample",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "etl_cohort_conditional_agg",
+    "evt_changepoint_cusum",
+    "f10_sed_cleanse",
+    "f3_pattern_classifier",
+    "f6_f7_date_functions",
+    "j7_frequency_enrichment",
+    "j_semi_anti_exists",
+    "m12_stratified_sample",
+    "m15_confusion_metrics",
+    "m1_keyed_split",
+    "m2_encoder_chain",
+    "merge_upsert_emulation",
+    "multimodal_video_mp4_samples",
+    "set_ops",
+    "sim_bruteforce_topk",
+    "sort_limit_topn",
+    "text_bigram_pmi_topk",
+    "text_char_entropy",
+    "text_chunk_dedup",
+    "text_corpus_rollup",
+    "text_lm_score",
+    "text_redact_pii",
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_winnow_fingerprint",
+    "vec_norm_rollup",
+    "w1_topk_per_group",
+    "w4_rank_battery",
+    # -- (e) flagship every round; dashboard_extract rests its second
+    #        and final round (windowed r18 at staleness 3) --
     "flagship_feature_query",
-    "sim_ann_ivf",
-    # -- (f) streaming members sit LAST: the 2 forced r12-green
-    #    streaming entries (stateless join first) --
-    "stream_left_outer_join",
-    "stream_stateful_user_stats",
+    # -- (f) streaming members sit LAST: the 5 forced r13-green
+    #    streaming entries --
+    "stream_cep_pattern",
+    "stream_cep_pattern_quantified",
+    "stream_forward_fill",
+    "stream_session_stateful",
+    "stream_static_enrich_join",
 )
 #: New queries that landed AFTER the current round's window was committed:
 #: they sit out this round (documented, not silently unadjudicated) and
@@ -697,27 +719,18 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #: fails if a never-adjudicated registry query is neither in the window
 #: nor listed here.
 _DEFERRED_NEW: tuple[str, ...] = ()
-# r16: EMPTY — the round's new registrations (multimodal_audio_resample,
-# multimodal_image_patches) landed BEFORE the window commit and lead it.
-# Due FIRST in r17 (oldest-first): the 47 remaining r13-green entries
-# (staleness 4 at the r17 window commit) — 48 r13-green minus the
-# dedup_semantic_cluster slot-(d) pull adjudicated here (the block
-# includes evt_changepoint_cusum, whose r16 null-skip change gets its
-# changed-code row there, and a3_hll_merge); that block + the 2
-# scheduled r17 registrations (data_compaction_plan, graph_adamic_adar)
-# + flagship fills 50 of 50 EXACTLY — dashboard_extract rests its
-# second round (windowed r18 at staleness 3; see ROTATION CAPACITY and
-# the ROUND-16 WINDOW amendment above).
-# (r10-r15 history: empty for the same reason — each round's new code
-# registered pre-window and led it.) The r17 registration budget stays
-# staged on the standard parking terms: data_compaction_plan
-# (queries/pipelineops.py) + graph_adamic_adar (queries/graph.py) —
-# oracles, closed-form fixtures, degenerate-probe rows, and
-# scripts/scaleup_r17cand.py scale rows all present (refreshed at the
-# r16 close); registration is a one-decorator change each, due r17.
-# These two are the LAST planned registrations under the 50-slot
-# contract — r18 onward runs at 48 forced + 2 headliners = 50 with zero
-# free slots (see ROTATION CAPACITY).
+# r17: EMPTY — the round's new registrations (data_compaction_plan,
+# graph_adamic_adar) landed BEFORE the window commit and lead it; they
+# were the LAST planned registrations under the 50-slot contract.
+# Due FIRST in r18 (oldest-first): the 48 r14-green entries (staleness
+# 4 at the r18 window commit), including text_bm25_topk's two-round-
+# deferred changed-code row; that block + dashboard_extract (back from
+# its two-round rest) + flagship fills 50 of 50 EXACTLY — steady state
+# with zero free slots, as ROTATION CAPACITY computed. Registry growth
+# is STOPPED at 195 total queries unless an entry is retired or the
+# headliner policy is relaxed (see ROTATION CAPACITY).
+# (r10-r16 history: empty for the same reason — each round's new code
+# registered pre-window and led it.)
 
 
 def load_all() -> dict[str, QuerySpec]:

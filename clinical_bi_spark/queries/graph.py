@@ -472,13 +472,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Adamic–Adar link prediction over the part co-purchase graph — r17
-# REGISTRATION CANDIDATE, deliberately undecorated (the r16 budget holds
-# the parked multimodal pair; this parks on the standard terms — oracle,
-# tests, and scale rows staged now, registration is a one-decorator
-# change, paired with data_compaction_plan as r17's whole budget).
-# TO REGISTER IN r17 (before that round's window commit): add
-#   @query("graph_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE)
+# Adamic–Adar link prediction over the part co-purchase graph — parked
+# at the r16 close on the standard terms (oracle, tests, and scale rows
+# staged at parking time), REGISTERED r17 exactly as the parking comment
+# and the rotation pre-plan specified: one decorator + the _R17_SET
+# bench floor, landed before the r17 window commit so it leads the
+# window as never-adjudicated (paired with data_compaction_plan as
+# r17's whole registration budget — the LAST planned registrations).
 #
 # The canonical link-prediction score (Adamic & Adar 2003; the standard
 # baseline in the recommender / graph-ML literature): two parts that
@@ -540,6 +540,7 @@ HAVING COUNT(*) >= {_AA_MIN_COMMON}
 """
 
 
+@query("graph_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE, bench=True)
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic–Adar link prediction: for every part pair sharing >=
     ``_AA_MIN_COMMON`` customers, sum round(1e9 / ln(basket size)) over

@@ -1080,14 +1080,12 @@ def data_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Ordered compaction plan (small-files bin packing) — r17 REGISTRATION
-# CANDIDATE, deliberately undecorated (the r16 budget holds the parked
-# multimodal pair — audio resample + image patches — per the
-# <=2-3-new-queries-per-round rotation arithmetic; this parks on the
-# same terms as data_zorder_layout did in r14: oracle, tests, and scale
-# rows staged now, registration is a one-decorator change).
-# TO REGISTER IN r17 (before that round's window commit): add
-#   @query("data_compaction_plan", oracle=_COMPACTION_ORACLE)
+# Ordered compaction plan (small-files bin packing) — parked at the r16
+# close on the standard terms (oracle, tests, and scale rows staged at
+# parking time), REGISTERED r17 exactly as the parking comment and the
+# rotation pre-plan specified: one decorator + the _R17_SET bench floor,
+# landed before the r17 window commit so it leads the window as
+# never-adjudicated.
 #
 # The OTHER canonical 100 TB layout operator next to Z-ordering: small-
 # file compaction. A day-partitioned table accumulates one small file
@@ -1150,6 +1148,7 @@ GROUP BY bin
 """
 
 
+@query("data_compaction_plan", oracle=_COMPACTION_ORACLE, bench=True)
 def data_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered small-file compaction plan: per-day file stats → exact
     distributed running byte total → bin = floor(exclusive_bytes /

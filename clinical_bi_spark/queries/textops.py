@@ -3198,7 +3198,9 @@ def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one cache partition makes each round's pair-count job a single task
     # instead of a fan-out over the word-count shuffle's partition layout;
     # the fact-scale map side of that shuffle stays parallel (coalesce
-    # collapses only the post-exchange read). A/B'd r16: 0.74x.
+    # collapses only the post-exchange read). A/B'd r16: 0.539x
+    # (9.039 -> 4.874 s in a degraded host window; the recorded number
+    # in OPTIMIZATION_r16.md — the r17 ADVICE reconciliation).
     vocab = persist_tracked(
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))

@@ -538,6 +538,19 @@ def test_welch_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def _assert_windows_are_pid_local(plan: str) -> None:
+    """Every Window in the plan must be the rank machinery's local
+    cumsum: partitioned by the range-partition id ``__pid`` (population
+    = one range shard — can never funnel). A window spec WITHOUT __pid
+    in its partition clause (above all an empty/global one) is exactly
+    the SinglePartition funnel this family's pin forbids."""
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    if "Window" in plan:
+        assert specs, plan  # a Window operator must expose its spec
+    for spec in specs:
+        assert "__pid#" in spec, plan
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -551,19 +564,26 @@ def test_welch_partial_aggregation(spark):
 def test_sharded_rank_production_plan_has_no_single_partition(spark, name):
     """r9 graduation of the r8 `weak`: the DEFAULT path of every
     global-rank analytics query must rank via the sharded prefix-sum
-    operator — range exchange + narrow mapInPandas — with NO
+    operator — range exchange + local per-shard work — with NO
     SinglePartition exchange and no window rank function anywhere in the
     plan. (Replaces the r8 test whose `or "ntile" in plan` fallback made
     the structural assertion vacuous — ADVICE r8.) The r10 additions
     (gini, KS) inherit the family pin at birth; KS ends in scalar
     aggregates (n1/n2/D are single rows by construction), so it shares
     m13's allowance: every SinglePartition must be a scalar
-    HashAggregate's exchange, data-independent width."""
+    HashAggregate's exchange, data-independent width.
+
+    r17 amendment: the machinery's local cumsum is now a JVM window
+    PARTITIONED BY the range-partition id (``__pid``) — a window that
+    can never funnel (its partition population is one range shard), so
+    it is exactly the shape this pin exists to allow. Every other
+    window spec (anything not partitioned by __pid, in particular a
+    global/empty partition spec) stays forbidden."""
     assert "CLINICAL_BI_SINGLE_PARTITION_RANK" not in os.environ
     plan = explain(spark, name)
     assert "ntile" not in plan, plan
     assert "row_number" not in plan, plan
-    assert "Window" not in plan, plan
+    _assert_windows_are_pid_local(plan)
     assert "rangepartitioning" in plan.lower(), plan
     if name in ("m13_auc_rank", "agg_ks_two_sample"):
         # the allowed SinglePartitions are scalar aggregates' exchanges
@@ -637,7 +657,7 @@ def test_mannwhitney_plan_shape(spark):
 
     plan = _explain_df(agg_mannwhitney_u(spark, SF_ORACLE))
     assert "row_number" not in plan and "ntile" not in plan, plan
-    assert "Window" not in plan, plan
+    _assert_windows_are_pid_local(plan)
     assert "rangepartitioning" in plan.lower(), plan
     assert "CartesianProduct" not in plan
     lines = plan.splitlines()
@@ -805,7 +825,7 @@ def test_compaction_plan_no_single_partition_no_join(spark):
     from clinical_bi_spark.queries.pipelineops import data_compaction_plan
 
     plan = _explain_fn(spark, data_compaction_plan)
-    assert ") Window" not in plan
+    _assert_windows_are_pid_local(plan)
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     # every nested-loop join must be the offsets machinery's LeftOuter
     # inequality self-join (broadcast side = the totals aggregate)

@@ -25,7 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--coalesce", type=int, default=0)
+    ap.add_argument("--repartition", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=2)
     ns = ap.parse_args()
 
@@ -66,8 +66,8 @@ def main() -> int:
         encoded = assembler.transform(encoder.transform(split))
         train = encoded.filter(F.col("split") == "train")
         test = encoded.filter(F.col("split") == "test")
-        if ns.coalesce:
-            train = train.coalesce(ns.coalesce)
+        if ns.repartition:
+            train = train.repartition(ns.repartition)
         n_parts = train.rdd.getNumPartitions()
         mark(f"build+getNumPartitions({n_parts})", t0)
 

@@ -420,7 +420,16 @@ def main() -> None:
         "state_eviction": os.environ.get("CLINICAL_BI_STATE_EVICTION", "0")
         != "0",
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # r17 hardening (VERDICT r16 item: the r15 driver run lost its bench
+    # line to tail-capture truncation): the one-line JSON must stay the
+    # FINAL stdout line and must stay small enough for any bounded tail
+    # capture. All values are rounded to 3 decimals above; the assert
+    # fails loudly at run time if registry growth ever pushes the line
+    # past a conservative 16 KiB (the r17 line is ~2.6 KiB at 57
+    # queries), instead of silently producing an unparseable round.
+    assert len(line) < 16384, f"bench JSON line too large: {len(line)} bytes"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

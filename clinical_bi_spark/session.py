@@ -40,6 +40,18 @@ RUNTIME_CONF: dict[str, str] = {
     # The events fixture stores TIMESTAMP(NANOS) which the vectorized parquet
     # reader rejects; read as long and convert (sources._normalize_events).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOT set (r17, tried and reverted): lowering
+    # spark.sql.files.openCostInBytes below its 4 MiB default. The floor
+    # serializes every MB-scale scan at test SFs (orders/events/documents
+    # = 1 partition each at sf0.1; dashboard_extract's whole 6-join plan
+    # is ONE task), and a lower value does split them — but a
+    # same-session interleaved A/B at true floors read a WASH: pricing
+    # 0.72x / psi 0.86x wins cancel against kmv 1.28x / j_fuzzy 1.13x
+    # losses (more map tasks -> more shuffle blocks on short queries),
+    # because per-query fixed overhead and broadcast builds dominate
+    # 1-3 s queries, not single-core scan compute. At 100 TB the knob is
+    # inert anyway (bytesPerCore >> any open-cost floor), so it buys
+    # nothing at scale either. See OPTIMIZATION_r17.md.
 }
 
 

@@ -250,6 +250,7 @@ def test_fuzzy_join_lossless_random_strings(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_bfs_and_triangles_match_python_graph(spark):
     from clinical_bi_spark.queries.graph import _BFS_SOURCE, _trade_edges
     from clinical_bi_spark.sources import load_tables
@@ -519,6 +520,7 @@ def test_sharded_rank_path_matches_window_path(spark, monkeypatch, name, key_col
     assert sharded == windowed
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_ntile_from_rank_matches_sql_ntile_on_grid(spark):
     """Exhaustive pin of the exact NTILE bucket arithmetic: for every
     (N, k) on a grid spanning N < k, N = k, N % k == 0 and ragged

@@ -345,6 +345,7 @@ def test_jaccard_u64_mode_output_equals_string_mode(spark, monkeypatch):
     assert len(u64) > 0
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_jaccard_bitmask_verify_equals_array_verify(spark, monkeypatch):
     """The r13 vocab-gated dense-bitmask verify (see
     JACCARD_VERIFY_MODE_ENV) must reproduce the adjudicated
@@ -379,6 +380,7 @@ def test_jaccard_bitmask_verify_equals_array_verify(spark, monkeypatch):
     assert bitmask_str == array_out
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_jaccard_bitmask_multiword_masks_and_vocab_gate(spark):
     """A corpus with > 64 distinct tokens exercises the multi-long mask
     branch (masks of ceil(V/64) longs, zip_with+bit_count intersect);
@@ -450,6 +452,7 @@ def test_jaccard_bitmask_multiword_masks_and_vocab_gate(spark):
 
 
 @pytest.mark.parametrize("vocab_size", [64, 65, 130])
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_jaccard_bitmask_word_boundaries(spark, vocab_size):
     """Mask-width boundaries: V=64 is the single-long branch's edge
     (id 63 -> shiftleft(1L, 63) sets the SIGN bit — two's-complement
@@ -510,6 +513,7 @@ def test_jaccard_bitmask_word_boundaries(spark, vocab_size):
     assert len(got) > 0
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_containment_bitmask_verify_equals_array_verify(spark, monkeypatch):
     """The directed containment join shares _bitmask_pair_overlap: the
     bitmask projection must reproduce the array_intersect form's output
@@ -536,6 +540,7 @@ def test_containment_bitmask_verify_equals_array_verify(spark, monkeypatch):
     assert len(bitmask_out) > 0
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_jaccard_bitmask_empty_corpus(spark):
     """Zero documents: the bitmask verify must return an empty frame
     (vocab=[], one-word masks degenerate cleanly), not None and not an
@@ -590,6 +595,7 @@ def test_jaccard_token_audit_detects_planted_collision(spark):
     assert n_hash_w == 2  # len-5 bucket {alpha, gamma, delta} collides
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_forged_audit_failure_engages_string_fallback(spark, tmp_path, monkeypatch):
     """r9 verdict Next #7: prove the AUTO-FALLBACK path actually engages.
     Override the token hash (test seam _TOKEN_HASH_OVERRIDE) with a

@@ -14,6 +14,13 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from clinical_bi_spark.functions.exprs import cleanse_text, encode_last_writer_wins
+
+# Depth tier (r17): python-twin / property sweeps — the fast tier's
+# oracle parity adjudicates the default paths end to end; run this
+# module with `-m slow` (or `-m ""`), done in full before each round
+# closes.
+pytestmark = pytest.mark.slow
+
 from clinical_bi_spark.operators.split import keyed_hash_split
 
 ALLOC = st.sampled_from(["Randomized", "Non-Randomized", "N/A", None])

@@ -321,6 +321,7 @@ def test_multibatch_stateful_fold_equals_batch(spark, split_sf):
     assert got == batch
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_multibatch_stream_stream_join_equals_batch(spark, split_sf):
     from clinical_bi_spark.streaming.windows import stream_stream_interval_join
 
@@ -561,6 +562,7 @@ def test_rocksdb_multibatch_dedup_equals_default(spark, split_sf, rocksdb_state)
     _assert_rocksdb_engaged(prog)
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_rocksdb_multibatch_stateful_fold_equals_batch(
     spark, split_sf, rocksdb_state
 ):
@@ -598,6 +600,7 @@ def test_rocksdb_multibatch_stateful_fold_equals_batch(
     _assert_rocksdb_engaged(prog)
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_rocksdb_multibatch_hll_registers_equal_batch(
     spark, split_sf, rocksdb_state
 ):
@@ -630,6 +633,7 @@ def test_rocksdb_multibatch_hll_registers_equal_batch(
     _assert_rocksdb_engaged(prog)
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_multibatch_cep_equals_batch(spark, split_sf):
     """Streaming MATCH_RECOGNIZE over 3 chronological micro-batches must
     produce the IDENTICAL match table as the batch gaps-and-islands
@@ -650,6 +654,7 @@ def test_multibatch_cep_equals_batch(spark, split_sf):
     assert s == b and len(s) > 0
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_rocksdb_multibatch_cep_equals_batch(spark, split_sf, rocksdb_state):
     """The streaming CEP island state must survive the RocksDB provider
     swap bit-for-bit: same final match table as the batch query over 3
@@ -767,6 +772,7 @@ def test_rocksdb_stateful_eviction_drops_state(spark, split_sf, rocksdb_state):
     _assert_rocksdb_engaged(prog)
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_eviction_env_flag_selects_path(spark, split_sf, monkeypatch):
     """Registry hygiene for the CLINICAL_BI_STATE_EVICTION dual path: the
     env flag alone must flip the operator from the exact NoTimeout path
@@ -1133,6 +1139,7 @@ def test_multibatch_session_stateful_equals_batch(spark, split_sf):
     assert s == b
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_session_stateful_eviction_is_lossless(spark, split_sf, monkeypatch):
     """The operator's distinguishing state contract: a session idle past
     the TTL (>= gap) can never extend, so the evicting production path
@@ -1253,6 +1260,7 @@ def _twa_snapshot(df):
     return {r.user_id: (r.n_events, r.twa_micro) for r in df.collect()}
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_stream_twa_exact_batch_parity_any_slicing(spark, split_sf):
     """The candidate's whole exactness claim: integer per-user state makes
     the streaming fold equal the batch aggregate BIT-FOR-BIT at every
@@ -1293,6 +1301,7 @@ def test_stream_twa_state_rows_bounded_by_users(spark, split_sf):
     assert peaks and max(peaks) == n_users
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_stream_twa_eviction_trades_span_restart(spark, split_sf, monkeypatch):
     """The eviction variant must actually drop idle keys
     (numRowsRemoved > 0) and the documented trade is a spans-restart:
@@ -1328,6 +1337,7 @@ def test_stream_twa_eviction_trades_span_restart(spark, split_sf, monkeypatch):
     assert 0 < n_same
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_stream_twa_eviction_restart_and_null_values(spark, tmp_path):
     """Two review-found hazards, pinned end to end. (1) Drain ordering:
     after eviction a re-appearing user's span RESTARTS and n_events

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import types as T
 
 from clinical_bi_spark.queries.textops import _adjacent_bigrams
@@ -271,6 +273,7 @@ def test_bpe_unicode_corpus_cross_engine(spark, tmp_path):
     assert duck == got
 
 
+@pytest.mark.slow  # depth tier (r17): dual-path/property sweep
 def test_bpe_random_small_alphabet_property(spark, tmp_path_factory):
     """Hypothesis form of the hand corpora: random texts over a 3-letter
     alphabet maximize merge collisions, tie-breaks, pair-exhausted
